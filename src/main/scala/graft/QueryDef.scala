@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator query (SURVEY.md §2): a Spark implementation over
+  * the `/root/testdata` tables plus, when SQL-expressible, an equivalent
+  * ANSI SQL string the driver runs in DuckDB for the t2 hash-compare.
+  *
+  * Determinism contract for oracle-checked queries:
+  *  - output row order is made total (ORDER BY includes a unique key);
+  *  - double aggregates go through exact decimal sums ([[Parity]]);
+  *  - per-row double arithmetic is left as-is (IEEE-deterministic).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All tables are single parquet files; at 100 TB these would be
+  * partitioned directories (e.g. lineitem partitioned by shipdate month)
+  * and the same `spark.read.parquet(dir)` call works unchanged — Catalyst
+  * gets partition pruning + predicate pushdown for free on the directory
+  * layout, so nothing here hard-codes single-file assumptions.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries an INT64 TIMESTAMP(NANOS) column the reader
+    // otherwise refuses; harmless for the micro/milli tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. Read it as raw nanos
+    * (`nanosAsLong`) and integer-divide to micros — the generator emits
+    * whole-micro values, so `DIV 1000` is lossless and matches what
+    * DuckDB surfaces for the same file. Integer division on the long,
+    * not `/1000.0`: 1.7e18 ns does not round-trip through a double.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    table(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Oracle-parity helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * same SQL. Double-typed aggregates are NOT order-deterministic across
+  * engines (different partial-sum orders), so every checked aggregate goes
+  * through exact decimal arithmetic:
+  *
+  *   - per-row `double -> DECIMAL(p,s)` rounding is deterministic and
+  *     engine-agnostic: a double can never sit exactly on a half-way point
+  *     of a 10^-s grid (the halfway points (2k+1)/(2*10^s) are not dyadic
+  *     rationals), so round-to-nearest agrees bit-for-bit everywhere;
+  *   - decimal addition is exact, hence order-independent;
+  *   - the final `DECIMAL -> double` cast is correctly rounded in both
+  *     engines.
+  *
+  * Per-row double arithmetic (+,-,*,/) is IEEE-754-deterministic and needs
+  * no such treatment.
+  */
+object Parity {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Exact, order-independent sum of a double column, returned as double. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Order-independent mean: exact decimal sum / count, in double. */
+  def davg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(DecimalType(28, scale))).cast("double") / count(c))
+
+  /** SQL twin of [[dsum]] for the DuckDB oracle. */
+  def sqlDsum(expr: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,$scale))) AS DOUBLE)"
+
+  /** SQL twin of [[davg]]. */
+  def sqlDavg(expr: String, scale: Int = 4): String =
+    s"(CAST(SUM(CAST(($expr) AS DECIMAL(28,$scale))) AS DOUBLE) / COUNT($expr))"
+}

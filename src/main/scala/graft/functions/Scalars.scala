@@ -1,0 +1,167 @@
+package graft.functions
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.2 "Scalar functions").
+  *
+  * The reference uses only CAST, to_json/from_json, + and /
+  * (`temDataRead.py:78-79`, `temReadFromTopic.py:78-83`); this module
+  * declares the string / date / math / array / map / JSON families. All are
+  * `org.apache.spark.sql.functions._` built-ins — codegen'd, no UDFs —
+  * and all stay inside whole-stage codegen.
+  *
+  * Cross-engine notes encoded in the oracles:
+  *  - Spark `dayofweek` is 1-based Sunday=1; DuckDB's is 0-based (oracle adds 1);
+  *  - `ln`/`exp` are not correctly-rounded by IEEE, so those outputs are
+  *    rounded to 6 decimals on both sides; `sqrt` IS correctly rounded and
+  *    compares raw;
+  *  - Spark `split` / DuckDB `string_split` agree on single-space-separated
+  *    text (the documents table's shape).
+  */
+object Scalars {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_str_funcs",
+      (s, d) => Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 10, 4).as("sub"),
+          length(col("c_name")).as("len"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cat"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("novowel"),
+          trim(lit("  pad  ")).as("trimmed"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+             |  SUBSTRING(c_name, 10, 4) AS sub, LENGTH(c_name) AS len,
+             |  c_name || '-' || c_mktsegment AS cat,
+             |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS novowel,
+             |  TRIM('  pad  ') AS trimmed
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_date_funcs",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+             |  CAST(quarter(o_orderdate) AS INT) AS q,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q_math_funcs",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") * lit(-1.0)).as("abs_v"),
+          round(col("l_extendedprice") / 7.0, 2).as("round_v"),
+          sqrt(col("l_quantity")).as("sqrt_v"),
+          floor(col("l_extendedprice") / 100.0).as("floor_v"),
+          ceil(col("l_extendedprice") / 100.0).as("ceil_v"),
+          pow(col("l_quantity"), 2).as("pow_v"),
+          round(log(col("l_extendedprice")), 6).as("ln_v"),
+          round(exp(col("l_discount")), 6).as("exp_v"),
+          (col("l_orderkey") % 7).as("mod_v"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  ABS(l_extendedprice * -1.0) AS abs_v,
+             |  ROUND(l_extendedprice / 7.0, 2) AS round_v,
+             |  SQRT(l_quantity) AS sqrt_v,
+             |  CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS floor_v,
+             |  CAST(CEIL(l_extendedprice / 100.0) AS BIGINT) AS ceil_v,
+             |  POW(l_quantity, 2) AS pow_v,
+             |  ROUND(LN(l_extendedprice), 6) AS ln_v,
+             |  ROUND(EXP(l_discount), 6) AS exp_v,
+             |  l_orderkey % 7 AS mod_v
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // split → explode → word frequency: the array/generator path.
+    QueryDef(
+      "q_array_explode",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")),
+      Some("""SELECT word, COUNT(*) AS n
+             |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY n DESC, word""".stripMargin)),
+
+    // Array scalar functions over the embedding column.
+    QueryDef(
+      "q_array_funcs",
+      (s, d) => Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_v"),
+          element_at(col("embedding"), -1).cast("double").as("last_v"),
+          array_max(col("embedding")).cast("double").as("max_v"),
+          array_min(col("embedding")).cast("double").as("min_v"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS INT) AS dim,
+             |  CAST(embedding[1] AS DOUBLE) AS first_v,
+             |  CAST(embedding[-1] AS DOUBLE) AS last_v,
+             |  CAST(list_max(embedding) AS DOUBLE) AS max_v,
+             |  CAST(list_min(embedding) AS DOUBLE) AS min_v
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Map construction + extraction. The oracle pins the *values* (map
+    // lookup must return exactly the source columns), which checks the
+    // Spark map path without relying on engine map-type formatting.
+    QueryDef(
+      "q_map_funcs",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          map_from_arrays(array(lit("qty"), lit("disc")),
+            array(col("l_quantity"), col("l_discount"))).as("m"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(col("m"), "qty").as("qty_v"),
+          element_at(col("m"), "disc").as("disc_v"),
+          size(map_keys(col("m"))).as("n_keys"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_quantity AS qty_v, l_discount AS disc_v, 2 AS n_keys
+             |FROM lineitem WHERE l_orderkey % 500 = 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // JSON extraction over events.props (e.g. '{"k": 87}').
+    QueryDef(
+      "q_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+          get_json_object(col("props"), "$.missing").as("missing"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+             |  json_extract_string(props, '$.missing') AS missing
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{QueryDef, Tables, Parity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Vertical aggregation surface (SURVEY.md §2.2 "Aggregations").
+  *
+  * The reference has no groupBy anywhere — its only "aggregate" is the
+  * horizontal per-row mean `Tem(Avg)` (`temReadFromTopic.py:78-79`) and a
+  * `count()` action (`04_temincrementaltem.py:80`). This module declares
+  * the engine's vertical-aggregation operators. All of them compile to
+  * `HashAggregateExec` with map-side partial aggregation, so the shuffle
+  * moves one row per (partition × group), not per input row — the layout
+  * that survives 100 TB (group cardinalities here are tiny and fixed).
+  */
+object Aggregates {
+  import Parity._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_agg_global",
+      (s, d) => Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_extendedprice"), 2).as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_discount"), 4).as("avg_disc")),
+      Some(s"""SELECT COUNT(*) AS n,
+              |  ${sqlDsum("l_extendedprice", 2)} AS sum_price,
+              |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+              |  ${sqlDavg("l_discount", 4)} AS avg_disc
+              |FROM lineitem""".stripMargin)),
+
+    // TPC-H Q1 shape — the canonical grouped-aggregate benchmark query.
+    QueryDef(
+      "q_agg_group",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          davg(col("l_quantity"), 2).as("avg_qty"),
+          davg(col("l_extendedprice"), 2).as("avg_price"),
+          davg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${sqlDsum("l_quantity", 2)} AS sum_qty,
+              |  ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+              |  ${sqlDavg("l_quantity", 2)} AS avg_qty,
+              |  ${sqlDavg("l_extendedprice", 2)} AS avg_price,
+              |  ${sqlDavg("l_discount", 4)} AS avg_disc,
+              |  COUNT(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef(
+      "q_agg_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // HLL sketches differ across engines, so the oracle-checkable claim is
+    // the HLL *contract*: the approximate count is within 10% of exact.
+    // Both engines evaluate their own sketch against their own exact count.
+    QueryDef(
+      "q_agg_hll",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select(col("exact"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.1).as("within_10pct")),
+      Some("""SELECT exact, ABS(approx - exact) <= exact * 0.1 AS within_10pct
+             |FROM (SELECT approx_count_distinct(l_partkey) AS approx,
+             |             COUNT(DISTINCT l_partkey) AS exact FROM lineitem)""".stripMargin)),
+
+    // ROLLUP / CUBE: group cols coalesced to a sentinel so the compare
+    // avoids engine-specific NULL ordering (data itself is null-free).
+    QueryDef(
+      "q_agg_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some(s"""SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+              |  COUNT(*) AS n, ${sqlDsum("l_quantity", 2)} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY rf, ls""".stripMargin)),
+
+    QueryDef(
+      "q_agg_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("sum_price"))
+        .orderBy("st", "pri"),
+      Some(s"""SELECT COALESCE(o_orderstatus,'ALL') AS st, COALESCE(o_orderpriority,'ALL') AS pri,
+              |  COUNT(*) AS n, ${sqlDsum("o_totalprice", 2)} AS sum_price
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              |ORDER BY st, pri""".stripMargin)),
+
+    // stddev via exact decimal moments: sqrt((n*Σx² - (Σx)²) / (n(n-1))).
+    // The built-in stddev_samp is exercised too, asserted within 1e-9 of
+    // the closed form (its partial-merge order differs per engine).
+    QueryDef(
+      "q_agg_stddev",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast(DecimalType(28, 2))).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+            .cast("double").as("sxx"),
+          stddev_samp(col("l_quantity")).as("sd_builtin"))
+        .select(col("l_returnflag"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            / (col("n") * (col("n") - 1.0))).as("stddev_qty"),
+          (abs(col("sd_builtin")
+            - sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              / (col("n") * (col("n") - 1.0)))) < 1e-9).as("builtin_ok"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  SQRT((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+              |  ABS(sd_builtin - SQRT((n * sxx - sx * sx) / (n * (n - 1.0)))) < 1e-9 AS builtin_ok
+              |FROM (SELECT l_returnflag,
+              |        CAST(COUNT(*) AS DOUBLE) AS n,
+              |        ${sqlDsum("l_quantity", 2)} AS sx,
+              |        ${sqlDsum("l_quantity * l_quantity", 4)} AS sxx,
+              |        stddev_samp(l_quantity) AS sd_builtin
+              |      FROM lineitem GROUP BY l_returnflag)
+              |ORDER BY l_returnflag""".stripMargin))
+  )
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{QueryDef, Tables, Parity}
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.2 "Joins" — absent in the reference; no
+  * `.join` exists in any of its four scripts).
+  *
+  * Scale notes baked into the shapes below:
+  *  - dimension tables (region/nation/part/supplier at TPC-H ratios) get an
+  *    explicit `broadcast()` hint — at 100 TB those stay MB-sized, so the
+  *    big side never shuffles;
+  *  - fact⋈fact joins (lineitem⋈orders) are left to sort-merge/shuffled-hash
+  *    on the join key with AQE skew-splitting; both sides shuffle once on
+  *    the key and nothing else;
+  *  - the as-of join is the union+window trick: one shuffle on the key,
+  *    O(n log n) per partition — no O(n·m) correlated probe.
+  */
+object Joins {
+  import Parity._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_join_inner",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+              |  COUNT(*) AS n
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Left join with the extra predicate in the ON clause (non-matching
+    // left rows preserved — the semantics a WHERE would destroy).
+    QueryDef(
+      "q_join_left",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_quantity") > 49, "left")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), count(l("l_orderkey")).as("n_matched"),
+            dsum(coalesce(l("l_extendedprice"), lit(0.0)), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_matched,
+              |  ${sqlDsum("COALESCE(l_extendedprice, 0.0)", 2)} AS sum_price
+              |FROM orders LEFT JOIN lineitem
+              |  ON o_orderkey = l_orderkey AND l_quantity > 49
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
+      "q_join_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // region ⋈ nation ⋈ customer with broadcast hints on both dims: the
+    // customer (fact) side never shuffles; plan must show BroadcastHashJoin.
+    QueryDef(
+      "q_join_broadcast",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), davg(col("c_acctbal"), 2).as("avg_bal"))
+        .orderBy("r_name"),
+      Some(s"""SELECT r_name, COUNT(*) AS n_cust, ${sqlDavg("c_acctbal", 2)} AS avg_bal
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    QueryDef(
+      "q_join_cross",
+      (s, d) => Tables.region(s, d)
+        .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+        .select("r_regionkey", "r_name", "o_orderstatus")
+        .orderBy("r_regionkey", "o_orderstatus"),
+      Some("""SELECT r_regionkey, r_name, o_orderstatus
+             |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+             |ORDER BY r_regionkey, o_orderstatus""".stripMargin)),
+
+    QueryDef(
+      "q_join_full",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_acctbal") > 9990)
+          .select(col("c_nationkey").as("nk")).distinct()
+        val sp = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+          .select(col("s_nationkey").as("snk")).distinct()
+        c.join(sp, col("nk") === col("snk"), "full_outer")
+          .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+            col("nk").isNotNull.as("has_cust"), col("snk").isNotNull.as("has_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(nk, snk) AS nationkey,
+             |       nk IS NOT NULL AS has_cust, snk IS NOT NULL AS has_supp
+             |FROM (SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 9990) c
+             |FULL JOIN (SELECT DISTINCT s_nationkey AS snk FROM supplier WHERE s_acctbal > 5000) s
+             |  ON nk = snk
+             |ORDER BY nationkey""".stripMargin)),
+
+    // Equi key + range residual: still a hash/sort-merge join on the key,
+    // with the date-range predicate evaluated as a post-join filter.
+    QueryDef(
+      "q_join_range",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") >= col("o_orderdate")
+            && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_price")),
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice", 2)} AS sum_price
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  AND l_shipdate >= o_orderdate
+              |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY""".stripMargin)),
+
+    // Pure theta (non-equi) join on a small dimension — BroadcastNestedLoop
+    // territory; kept dimension-sized on purpose (a 100 TB BNLJ is a bug,
+    // not an operator).
+    QueryDef(
+      "q_join_theta",
+      (s, d) => {
+        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("k2"), col("n_regionkey").as("r2"))
+        n1.join(n2, col("k1") < col("k2") && col("r1") === col("r2"))
+          .select("k1", "k2", "r1")
+          .orderBy("k1", "k2")
+      },
+      Some("""SELECT a.n_nationkey AS k1, b.n_nationkey AS k2, a.n_regionkey AS r1
+             |FROM nation a JOIN nation b
+             |  ON a.n_nationkey < b.n_nationkey AND a.n_regionkey = b.n_regionkey
+             |ORDER BY k1, k2""".stripMargin)),
+
+    // As-of join (SURVEY.md §2.2): for every purchase event, the most
+    // recent signup at-or-before it by the same user. Implemented with the
+    // union+window trick: tag both sides, sort within user, carry the last
+    // signup timestamp forward — one shuffle, no correlated subquery.
+    QueryDef(
+      "q_join_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(0).as("kind"), col("ts").as("signup_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(1).as("kind"), lit(null).cast("timestamp").as("signup_ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        signups.unionAll(purchases)
+          .withColumn("last_signup_ts", last(col("signup_ts"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+             |  (SELECT MAX(s.ts) FROM events s
+             |   WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts)
+             |  AS last_signup_ts
+             |FROM events p WHERE p.event_type = 'purchase'
+             |ORDER BY p.event_id""".stripMargin))
+  )
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{QueryDef, Tables, Parity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scans, filters, projections, sorts/limits and set operations.
+  *
+  * The reference has projections only (SURVEY.md §2.1 P1–P5, e.g.
+  * `pyspark_scripts/temReadFromTopic.py:81-83`) and no filter/sort/set op
+  * anywhere; this module declares the engine surface for those categories
+  * (SURVEY.md §2.2). Everything is plain `Dataset` API so Catalyst pushes
+  * predicates/projections into the parquet scan — at 100 TB the filters
+  * below become `PushedFilters` + `ReadSchema` pruning on the scan node,
+  * no custom work needed.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // -- scans ------------------------------------------------------------
+    QueryDef(
+      "q_scan_parquet",
+      (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("n")),
+      Some("SELECT COUNT(*) AS n FROM lineitem")),
+
+    // Multi-table scan sanity: one row per table with its cardinality.
+    QueryDef(
+      "q_scan_tables",
+      (s, d) => {
+        val counts = Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events")
+          .map(t => Tables.table(s, d, t).agg(lit(t).as("tbl"), count(lit(1)).as("n")))
+        counts.reduce(_ unionAll _).orderBy("tbl")
+      },
+      Some("""SELECT tbl, n FROM (
+             |  SELECT 'region' AS tbl, COUNT(*) AS n FROM region UNION ALL
+             |  SELECT 'nation', COUNT(*) FROM nation UNION ALL
+             |  SELECT 'customer', COUNT(*) FROM customer UNION ALL
+             |  SELECT 'supplier', COUNT(*) FROM supplier UNION ALL
+             |  SELECT 'part', COUNT(*) FROM part UNION ALL
+             |  SELECT 'orders', COUNT(*) FROM orders UNION ALL
+             |  SELECT 'lineitem', COUNT(*) FROM lineitem UNION ALL
+             |  SELECT 'events', COUNT(*) FROM events
+             |) ORDER BY tbl""".stripMargin)),
+
+    // -- filters ----------------------------------------------------------
+    QueryDef(
+      "q_filter_basic",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(30, 40) && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 30 AND 40 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "q_filter_between",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("o_totalprice"), 2).as("sum_price")),
+      Some(s"""SELECT COUNT(*) AS n, ${Parity.sqlDsum("o_totalprice", 2)} AS sum_price
+              |FROM orders
+              |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'""".stripMargin)),
+
+    QueryDef(
+      "q_filter_in_like",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2") || col("p_name").like("%widget%"))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part
+             |WHERE p_brand IN ('Brand#1','Brand#2') OR p_name LIKE '%widget%'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
+      "q_filter_null",
+      (s, d) => Tables.lineitem(s, d)
+        .select(when(col("l_linestatus") === "F", lit(null).cast("string"))
+          .otherwise(col("l_linestatus")).as("st"))
+        .agg(count(lit(1)).as("n_total"), count(col("st")).as("n_nonnull"),
+          sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_null")),
+      Some("""SELECT COUNT(*) AS n_total, COUNT(st) AS n_nonnull,
+             |       SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS n_null
+             |FROM (SELECT NULLIF(l_linestatus, 'F') AS st FROM lineitem)""".stripMargin)),
+
+    // -- projections --------------------------------------------------------
+    QueryDef(
+      "q_project_expr",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1.0 - l_discount) AS disc_price,
+             |       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "q_project_case",
+      (s, d) => Tables.lineitem(s, d)
+        .select(when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+             |            WHEN l_quantity < 30 THEN 'mid'
+             |            ELSE 'high' END AS bucket, COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // -- sorts / limits / top-k -------------------------------------------
+    // Catalyst plans orderBy+limit as TakeOrderedAndProject: per-partition
+    // top-k then a k-row merge on the driver — O(k) network at any scale.
+    QueryDef(
+      "q_sort_limit",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q_topk",
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // -- set operations ----------------------------------------------------
+    // Spark `union` is SQL UNION ALL (positional); output is aggregated so
+    // the multiset compare is order-free.
+    QueryDef(
+      "q_union_all",
+      (s, d) => Tables.customer(s, d).filter(col("c_acctbal") > 9500)
+        .select(col("c_nationkey").as("nk"))
+        .unionAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk"),
+      Some("""SELECT nk, COUNT(*) AS n FROM (
+             |  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9500
+             |  UNION ALL
+             |  SELECT s_nationkey FROM supplier
+             |) GROUP BY nk ORDER BY nk""".stripMargin)),
+
+    QueryDef(
+      "q_union_distinct",
+      (s, d) => Tables.customer(s, d).filter(col("c_acctbal") > 9500)
+        .select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+          .select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9500
+             |UNION
+             |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+             |ORDER BY nk""".stripMargin)),
+
+    QueryDef(
+      "q_intersect",
+      (s, d) => Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).filter(col("s_acctbal") > 0)
+          .select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+             |INTERSECT
+             |SELECT s_nationkey FROM supplier WHERE s_acctbal > 0
+             |ORDER BY nk""".stripMargin)),
+
+    QueryDef(
+      "q_except",
+      (s, d) => Tables.nation(s, d).select(col("n_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+          .select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT n_nationkey AS nk FROM nation
+             |EXCEPT
+             |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+             |ORDER BY nk""".stripMargin))
+  )
+}

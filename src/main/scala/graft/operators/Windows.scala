@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function surface (SURVEY.md §2.2 "Window functions" — the
+  * reference imports `pyspark.sql.window.Window` in two scripts
+  * (`temDataRead.py:6`, `temReadFromTopic.py:12`) but never uses it; this
+  * module is the completion of that intent).
+  *
+  * Every ORDER BY inside a window spec ends with a unique key so ranks and
+  * frames are total orders — identical across engines. Window execution
+  * shuffles once on the partition key and sorts within partitions; at
+  * 100 TB the partition key (custkey / user_id) must be high-cardinality,
+  * which these are.
+  */
+object Windows {
+
+  private def dwin(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 2))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // First order per customer (row_number = 1).
+    QueryDef(
+      "q_win_rownum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_orderdate")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |            ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // Consecutive-event delta per user — lag/lead; per-row double
+    // subtraction is IEEE-deterministic, no rounding needed.
+    QueryDef(
+      "q_win_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+            (lead(col("value"), 1).over(w) - col("value")).as("delta_next"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  value - LAG(value, 1) OVER w AS delta_prev,
+             |  LEAD(value, 1) OVER w - value AS delta_next
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Rolling mean over the last 5 events per user; exact decimal sum over
+    // the frame / frame count, so segment-tree vs naive frame evaluation
+    // can't diverge.
+    QueryDef(
+      "q_win_rolling",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, 0)
+        Tables.events(s, d)
+          .select(col("event_id"),
+            (sum(dwin(col("value"))).over(w).cast("double")
+              / count(col("value")).over(w)).as("mov_avg"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+             |    / COUNT(value) OVER w AS mov_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Top-3 orders by price within each priority class; RANK is a pure
+    // function of the value ordering, so ties resolve identically.
+    QueryDef(
+      "q_win_rank_topk",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+        Tables.orders(s, d)
+          .withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 3)
+          .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+          .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+             |  SELECT *, RANK() OVER (PARTITION BY o_orderpriority
+             |            ORDER BY o_totalprice DESC) AS rk
+             |  FROM orders) WHERE rk <= 3
+             |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin)),
+
+    // Running (cumulative) revenue per user over time — exact decimal sum.
+    QueryDef(
+      "q_win_running",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            sum(dwin(col("value"))).over(w).cast("double").as("running_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS running_value
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ntile over a unique ordering (deterministic bucket assignment),
+    // summarized per bucket.
+    QueryDef(
+      "q_win_ntile",
+      (s, d) => {
+        val w = Window.orderBy(col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+          .groupBy("quartile")
+          .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .orderBy("quartile")
+      },
+      Some("""SELECT quartile, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+             |       MAX(o_orderkey) AS max_key
+             |FROM (SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_orderkey) AS quartile
+             |      FROM orders)
+             |GROUP BY quartile ORDER BY quartile""".stripMargin))
+  )
+}
