@@ -15,7 +15,11 @@ object SparkEntry {
       operators.Aggregates.defs ++
       operators.Joins.defs ++
       operators.Windows.defs ++
-      functions.Scalars.defs
+      functions.Scalars.defs ++
+      functions.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      streaming.StreamingTwins.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -50,9 +50,14 @@ object Tables {
   * through exact decimal arithmetic:
   *
   *   - per-row `double -> DECIMAL(p,s)` rounding is deterministic and
-  *     engine-agnostic: a double can never sit exactly on a half-way point
-  *     of a 10^-s grid (the halfway points (2k+1)/(2*10^s) are not dyadic
-  *     rationals), so round-to-nearest agrees bit-for-bit everywhere;
+  *     engine-agnostic *except* at exact halfway points, which a double
+  *     CAN hit when it has the form odd/2^(s+1) (then Spark rounds
+  *     HALF_UP, DuckDB half-even). The business columns summed here are
+  *     generator-rounded decimals whose stored doubles never take that
+  *     form, so the cast agrees bit-for-bit; derived *products* (e.g.
+  *     embedding dots) must NOT use this path — see
+  *     [[graft.operators.Similarity.sparkDot]] for the floor-quantized
+  *     alternative with no halfway case;
   *   - decimal addition is exact, hence order-independent;
   *   - the final `DECIMAL -> double` cast is correctly rounded in both
   *     engines.

@@ -1,0 +1,160 @@
+package graft.functions
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for a training-data pipeline (builder prompt +
+  * SURVEY.md §2.2 extension ops): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting. The reference has no
+  * text ops at all (its four scripts are sensor-JSON plumbing —
+  * `pyspark_scripts/temReadFromTopic.py:78-84` is the closest thing), so
+  * this whole family is engine extension surface over `documents`.
+  *
+  * Everything is built-in functions + SQL higher-order functions — no
+  * UDFs, so the projections stay codegen-friendly and fully distributed
+  * (per-row map work, no shuffle except the final demo aggregations). At
+  * 100 TB these are embarrassingly parallel scans.
+  *
+  * Cross-engine determinism:
+  *  - token hash = first 8 hex chars of md5 → BIGINT; md5 is identical
+  *    everywhere, and the hex→int parse is exact in both engines
+  *    (Spark `conv(.,16,10)`, DuckDB `CAST('0x'||. AS BIGINT)`);
+  *  - the rolling fingerprint folds left-to-right with `% 1e9+7` at each
+  *    step — pure integer math, order fixed by the fold;
+  *  - ratio doubles are single IEEE divisions (deterministic); averaged
+  *    ratios go through [[Parity]] decimal sums.
+  */
+object TextAnalysis {
+
+  /** Spark SQL: md5-derived 32-bit token hash as BIGINT. */
+  def tokHash(w: String): String =
+    s"CAST(conv(substr(md5($w), 1, 8), 16, 10) AS BIGINT)"
+
+  /** DuckDB twin of [[tokHash]]. */
+  def duckTokHash(w: String): String =
+    s"CAST(('0x' || substr(md5($w), 1, 8)) AS BIGINT)"
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val stopSql = stop.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-document structural stats: lengths, token counts, distinctness.
+    QueryDef(
+      "q_text_stats",
+      (s, d) => Tables.documents(s, d).selectExpr(
+        "doc_id",
+        "length(text) AS len_chars",
+        "size(split(text, ' ')) AS n_tokens",
+        "size(array_distinct(split(text, ' '))) AS n_distinct",
+        // mean token length: tokens are single-space separated, so
+        // chars = len - (n_tokens - 1); one IEEE division, deterministic.
+        "CAST(length(text) - size(split(text, ' ')) + 1 AS DOUBLE) / size(split(text, ' ')) AS avg_tok_len",
+        "array_max(transform(split(text, ' '), w -> length(w))) AS max_tok_len",
+        "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')) AS distinct_ratio")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(text) AS INT) AS len_chars,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+             |  CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS avg_tok_len,
+             |  CAST(list_max(list_transform(string_split(text, ' '), w -> len(w))) AS INT) AS max_tok_len,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS distinct_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting two ways: whitespace and a BPE-ish regex lexer
+    // (letter runs / digit runs / single non-alnum), plus long-token count.
+    QueryDef(
+      "q_text_tokens",
+      (s, d) => Tables.documents(s, d).selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS ws_tokens",
+        "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS lex_tokens",
+        "size(filter(split(text, ' '), w -> length(w) > 6)) AS long_tokens")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS lex_tokens,
+             |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 6)) AS INT) AS long_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic: English stopword fraction → 'en'/'other',
+    // summarized per true lang. (The synthetic corpus shares vocabulary
+    // across langs, so accuracy is weak — what's checked is the operator,
+    // a distributed filter-ratio classifier, not the lexicon.)
+    QueryDef(
+      "q_text_langid",
+      (s, d) => Tables.documents(s, d).selectExpr(
+        "lang",
+        s"CAST(size(filter(split(text, ' '), w -> w IN ($stopSql))) AS DOUBLE) / size(split(text, ' ')) AS en_score")
+        .selectExpr("lang", "en_score",
+          "CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS pred")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_pred_en"),
+          Parity.davg(col("en_score"), 6).as("avg_en_score"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n,
+              |  SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en,
+              |  ${Parity.sqlDavg("en_score", 6)} AS avg_en_score
+              |FROM (
+              |  SELECT lang, en_score,
+              |    CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS pred
+              |  FROM (
+              |    SELECT lang,
+              |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopSql))) AS DOUBLE)
+              |        / len(string_split(text, ' ')) AS en_score
+              |    FROM documents))
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Quality scoring: blend of length, distinctness and stopword signal,
+    // bucketed. The per-row score is pure IEEE arithmetic on exact ints.
+    QueryDef(
+      "q_text_quality",
+      (s, d) => Tables.documents(s, d).selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_tokens",
+        "size(array_distinct(split(text, ' '))) AS n_distinct",
+        s"size(filter(split(text, ' '), w -> w IN ($stopSql))) AS n_stop")
+        .selectExpr("doc_id",
+          """0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 200.0)
+            | + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+            | + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens) AS score""".stripMargin)
+        .selectExpr("doc_id", "score",
+          "CASE WHEN score >= 0.55 THEN 'high' WHEN score >= 0.40 THEN 'mid' ELSE 'low' END AS bucket")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("score"), 6).as("sum_score"))
+        .orderBy("bucket"),
+      Some(s"""SELECT bucket, COUNT(*) AS n, ${Parity.sqlDsum("score", 6)} AS sum_score
+              |FROM (
+              |  SELECT doc_id, score,
+              |    CASE WHEN score >= 0.55 THEN 'high' WHEN score >= 0.40 THEN 'mid' ELSE 'low' END AS bucket
+              |  FROM (
+              |    SELECT doc_id,
+              |      0.5 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0)
+              |       + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              |                 / len(string_split(text, ' ')))
+              |       + 0.2 * (CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopSql))) AS DOUBLE)
+              |                 / len(string_split(text, ' '))) AS score
+              |    FROM documents))
+              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Document fingerprint: left-fold rolling hash over md5-derived token
+    // hashes, mod 1e9+7 at each step (no overflow: h*31 + tok < 2^63).
+    QueryDef(
+      "q_text_fingerprint",
+      (s, d) => Tables.documents(s, d).selectExpr(
+        "doc_id",
+        s"""aggregate(split(text, ' '), CAST(0 AS BIGINT),
+           |  (h, w) -> (h * 31 + ${tokHash("w")}) % 1000000007) AS fp""".stripMargin)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(text, ' '), w -> ${duckTokHash("w")})),
+              |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

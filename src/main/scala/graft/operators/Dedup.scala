@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.functions.TextAnalysis.{duckTokHash, tokHash}
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface for a training-data pipeline: exact, hash,
+  * MinHash+LSH, SimHash, n-gram Jaccard. The reference's only
+  * dedup-adjacent fact is its fixture data — `data/csv2.csv` carries 755
+  * duplicated ids (SURVEY.md §5) — replay dedup is a real need its
+  * pipeline never implements; everything here is engine extension surface
+  * over `documents`.
+  *
+  * Scale design (what survives 100 TB):
+  *  - exact/hash dedup: one shuffle on the digest with map-side partial
+  *    aggregation — the canonical groupBy layout;
+  *  - MinHash+LSH (`q_dedup_minhash`): signatures are per-row map work;
+  *    candidates come from an equi-join on (band, band-signature), so
+  *    only near-identical docs ever meet — NO all-pairs stage. This is
+  *    the production near-dup path;
+  *  - SimHash (`q_dedup_simhash`): 32-bit signature over shingle hashes;
+  *    candidates by pigeonhole banding — a pair within Hamming distance 3
+  *    must agree on at least one of its four bytes, so four equi-joins
+  *    produce a strict superset of the answer and the Hamming filter
+  *    trims it. The DuckDB oracle brute-forces all pairs instead: same
+  *    answer from a different join strategy is exactly what parity pins;
+  *  - `q_dedup_ngram`: the honest quadratic baseline (all-pairs shingle
+  *    Jaccard), fine at verify scale, deliberately NOT in the headline
+  *    bench set — its scalable twin is the MinHash path.
+  *
+  * All hashes are md5-derived ([[graft.functions.TextAnalysis.tokHash]]),
+  * so every stage — including the LSH bucketing itself — reproduces
+  * bit-for-bit in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** First prime above 2^32; modulus for MinHash permutations. */
+  val MinhashP = 4294967311L
+
+  /** Fixed permutation constants h_i(s) = (a_i*s + b_i) mod p. With
+    * 32-bit s and a_i < 2^15, a_i*s + b_i < 2^47 — no Long overflow.
+    * 16 hashes in 4 bands of 4 rows → P(candidate) = 1-(1-j^4)^4.
+    */
+  val MinhashPerms: Seq[(Long, Long)] = Seq(
+    (2971L, 7907L), (4111L, 6553L), (5233L, 9173L), (6367L, 3181L),
+    (7499L, 1021L), (8627L, 4409L), (9767L, 2099L), (10891L, 5881L),
+    (12037L, 8231L), (13159L, 957L), (14293L, 6907L), (15427L, 3623L),
+    (16573L, 7177L), (17707L, 1801L), (18859L, 9461L), (19993L, 5701L))
+
+  // ---- shared SQL fragments, Spark dialect ----
+  /** Distinct 3-gram token shingles (docs are single-space tokenized and
+    * always ≥ 3 tokens in this corpus). */
+  val sparkShingles: String =
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+
+  /** Distinct md5-derived hashes of the shingle set. */
+  val sparkShingleHashes: String =
+    s"array_distinct(transform($sparkShingles, x -> ${tokHash("x")}))"
+
+  // ---- DuckDB dialect twins ----
+  val duckShingles: String =
+    "list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2), " +
+      "i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
+
+  val duckShingleHashes: String =
+    s"list_distinct(list_transform($duckShingles, x -> ${duckTokHash("x")}))"
+
+  /** 32-bit SimHash over a bigint-array column named `hs`: bit j is set
+    * when more member hashes have bit j set than clear. */
+  private def sparkSimhash: String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> acc + " +
+        s"(CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def duckSimhash: String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, x -> " +
+        s"CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup with a deterministic survivor (min doc_id) — the
+    // groupBy form, not dropDuplicates, whose survivor pick is
+    // partition-order-dependent and therefore not reproducible.
+    QueryDef(
+      "q_dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // Content-hash dedup: at 100 TB you group on the 32-byte digest, not
+    // the document body — the shuffle moves hashes, not texts.
+    QueryDef(
+      "q_dedup_hash",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("digest"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("digest", "keep_id", "n_copies")
+        .orderBy("keep_id"),
+      Some("""SELECT sha256(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin)),
+
+    // MinHash + LSH near-dup: the scalable path. Map-side signatures,
+    // equi-join on (band, signature), exact Jaccard ≥ 0.5 verification on
+    // the (tiny) candidate set only.
+    QueryDef(
+      "q_dedup_minhash",
+      (s, d) => {
+        val hs = Tables.documents(s, d).selectExpr("doc_id", s"$sparkShingleHashes AS hs")
+        val sigExprs = MinhashPerms.map { case (a, b) =>
+          s"array_min(transform(hs, s -> ($a * s + $b) % $MinhashP))"
+        }
+        val sig = hs.selectExpr("doc_id", s"array(${sigExprs.mkString(", ")}) AS sig")
+        val bandStructs = (0 until 4).map { b =>
+          val elems = (0 until 4).map(r => s"sig[${4 * b + r}]").mkString(", ")
+          s"struct($b AS band, concat_ws(',', $elems) AS bsig)"
+        }
+        val bands = sig
+          .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(", ")})) AS bk")
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+        val pairs = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        pairs
+          .join(hs.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
+          .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+          .selectExpr("a", "b",
+            "CAST(size(array_intersect(ha, hb)) AS DOUBLE) / size(array_union(ha, hb)) AS jaccard")
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("a", "b")
+      }, {
+        val sigExprs = MinhashPerms.map { case (a, b) =>
+          s"list_min(list_transform(hs, s -> ($a * s + $b) % $MinhashP))"
+        }
+        val bandStructs = (0 until 4).map { b =>
+          s"struct_pack(band := $b, bsig := array_to_string(sig[${4 * b + 1}:${4 * b + 4}], ','))"
+        }
+        Some(s"""WITH hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents),
+                |sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM hs),
+                |bands AS (SELECT doc_id, UNNEST([${bandStructs.mkString(", ")}], recursive := true) FROM sig),
+                |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                |          FROM bands x JOIN bands y
+                |          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+                |SELECT a, b, jaccard FROM (
+                |  SELECT a, b, CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
+                |               / len(list_distinct(list_cat(xa.hs, xb.hs))) AS jaccard
+                |  FROM pairs JOIN hs xa ON xa.doc_id = pairs.a
+                |             JOIN hs xb ON xb.doc_id = pairs.b)
+                |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin)
+      }),
+
+    // SimHash near-dup: banded equi-join in Spark, brute force in the
+    // oracle — same result set.
+    QueryDef(
+      "q_dedup_simhash",
+      (s, d) => {
+        val sims = Tables.documents(s, d)
+          .selectExpr("doc_id", s"$sparkShingleHashes AS hs")
+          .selectExpr("doc_id", s"$sparkSimhash AS sim")
+        val byteStructs = (0 until 4).map(k =>
+          s"struct($k AS k, (shiftright(sim, ${8 * k}) & 255) AS byte)")
+        val bands = sims
+          .selectExpr("doc_id", "sim", s"explode(array(${byteStructs.mkString(", ")})) AS bk")
+          .select(col("doc_id"), col("sim"), col("bk.k").as("k"), col("bk.byte").as("byte"))
+        bands.as("x").join(bands.as("y"),
+            col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+          .distinct()
+          .selectExpr("a", "b", "bit_count(sim_a ^ sim_b) AS hamming")
+          .filter(col("hamming") <= 3)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents),
+              |sims AS (SELECT doc_id, $duckSimhash AS sim FROM hs)
+              |SELECT x.doc_id AS a, y.doc_id AS b,
+              |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+              |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+              |ORDER BY a, b""".stripMargin)),
+
+    // n-gram Jaccard, brute force: the quadratic baseline the LSH paths
+    // are measured against. Verify-scale only by design.
+    QueryDef(
+      "q_dedup_ngram",
+      (s, d) => {
+        val sh = Tables.documents(s, d).selectExpr("doc_id", s"$sparkShingles AS g")
+        sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+          .selectExpr("x.doc_id AS a", "y.doc_id AS b",
+            "CAST(size(array_intersect(x.g, y.g)) AS DOUBLE) / size(array_union(x.g, y.g)) AS jaccard")
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $duckShingles AS g FROM documents)
+              |SELECT a, b, jaccard FROM (
+              |  SELECT x.doc_id AS a, y.doc_id AS b,
+              |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+              |      / len(list_distinct(list_cat(x.g, y.g))) AS jaccard
+              |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+              |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin))
+  )
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding: array<float>`, `label`) — extension surface per the
+  * builder prompt; the reference has no vector ops (its schema is flat
+  * sensor scalars, SURVEY.md §1.1).
+  *
+  * Numeric determinism: dot products fold per-element double products
+  * into exact DECIMAL(28,14) sums — order-independent, so Spark and
+  * DuckDB agree bit-for-bit; the final cosine is a couple of IEEE double
+  * ops on identical inputs (float→double casts are exact, sqrt is
+  * correctly rounded). No rounding tolerance needed anywhere.
+  *
+  * Scale design:
+  *  - `q_sim_topk` broadcasts the (small) query set and streams once over
+  *    the candidates; the only shuffle is the per-query top-k window,
+  *    keyed by query id. The brute-force score stage is the baseline;
+  *  - `q_sim_lsh` is the scale path: a sign-bit LSH bucket (hyperplanes =
+  *    the first 8 coordinate axes — fixed, data-independent, so both
+  *    engines and any two cluster runs agree) turns the quadratic probe
+  *    into an equi-join on bucket id;
+  *  - `q_dedup_embed` (cosine near-dup) is the all-pairs baseline kept at
+  *    verify scale; at 100 TB you run the LSH variant and verify only
+  *    within buckets.
+  */
+object Similarity {
+
+  /** Quantized-exact dot product of two float-array columns (Spark SQL).
+    *
+    * Each float×float product is exact in double (48-bit significand);
+    * `floor(p * 1e14)` maps it to an integer deterministically — unlike a
+    * double→DECIMAL *rounding* cast, floor has no halfway case, and
+    * halfway cases are real: a product equal to odd/2^15 sits exactly
+    * between two scale-14 decimals, where Spark rounds HALF_UP and DuckDB
+    * half-even (observed on this very dataset, vec_id 499). The integer
+    * sum is exact and order-independent; one final division returns to
+    * double. Quantization error ≤ 64e-14 on a defined grid — the
+    * operator computes this quantized dot *by definition*.
+    */
+  def sparkDot(x: String, y: String): String =
+    s"(CAST(aggregate(zip_with($x, $y, (p, q) -> floor(CAST(p AS DOUBLE) * CAST(q AS DOUBLE) * 100000000000000)), " +
+      s"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 100000000000000)"
+
+  /** DuckDB twin of [[sparkDot]]. */
+  def duckDot(x: String, y: String): String =
+    s"(CAST(list_sum(list_transform(list_zip($x, $y), " +
+      s"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 100000000000000) AS BIGINT))) AS DOUBLE) / 100000000000000)"
+
+  /** Sign-bit LSH bucket from the first 8 coordinates (both dialects —
+    * the expression text is dialect-neutral except for element access). */
+  private def bucketExpr(elem: Int => String): String =
+    (0 until 8).map(i => s"(CASE WHEN ${elem(i + 1)} > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  private val sparkBucket = bucketExpr(i => s"element_at(embedding, $i)")
+  private val duckBucket  = bucketExpr(i => s"embedding[$i]")
+
+  /** vec_id, embedding, nrm (L2 norm as double) — Spark side. */
+  private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).selectExpr(
+      "vec_id", "embedding", s"sqrt(${sparkDot("embedding", "embedding")}) AS nrm")
+
+  private val duckNormCte =
+    s"n AS (SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k: broadcast 8 query vectors, one pass over
+    // candidates, per-query top-5.
+    QueryDef(
+      "q_sim_topk",
+      (s, d) => {
+        val n = withNorm(s, d)
+        val q = n.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val c = n.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+        val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "c_id", "cosine")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH $duckNormCte,
+              |scored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+              |  FROM n q JOIN n c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+              |ranked AS (
+              |  SELECT q_id, c_id, cosine,
+              |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
+              |  FROM scored)
+              |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // LSH-bucketed approximate nearest neighbor: equi-join on the sign
+    // bucket, top-1 within bucket (queries whose bucket holds no other
+    // vector drop out — approximate by construction).
+    QueryDef(
+      "q_sim_lsh",
+      (s, d) => {
+        val b = withNorm(s, d).selectExpr("vec_id", "embedding", "nrm", s"$sparkBucket AS bucket")
+        val q = b.filter(col("vec_id") < 100).select(
+          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+        val c = b.select(
+          col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"), col("bucket").as("c_bucket"))
+        val scored = q.join(c, col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+          .selectExpr("q_id", "q_bucket", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+        scored
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("q_id")))
+          .filter(col("rnk") === 1)
+          .select(col("q_id"), col("q_bucket").as("bucket"), col("c_id").as("nn_id"),
+            col("cosine"), col("n_cand"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $duckNormCte,
+              |b AS (SELECT vec_id, embedding, nrm, $duckBucket AS bucket FROM n),
+              |scored AS (
+              |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS c_id,
+              |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+              |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 100),
+              |ranked AS (
+              |  SELECT q_id, bucket, c_id, cosine,
+              |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk,
+              |         COUNT(*) OVER (PARTITION BY q_id) AS n_cand
+              |  FROM scored)
+              |SELECT q_id, bucket, c_id AS nn_id, cosine, n_cand FROM ranked WHERE rnk = 1
+              |ORDER BY q_id""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs, brute force (verify-scale
+    // baseline; the LSH bucket join above is the 100 TB shape).
+    QueryDef(
+      "q_dedup_embed",
+      (s, d) => {
+        val n = withNorm(s, d)
+        val x = n.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+        val y = n.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        x.join(y, col("a") < col("b"))
+          .selectExpr("a", "b", s"${sparkDot("ea", "eb")} / (na * nb) AS cosine")
+          .filter(col("cosine") >= 0.4)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $duckNormCte
+              |SELECT a, b, cosine FROM (
+              |  SELECT x.vec_id AS a, y.vec_id AS b,
+              |         ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+              |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+              |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin))
+  )
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming surface (SURVEY.md §2.2 "Streaming").
+  *
+  * The reference's stream is stateless — processing-time trigger, append
+  * mode, no watermark, event time left as a string
+  * (`03_temStreamEveryMin.py:94-102`; SURVEY.md §2.2). Our engine
+  * declares real event-time ops; each one here is the batch-mode twin of
+  * a streaming query (identical `window()` / `session_window()` /
+  * first-per-key expression), which is what DuckDB can oracle-check.
+  * Streaming-specific behavior (append emission, watermark late-drop,
+  * state cleanup) is exercised in the ScalaTest harness via
+  * `MemoryStream` ([[EventStreams]]), where the assertion is that the
+  * streamed result equals these batch twins.
+  *
+  * Scale notes: event-time windowed aggregation shuffles on (window,
+  * key) with map-side partials; `session_window` shuffles on user and
+  * sorts within; both are the layouts Structured Streaming itself uses
+  * for its state stores, so the batch twin measures the same data
+  * movement the stream would.
+  */
+object StreamingTwins {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour event-time windows: count + exact sum per window.
+    QueryDef(
+      "q_stream_tumble",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+        .orderBy("wstart"),
+      Some(s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, COUNT(*) AS n,
+              |  ${Parity.sqlDsum("value", 2)} AS sum_value
+              |FROM events GROUP BY 1 ORDER BY wstart""".stripMargin)),
+
+    // Sliding windows (1 hour, sliding 30 min): every event lands in two
+    // windows; the oracle unrolls the two candidate starts per event.
+    QueryDef(
+      "q_stream_slide",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+        .orderBy("wstart"),
+      Some(s"""SELECT wstart, COUNT(*) AS n, ${Parity.sqlDsum("value", 2)} AS sum_value
+              |FROM (
+              |  SELECT UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+              |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS wstart,
+              |         ts, value
+              |  FROM events)
+              |WHERE ts >= wstart AND ts < wstart + INTERVAL 60 MINUTE
+              |GROUP BY wstart ORDER BY wstart""".stripMargin)),
+
+    // Session windows per user, 2-hour gap. Spark's session end is
+    // last-event + gap; the oracle's gaps-and-islands twin reproduces it.
+    QueryDef(
+      "q_stream_session",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start"),
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, ts, value,
+              |    CASE WHEN LAG(ts) OVER w IS NULL
+              |           OR ts - LAG(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              |sess AS (
+              |  SELECT user_id, ts, value,
+              |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM flagged)
+              |SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 2 HOUR AS s_end,
+              |  COUNT(*) AS n, ${Parity.sqlDsum("value", 2)} AS sum_value
+              |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)),
+
+    // Streaming dedup twin: first event per (user, event_type) in event
+    // time — what `withWatermark().dropDuplicates()` retains on a stream.
+    QueryDef(
+      "q_stream_dedup",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |                ORDER BY ts, event_id) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+  )
+}
