@@ -19,6 +19,7 @@ object SparkEntry {
       functions.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Multimodal.defs ++
       streaming.StreamingTwins.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.Parity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The live Structured Streaming surface (SURVEY.md §2.2 "Streaming" —
+  * everything the reference's stateless stream lacks: watermarks,
+  * event-time windows, sessionization, streaming dedup).
+  *
+  * Each transform takes an unbounded (or bounded — the expressions are
+  * mode-agnostic) events frame with columns (event_id, ts, user_id,
+  * event_type, value) and returns the aggregated frame; sources/sinks
+  * stay outside so tests drive them with `MemoryStream` + memory sink
+  * and production wires Kafka/files. The ScalaTest harness asserts each
+  * streamed result equals its batch twin in
+  * [[StreamingTwins]] — same `window()` expression, same data.
+  *
+  * State-size notes for the 100 TB mindset: every operator below keys
+  * its state by (window × key) with a watermark bound, so state is
+  * O(active windows × keys), never O(events); the watermark is what lets
+  * Spark drop closed windows — without it a streaming groupBy grows
+  * unboundedly and complete-mode recomputes everything per trigger.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time aggregation; late data beyond 1 hour is
+    * dropped once the watermark passes the window end. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+
+  /** Sliding (1 hour, every 30 min) variant. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+
+  /** Per-user session windows with a 2-hour inactivity gap. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+      .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n"), col("sum_value"))
+
+  /** Streaming dedup: first record per (user_id, event_type) within the
+    * watermark horizon — `dropDuplicates` keeps the first arrival, which
+    * equals the batch first-by-event-time twin when the source replays
+    * in event-time order. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + invariant tests over the declared query surface. The value
+  * comparison against DuckDB is the driver's t2 gate (tools/parity.py);
+  * these assert structural invariants that gate can't see.
+  */
+class QuerySurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("query names are unique and every oracle has a query") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0L)
+  }
+
+  test("every declared query runs at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      withClue(s"query $name: ") { assert(fn(spark, sf).count() >= 0L) }
+    }
+  }
+
+  test("MinHash candidates recover the brute-force near-dup pairs") {
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs("q_dedup_minhash")
+    val brute = pairs("q_dedup_ngram")
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(brute)) // LSH verifies with the same exact Jaccard
+    assert(lsh.size >= (brute.size * 0.8).toInt) // recall ≥ 80% at J ≥ 0.5
+  }
+
+  test("exact dedup is idempotent and survivor-deterministic") {
+    val once = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val again = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    assert(once.exceptAll(again).count() === 0L)
+    assert(once.agg(org.apache.spark.sql.functions.min("keep_id")).head.getLong(0) >= 0L)
+  }
+
+  test("cosine is symmetric: near-dup pairs agree with reversed computation") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val x = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val y = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val fwd = x.join(y, col("a") < col("b"))
+      .selectExpr("a", "b", s"${operators.Similarity.sparkDot("ea", "eb")} AS d")
+    val rev = x.join(y, col("a") < col("b"))
+      .selectExpr("a", "b", s"${operators.Similarity.sparkDot("eb", "ea")} AS d")
+    assert(fwd.exceptAll(rev).count() === 0L)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{EventStreams, StreamingTwins}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class EventRow(
+    event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Live Structured Streaming behavior, driven with MemoryStream and
+  * asserted against the batch twins (SURVEY.md §5: streaming tests via
+  * MemoryStream "asserting window/watermark/late-data behavior against
+  * batch twins").
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** events table rows in event-time order, as case classes. */
+  private lazy val orderedEvents: Seq[EventRow] = {
+    Tables.events(spark, sf)
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => EventRow(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  /** Far-future sentinel that pushes every real window past the
+    * watermark so append mode emits them all. */
+  private def sentinel: EventRow =
+    EventRow(-1L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0)
+
+  /** Run a streaming transform over the ordered events + sentinel via
+    * MemoryStream, return the collected sink minus sentinel artifacts. */
+  private def runStream(name: String, transform: DataFrame => DataFrame,
+      chunks: Int = 3): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = transform(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val n = orderedEvents.size
+      val step = math.max(1, n / chunks)
+      orderedEvents.grouped(step).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling windows: streamed append result equals the batch twin") {
+    val streamed = runStream("t_tumble", EventStreams.tumblingAgg)
+      .filter(col("wstart") < "2029-01-01")
+    val batch = StreamingTwins.defs.find(_.name == "q_stream_tumble").get
+      .fn(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
+  test("session windows: streamed append result equals the batch twin") {
+    val streamed = runStream("t_session", EventStreams.sessionAgg)
+      .filter(col("user_id") >= 0)
+    val batch = StreamingTwins.defs.find(_.name == "q_stream_session").get
+      .fn(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+  }
+
+  test("streaming dedup keeps the first arrival per (user, type)") {
+    val streamed = runStream("t_dedup", EventStreams.dedupStream)
+      .filter(col("user_id") >= 0)
+    val batch = StreamingTwins.defs.find(_.name == "q_stream_dedup").get
+      .fn(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+  }
+
+  test("watermark drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.tumblingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("t_late").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        EventRow(1, Timestamp.valueOf("2024-01-01 00:10:00"), 1, "click", 1.0),
+        EventRow(2, Timestamp.valueOf("2024-01-01 00:20:00"), 1, "click", 2.0)))
+      q.processAllAvailable()
+      // advance the watermark far past the first window...
+      mem.addData(Seq(EventRow(3, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 3.0)))
+      q.processAllAvailable()
+      // ...then send an event 12h late into the closed window: dropped.
+      mem.addData(Seq(EventRow(4, Timestamp.valueOf("2024-01-01 00:30:00"), 1, "late", 99.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_late")
+      .filter(col("wstart") === "2024-01-01 00:00:00").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n") === 2L) // the late event never counted
+  }
+}
