@@ -49,14 +49,33 @@ object Dedup {
 
   // ---- shared SQL fragments, Spark dialect ----
   /** Distinct 3-gram token shingles (docs are single-space tokenized and
-    * always ≥ 3 tokens in this corpus). */
+    * always ≥ 3 tokens in this corpus). NB for one-shot string use only:
+    * the lambda re-evaluates `split(text)` per index — the staged
+    * [[shingleFrame]] is the performant path. */
   val sparkShingles: String =
     "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
 
-  /** Distinct md5-derived hashes of the shingle set. */
-  val sparkShingleHashes: String =
-    s"array_distinct(transform($sparkShingles, x -> ${tokHash("x")}))"
+  /** (doc_id, g: distinct shingles, hs: distinct shingle hashes), built
+    * in staged projections so tokenization happens once per row (a
+    * single-expression version re-splits the text inside the per-index
+    * lambda — O(tokens²) string work), and repartitioned first: the doc
+    * table arrives as one small parquet split, which would pin all the
+    * per-row hash work to a single core. At 100 TB the scan itself
+    * yields enough partitions and the repartition becomes a no-op
+    * knob; CollapseProject keeps the stages separate because the
+    * aliases are expensive and multiply-referenced. */
+  def shingleFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))) AS g")
+      .selectExpr("doc_id", "g", s"array_distinct(transform(g, x -> ${tokHash("x")})) AS hs")
+      // self-joins and join-backs reference this frame 2-4 times per
+      // query and Spark recomputes uncached join branches; the cache is
+      // shared across the dedup queries via plan-canonical lookup
+      .cache()
 
   // ---- DuckDB dialect twins ----
   val duckShingles: String =
@@ -66,14 +85,10 @@ object Dedup {
   val duckShingleHashes: String =
     s"list_distinct(list_transform($duckShingles, x -> ${duckTokHash("x")}))"
 
-  /** 32-bit SimHash over a bigint-array column named `hs`: bit j is set
-    * when more member hashes have bit j set than clear. */
-  private def sparkSimhash: String =
-    (0 until 32).map { j =>
-      s"(CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> acc + " +
-        s"(CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-
+  /** 32-bit SimHash over a bigint-list column named `hs` (DuckDB oracle
+    * form): bit j is set when more member hashes have bit j set than
+    * clear. The Spark side computes the same majority via explode +
+    * partial-sum aggregation — see q_dedup_simhash. */
   private def duckSimhash: String =
     (0 until 32).map { j =>
       s"(CASE WHEN list_sum(list_transform(hs, x -> " +
@@ -113,7 +128,7 @@ object Dedup {
     QueryDef(
       "q_dedup_minhash",
       (s, d) => {
-        val hs = Tables.documents(s, d).selectExpr("doc_id", s"$sparkShingleHashes AS hs")
+        val hs = shingleFrame(s, d).select("doc_id", "hs")
         val sigExprs = MinhashPerms.map { case (a, b) =>
           s"array_min(transform(hs, s -> ($a * s + $b) % $MinhashP))"
         }
@@ -163,9 +178,19 @@ object Dedup {
     QueryDef(
       "q_dedup_simhash",
       (s, d) => {
-        val sims = Tables.documents(s, d)
-          .selectExpr("doc_id", s"$sparkShingleHashes AS hs")
-          .selectExpr("doc_id", s"$sparkSimhash AS sim")
+        // Bit-majority via explode + hash aggregation: one pass over the
+        // shingles with map-side partial sums (bit j is set iff
+        // 2*count_set > n), instead of 32 aggregate() scans per row —
+        // the same partial-aggregation layout that scales out.
+        val bitSums = shingleFrame(s, d)
+          .select(col("doc_id"), explode(col("hs")).as("x"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"),
+            (0 until 32).map(j => sum(expr(s"shiftright(x, $j) & 1")).as(s"b$j")): _*)
+        val simExpr = (0 until 32)
+          .map(j => s"(CASE WHEN 2 * b$j > n THEN ${1L << j} ELSE 0 END)")
+          .mkString("(", " + ", ")")
+        val sims = bitSums.selectExpr("doc_id", s"$simExpr AS sim")
         val byteStructs = (0 until 4).map(k =>
           s"struct($k AS k, (shiftright(sim, ${8 * k}) & 255) AS byte)")
         val bands = sims
@@ -194,7 +219,7 @@ object Dedup {
     QueryDef(
       "q_dedup_ngram",
       (s, d) => {
-        val sh = Tables.documents(s, d).selectExpr("doc_id", s"$sparkShingles AS g")
+        val sh = shingleFrame(s, d).select("doc_id", "g")
         sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
           .selectExpr("x.doc_id AS a", "y.doc_id AS b",
             "CAST(size(array_intersect(x.g, y.g)) AS DOUBLE) / size(array_union(x.g, y.g)) AS jaccard")

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB contract. Correctness is
+  * the oracle's job; these pin the *execution* properties that decide
+  * whether a query survives scale: filters reaching the parquet scan,
+  * column pruning, broadcast vs shuffle join choice, partial
+  * aggregation, top-k as TakeOrderedAndProject, whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  /** Plan after execution — AQE's final physical plan, where runtime
+    * join selection and codegen stages are visible. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters push down to the parquet scan and columns prune") {
+    val p = plan("q_filter_basic")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      s"expected quantity filter pushed to scan:\n$p")
+    // only the 4 selected + filtered columns are read, not all 16
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      s"expected pruned ReadSchema:\n$p")
+  }
+
+  test("dimension joins broadcast; the fact side never shuffles") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
+  test("fact-to-fact join is always an equi-join; with no broadcast budget it shuffles on the key") {
+    // At sf0.001 orders fits the broadcast threshold and AQE rightly
+    // broadcasts — the choice is size-based, which is the point. Pin
+    // both regimes: small side → broadcast hash; big side (simulated by
+    // zeroing the budget) → sort-merge/shuffled-hash on the join key.
+    val p = plan("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = finalPlan("q_join_inner")
+      assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"), s"plan:\n$big")
+      assert(!big.contains("BroadcastNestedLoopJoin") && !big.contains("CartesianProduct"),
+        s"plan:\n$big")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("grouped aggregation is partial (map-side) before the exchange") {
+    val p = plan("q_agg_group")
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    assert("partial_".r.findAllIn(p).nonEmpty, s"expected partial aggregation:\n$p")
+  }
+
+  test("orderBy+limit plans as TakeOrderedAndProject (O(k) driver merge)") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("scan-heavy projection stays inside whole-stage codegen") {
+    val p = finalPlan("q_project_expr")
+    // codegen stages print as `*(n)` operator prefixes in plan strings
+    assert(p.contains("*(1)") && p.contains("Project"), s"plan:\n$p")
+  }
+
+  test("semi and anti joins plan as semi/anti, not inner+distinct") {
+    assert(plan("q_join_semi").contains("LeftSemi"), plan("q_join_semi"))
+    assert(plan("q_join_anti").contains("LeftAnti"), plan("q_join_anti"))
+  }
+
+  test("minhash candidate generation is an equi-join, never a nested-loop product") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("CartesianProduct"),
+      s"plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected equi-join on (band, sig):\n$p")
+  }
+}
