@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: quantized cosine similarity between two
+  * float vectors — the codegen'd fast path for the similarity operators
+  * (SURVEY.md §4: "custom Expression with codegen only if profiling
+  * demands"; the zip_with+aggregate HOF path allocates a lambda-variable
+  * array per row, this compiles to a tight fused loop).
+  *
+  * Numerics are IDENTICAL to [[graft.operators.Similarity.sparkDot]]:
+  * each double product is quantized with floor(p·1e14) into an exact
+  * long sum (no decimal-halfway ambiguity), final cosine =
+  * (dot/1e14) / (sqrt(na/1e14)·sqrt(nb/1e14)) — so the same DuckDB
+  * oracle SQL checks both paths. Null or length-mismatched inputs yield
+  * null.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects (array<float>, array<float>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var d = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        d += math.floor(xv * yv * 1.0e14).toLong
+        na += math.floor(xv * xv * 1.0e14).toLong
+        nb += math.floor(yv * yv * 1.0e14).toLong
+        i += 1
+      }
+      (d / 1.0e14) / (math.sqrt(na / 1.0e14) * math.sqrt(nb / 1.0e14))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $d = 0L; long $na = 0L; long $nb = 0L;
+         |  int $n = $x.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $x.getFloat($i);
+         |    double $yv = (double) $y.getFloat($i);
+         |    $d += (long) Math.floor($xv * $yv * 1.0E14);
+         |    $na += (long) Math.floor($xv * $xv * 1.0E14);
+         |    $nb += (long) Math.floor($yv * $yv * 1.0E14);
+         |  }
+         |  ${ev.value} = ($d / 1.0E14) / (Math.sqrt($na / 1.0E14) * Math.sqrt($nb / 1.0E14));
+         |}
+       """.stripMargin
+    })
+}
+
+/** Session extensions registering graft's native functions; install with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+  }
+}
+
+/** Degraded-mode registration: when a query runs in a session built
+  * without [[GraftExtensions]] (e.g. a host harness's own session), fall
+  * back to a Scala UDF with the same quantized semantics — slower (no
+  * codegen, boxed Seq inputs) but identical results. */
+object GraftFunctions {
+  def ensureCosine(spark: SparkSession): Unit = {
+    if (!spark.catalog.functionExists("cosine_sim")) {
+      spark.udf.register("cosine_sim", (x: Seq[Float], y: Seq[Float]) => {
+        if (x == null || y == null || x.length != y.length) null
+        else {
+          var d = 0L; var na = 0L; var nb = 0L
+          var i = 0
+          while (i < x.length) {
+            val xv = x(i).toDouble; val yv = y(i).toDouble
+            d += math.floor(xv * yv * 1.0e14).toLong
+            na += math.floor(xv * xv * 1.0e14).toLong
+            nb += math.floor(yv * yv * 1.0e14).toLong
+            i += 1
+          }
+          java.lang.Double.valueOf(
+            (d / 1.0e14) / (math.sqrt(na / 1.0e14) * math.sqrt(nb / 1.0e14)))
+        }
+      }: java.lang.Double)
+    }
+  }
+}

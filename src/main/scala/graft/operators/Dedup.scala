@@ -214,6 +214,29 @@ object Dedup {
               |WHERE bit_count(xor(x.sim, y.sim)) <= 3
               |ORDER BY a, b""".stripMargin)),
 
+    // MinHash signatures via the typed Aggregator UDAF
+    // ([[graft.functions.MinHashSignature]]): explode the shingle
+    // hashes and fold them with map-side partial aggregation — the
+    // incremental formulation of the same signature the HOF path
+    // materializes, and the shape that streams at scale.
+    QueryDef(
+      "q_minhash_sig",
+      (s, d) => {
+        graft.functions.MinHashSignature.ensureRegistered(s)
+        shingleFrame(s, d)
+          .select(col("doc_id"), explode(col("hs")).as("x"))
+          .groupBy("doc_id")
+          .agg(expr("minhash_sig(x)").as("sig"))
+          .orderBy("doc_id")
+      }, {
+        val sigExprs = MinhashPerms.map { case (a, b) =>
+          s"list_min(list_transform(hs, s -> ($a * s + $b) % $MinhashP))"
+        }
+        Some(s"""WITH hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents)
+                |SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM hs
+                |ORDER BY doc_id""".stripMargin)
+      }),
+
     // n-gram Jaccard, brute force: the quadratic baseline the LSH paths
     // are measured against. Verify-scale only by design.
     QueryDef(

@@ -137,6 +137,33 @@ object Similarity {
               |SELECT q_id, bucket, c_id AS nn_id, cosine, n_cand FROM ranked WHERE rnk = 1
               |ORDER BY q_id""".stripMargin)),
 
+    // Native-expression path: the same quantized cosine as a custom
+    // Catalyst Expression with codegen ([[graft.functions.CosineSim]])
+    // — a fused loop instead of the HOF's per-row lambda array; falls
+    // back to an equivalent Scala UDF in sessions without
+    // GraftExtensions. Identical numerics → same oracle machinery.
+    QueryDef(
+      "q_sim_cosine",
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureCosine(s)
+        val e = Tables.embeddings(s, d)
+        val x = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("a"), col("embedding").as("ea"))
+        val y = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        x.join(y, col("a") < col("b"))
+          .selectExpr("a", "b", "cosine_sim(ea, eb) AS cosine")
+          .filter(col("cosine") >= 0.3)
+          .orderBy("a", "b")
+      },
+      Some(s"""SELECT a, b, cosine FROM (
+              |  SELECT x.vec_id AS a, y.vec_id AS b,
+              |         ${duckDot("x.embedding", "y.embedding")}
+              |           / (sqrt(${duckDot("x.embedding", "x.embedding")})
+              |              * sqrt(${duckDot("y.embedding", "y.embedding")})) AS cosine
+              |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+              |  WHERE x.vec_id < 50)
+              |WHERE cosine >= 0.3 ORDER BY a, b""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, brute force (verify-scale
     // baseline; the LSH bucket join above is the 100 TB shape).
     QueryDef(

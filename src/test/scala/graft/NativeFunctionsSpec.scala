@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{GraftFunctions, MinHashSignature}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom-extension ladder: native Catalyst Expression (codegen),
+  * typed Aggregator UDAF, and the UDF fallback — each asserted
+  * equivalent to its declarative formulation.
+  */
+class NativeFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native cosine_sim equals the HOF quantized formula on every pair") {
+    val e = Tables.embeddings(spark, sf).limit(60)
+    val x = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val y = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = x.join(y, col("a") < col("b"))
+    val native = pairs.selectExpr("a", "b", "cosine_sim(ea, eb) AS c")
+    val hof = pairs.selectExpr("a", "b",
+      s"${Similarity.sparkDot("ea", "eb")} / (sqrt(${Similarity.sparkDot("ea", "ea")}) " +
+        s"* sqrt(${Similarity.sparkDot("eb", "eb")})) AS c")
+    assert(native.exceptAll(hof).count() === 0L)
+    assert(hof.exceptAll(native).count() === 0L)
+  }
+
+  test("cosine_sim resolves through the session extension and codegen compiles it") {
+    assert(spark.catalog.functionExists("cosine_sim"))
+    val df = Tables.embeddings(spark, sf).limit(10)
+      .selectExpr("cosine_sim(embedding, embedding) AS self")
+    val self = df.collect().map(_.getDouble(0))
+    // self-cosine of the quantized dot is 1 within quantization error
+    self.foreach(v => assert(math.abs(v - 1.0) < 1e-9, s"self=$v"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cosine_sim"), p)
+  }
+
+  test("cosine_sim is null-safe on mismatched lengths and null input") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)),
+      (null.asInstanceOf[Array[Float]], Array(1.0f))
+    ).toDF("x", "y").selectExpr("cosine_sim(x, y) AS c")
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("ensureCosine is idempotent when the extension already registered it") {
+    GraftFunctions.ensureCosine(spark)
+    GraftFunctions.ensureCosine(spark)
+    assert(spark.catalog.functionExists("cosine_sim"))
+  }
+
+  test("MinHashSignature Aggregator reproduces the HOF signatures per document") {
+    MinHashSignature.ensureRegistered(spark)
+    val agg = Dedup.shingleFrame(spark, sf)
+      .select(col("doc_id"), explode(col("hs")).as("x"))
+      .groupBy("doc_id").agg(expr("minhash_sig(x)").as("sig"))
+    val sigExprs = Dedup.MinhashPerms.map { case (a, b) =>
+      s"array_min(transform(hs, s -> ($a * s + $b) % ${Dedup.MinhashP}))"
+    }
+    val hof = Dedup.shingleFrame(spark, sf)
+      .selectExpr("doc_id", s"array(${sigExprs.mkString(", ")}) AS sig")
+    assert(agg.count() === 500L)
+    assert(agg.exceptAll(hof).count() === 0L)
+    assert(hof.exceptAll(agg).count() === 0L)
+  }
+
+  test("Aggregator merge is order-insensitive (partial aggregation safe)") {
+    val a = new MinHashSignature()
+    val hashes = Seq(42L, 7L, 99L, 1234567L, 31L)
+    val whole = hashes.foldLeft(a.zero)(a.reduce)
+    val (h1, h2) = hashes.splitAt(2)
+    val merged = a.merge(h1.foldLeft(a.zero)(a.reduce), h2.foldLeft(a.zero)(a.reduce))
+    assert(whole.toSeq === merged.toSeq)
+  }
+}
