@@ -98,6 +98,31 @@ object Scalars {
              |FROM lineitem WHERE l_orderkey % 100 = 0
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Timestamp parse/format round trip — the dateTime string→timestamp
+    // cast the reference never performs (SURVEY.md §1.2: TimestampType
+    // imported but unused); format then reparse then diff against the
+    // original, all in one projection.
+    QueryDef(
+      "q_ts_parse",
+      (s, d) => Tables.orders(s, d)
+        .selectExpr(
+          "o_orderkey",
+          "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS s",
+          "unix_timestamp(to_timestamp(date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss'))) AS reparsed_epoch",
+          "unix_timestamp(o_orderdate) AS orig_epoch")
+        .selectExpr("o_orderkey", "s", "reparsed_epoch",
+          "reparsed_epoch - orig_epoch AS drift")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, s, reparsed_epoch, reparsed_epoch - orig_epoch AS drift
+             |FROM (
+             |  SELECT o_orderkey,
+             |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s,
+             |    CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+             |         '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS reparsed_epoch,
+             |    CAST(epoch(o_orderdate) AS BIGINT) AS orig_epoch
+             |  FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // split → explode → word frequency: the array/generator path.
     QueryDef(
       "q_array_explode",

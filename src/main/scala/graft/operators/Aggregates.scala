@@ -120,6 +120,29 @@ object Aggregates {
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY st, pri""".stripMargin)),
 
+    // GROUPING SETS through the SQL entry point (spark.sql over a temp
+    // view — the surface a SQL-first user drives), sentinel-coalesced
+    // like rollup/cube above.
+    QueryDef(
+      "q_agg_groupingsets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql(s"""
+          |SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |       COALESCE(l_linestatus, 'ALL') AS ls,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+              |       COALESCE(l_linestatus, 'ALL') AS ls,
+              |       COUNT(*) AS n, ${sqlDsum("l_quantity", 2)} AS sum_qty
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY rf, ls""".stripMargin)),
+
     // stddev via exact decimal moments: sqrt((n*Σx² - (Σx)²) / (n(n-1))).
     // The built-in stddev_samp is exercised too, asserted within 1e-9 of
     // the closed form (its partial-merge order differs per engine).

@@ -115,6 +115,24 @@ object Windows {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin)),
 
+    // RANGE frame: count of same-user events within the trailing hour of
+    // each event — a value-based frame (rangeBetween), not a row count.
+    QueryDef(
+      "q_win_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-3600L, 0L)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_last_hour"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             |                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ntile over a unique ordering (deterministic bucket assignment),
     // summarized per bucket.
     QueryDef(

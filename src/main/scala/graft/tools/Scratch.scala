@@ -1,28 +1,26 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.Similarity.sparkDot
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev scratchpad for cross-engine expression equivalence checks. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    val n = Tables.embeddings(spark, "/root/testdata/sf0.01").selectExpr(
-      "vec_id", "embedding", s"sqrt(${sparkDot("embedding", "embedding")}) AS nrm")
-    val q = n.filter(col("vec_id") === 36)
-      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val c = n.filter(col("vec_id") === 499)
-      .select(col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    q.crossJoin(c).selectExpr(
-      s"${sparkDot("q_emb", "c_emb")} AS d", "q_nrm", "c_nrm",
-      s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
-      .show(false)
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("j").toString
+    events.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(events.schema).json(dir)
+    println("=== diff rows (back minus orig) ===")
+    back.exceptAll(events).show(3, false)
+    println("=== orig sample ===")
+    events.orderBy("event_id").show(3, false)
+    println("=== back sample ===")
+    back.orderBy("event_id").show(3, false)
+    val f = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".json")).head
+    println(scala.io.Source.fromFile(f).getLines().take(2).mkString("\n"))
     spark.stop()
   }
 }

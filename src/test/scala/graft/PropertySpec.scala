@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.MinHashSignature
+import graft.reference.{SensorSchema, TemPipelines}
+import org.apache.spark.sql.Row
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants (SURVEY.md §5: "property tests for algebraic
+  * invariants — dedup idempotence, avg consistency, JSON round-trip on
+  * the sensor schema").
+  *
+  * Pure-JVM properties run per-case; Spark-touching properties pack all
+  * generated cases into ONE DataFrame so the suite costs a handful of
+  * jobs, not hundreds.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic sampler (no scalatest-scalacheck bridge in the
+    * offline dependency cache): n cases from fixed seeds. */
+  private def samples[A](gen: Gen[A], n: Int = 50): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  // ---- pure JVM: MinHash signature algebra ----
+
+  private val hashGen = Gen.chooseNum(0L, 4294967295L)
+
+  test("MinHash merge is commutative and associative (shuffle-order safe)") {
+    val a = new MinHashSignature()
+    def sig(l: List[Long]) = l.foldLeft(a.zero)(a.reduce)
+    samples(Gen.zip(Gen.listOf(hashGen), Gen.listOf(hashGen), Gen.listOf(hashGen)))
+      .foreach { case (xs, ys, zs) =>
+        // merge mutates its left buffer — rebuild signatures per use
+        assert(a.merge(sig(xs), sig(ys)).toSeq === a.merge(sig(ys), sig(xs)).toSeq)
+        assert(a.merge(a.merge(sig(xs), sig(ys)), sig(zs)).toSeq
+          === a.merge(sig(xs), a.merge(sig(ys), sig(zs))).toSeq)
+      }
+  }
+
+  test("MinHash signature is insensitive to duplicate and reordered input") {
+    val a = new MinHashSignature()
+    def sig(l: List[Long]) = l.foldLeft(a.zero)(a.reduce).toSeq
+    samples(Gen.nonEmptyListOf(hashGen)).foreach { xs =>
+      assert(sig(xs) === sig(xs.reverse))
+      assert(sig(xs) === sig(new scala.util.Random(42).shuffle(xs)))
+      assert(sig(xs) === sig(xs ++ xs))
+    }
+  }
+
+  // ---- Spark, one frame for all cases: sensor JSON round trip ----
+
+  private def sensorRow(id: Int, tVals: Seq[Option[Float]]): Row = {
+    val fixed: Seq[Any] = Seq(
+      id, s"2021-02-11 14:32:$id", 18.5f, 23.4f, "23.6036",
+      17.5f, 21.0f, 24.1f, 19.5f, 16.8f, 21.1f)
+    val ts: Seq[Any] = tVals.map(_.orNull)
+    val tail: Seq[Any] = Seq(925.44f, 0.53f, null, null)
+    Row.fromSeq(fixed ++ ts ++ tail)
+  }
+
+  test("JSON round-trip and Tem(Avg) null-propagation over generated sensor rows") {
+    val floatGen = Gen.chooseNum(-50f, 150f)
+    val tGen = Gen.listOfN(10, Gen.option(floatGen))
+    val cases = Gen.listOfN(100, tGen).sample.get.zipWithIndex
+      .map { case (ts, i) => sensorRow(i, ts) }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(cases: _*),
+      SensorSchema.consumer)
+
+    // round trip through the exact wire expression tree
+    val back = TemPipelines.parseKeyValue(
+      df.selectExpr("CAST(id AS STRING) AS key", "to_json(struct(*)) AS value")
+        .selectExpr("CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value"))
+    assert(back.exceptAll(df).count() === 0L)
+    assert(df.exceptAll(back).count() === 0L)
+
+    // Tem(Avg): null iff any T null; else the float-fold mean
+    val got = TemPipelines.withTemAvg(df)
+      .select("id", "Tem(Avg)").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    cases.foreach { row =>
+      val id = row.getInt(0)
+      val ts = (11 until 21).map(i => Option(row.get(i)).map(_.asInstanceOf[Float]))
+      if (ts.exists(_.isEmpty)) assert(got(id).isEmpty, s"id=$id expected null avg")
+      else {
+        val expected = ts.flatten.foldLeft(0f)(_ + _).toDouble / 10.0
+        assert(got(id).contains(expected), s"id=$id")
+      }
+    }
+  }
+
+  test("hash dedup is idempotent over generated duplicate-heavy corpora") {
+    import spark.implicits._
+    val texts = Gen.listOfN(200,
+      Gen.oneOf("alpha beta", "gamma delta", "epsilon", "zeta eta theta"))
+      .sample.get.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val once = df.groupBy(org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col("text"), 256))
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("keep"))
+    assert(once.count() <= 4L)
+    val again = once.distinct()
+    assert(again.count() === once.count())
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.reference.{InMemoryTransport, TemPipelines}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink surface beyond parquet: JSON files, pipe-delimited CSV
+  * sink with overwrite, and the foreachBatch streaming sink (SURVEY.md
+  * §2.2 "Scans/sources/sinks": engine adds spark.read.json and
+  * memory/foreachBatch stream sinks for testing).
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("JSON source round-trips the events table") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val events = Tables.events(spark, sf)
+    // default timestampFormat truncates to milliseconds — write and read
+    // micros explicitly or the round trip silently loses precision
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.write.mode("overwrite").option("timestampFormat", tsFmt).json(dir)
+    // schema-first read back (JSON types are lossy without a schema)
+    val back = spark.read.schema(events.schema).option("timestampFormat", tsFmt).json(dir)
+    assert(back.count() === events.count())
+    assert(back.exceptAll(events).count() === 0L)
+    assert(events.exceptAll(back).count() === 0L)
+  }
+
+  test("pipe-CSV sink writes header + overwrite and reads back") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val transport = new InMemoryTransport
+    TemPipelines.seedProduce(spark, "/root/reference/data/csv2.csv", transport)
+    val out = TemPipelines.batchConsume(spark, transport, csvOut = Some(dir), show = false)
+    // overwrite semantics: writing twice must not double the data
+    TemPipelines.batchConsume(spark, transport, csvOut = Some(dir), show = false)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.nonEmpty)
+    val first = scala.io.Source.fromFile(files.minBy(_.getName))
+    val header = try first.getLines().next() finally first.close()
+    assert(header.contains("|"), s"expected pipe-delimited header, got: $header")
+    assert(header.contains("Tem(Avg)"))
+    val back = spark.read.option("header", "true").option("sep", "|").csv(dir)
+    assert(back.count() === 1510L)
+    out.unpersist()
+  }
+
+  test("foreachBatch sink captures streaming micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = EventStreams.dedupStream(mem.toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        captured.synchronized { captured += ((id, batch.count())) }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(Seq(
+        EventRow(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1, "click", 1.0),
+        EventRow(2, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1, "click", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        EventRow(3, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 1, "view", 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = captured.synchronized(captured.toList)
+    assert(rows.map(_._2).sum === 2L) // first click kept, dup dropped, view kept
+    assert(rows.size >= 2)
+  }
+}
