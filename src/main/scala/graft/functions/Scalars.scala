@@ -174,6 +174,94 @@ object Scalars {
              |FROM lineitem WHERE l_orderkey % 500 = 0
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Conditional / null-handling family: coalesce, nullif, nvl2-shape,
+    // least/greatest, boolean algebra with three-valued NULL logic.
+    QueryDef(
+      "q_cond_funcs",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .selectExpr(
+          "l_orderkey", "l_linenumber",
+          "coalesce(nullif(l_returnflag, 'N'), 'none') AS rf",
+          "CASE WHEN nullif(l_linestatus, 'O') IS NULL THEN 'open' ELSE 'final' END AS status",
+          "least(l_quantity, l_discount * 100) AS lo",
+          "greatest(l_quantity, l_discount * 100) AS hi",
+          "(l_quantity > 25 AND NULL) IS NULL AS three_valued")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf,
+             |  CASE WHEN NULLIF(l_linestatus, 'O') IS NULL THEN 'open' ELSE 'final' END AS status,
+             |  LEAST(l_quantity, l_discount * 100) AS lo,
+             |  GREATEST(l_quantity, l_discount * 100) AS hi,
+             |  ((l_quantity > 25 AND NULL) IS NULL) AS three_valued
+             |FROM lineitem WHERE l_orderkey % 50 = 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Bitwise family as first-class scalars (used structurally by
+    // SimHash; here as the declared operator surface).
+    QueryDef(
+      "q_bit_funcs",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .selectExpr(
+          "o_orderkey",
+          "o_orderkey & 255 AS band",
+          "o_orderkey | 15 AS ored",
+          "o_orderkey ^ 85 AS xored",
+          "shiftleft(o_orderkey, 2) AS shl",
+          "shiftright(o_orderkey, 3) AS shr",
+          "bit_count(o_orderkey) AS popcnt")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  o_orderkey & 255 AS band,
+             |  o_orderkey | 15 AS ored,
+             |  xor(o_orderkey, 85) AS xored,
+             |  o_orderkey << 2 AS shl,
+             |  o_orderkey >> 3 AS shr,
+             |  CAST(bit_count(o_orderkey) AS INT) AS popcnt
+             |FROM orders WHERE o_orderkey % 100 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Map explode: generator over key/value pairs of a map column.
+    QueryDef(
+      "q_map_explode",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 1000 === 0)
+        .selectExpr("l_orderkey", "l_linenumber",
+          "map('qty', l_quantity, 'disc', l_discount, 'tax', l_tax) AS m")
+        .selectExpr("l_orderkey", "l_linenumber", "explode(m) AS (k, v)")
+        .orderBy("l_orderkey", "l_linenumber", "k"),
+      Some("""SELECT l_orderkey, l_linenumber, k, v FROM (
+             |  SELECT l_orderkey, l_linenumber, UNNEST(['qty','disc','tax']) AS k,
+             |         UNNEST([l_quantity, l_discount, l_tax]) AS v
+             |  FROM lineitem WHERE l_orderkey % 1000 = 0)
+             |ORDER BY l_orderkey, l_linenumber, k""".stripMargin)),
+
+    // String family II: pad, translate, initcap-adjacent casing, repeat,
+    // reverse, position.
+    QueryDef(
+      "q_str_funcs2",
+      (s, d) => Tables.nation(s, d)
+        .selectExpr(
+          "n_nationkey",
+          "lpad(n_name, 12, '.') AS padded",
+          "rpad(n_name, 12, '-') AS rpadded",
+          "translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels",
+          "reverse(n_name) AS rev",
+          "repeat(substr(n_name, 1, 2), 3) AS rep",
+          "instr(n_name, 'A') AS pos_a",
+          "split_part(n_name, 'A', 1) AS first_part")
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+             |  lpad(n_name, 12, '.') AS padded,
+             |  rpad(n_name, 12, '-') AS rpadded,
+             |  translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+             |  reverse(n_name) AS rev,
+             |  repeat(substr(n_name, 1, 2), 3) AS rep,
+             |  CAST(instr(n_name, 'A') AS INT) AS pos_a,
+             |  split_part(n_name, 'A', 1) AS first_part
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
     // JSON extraction over events.props (e.g. '{"k": 87}').
     QueryDef(
       "q_json_extract",

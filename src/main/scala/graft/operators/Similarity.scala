@@ -164,6 +164,64 @@ object Similarity {
               |  WHERE x.vec_id < 50)
               |WHERE cosine >= 0.3 ORDER BY a, b""".stripMargin)),
 
+    // IVF-style ANN: a fixed coarse quantizer (centroids = the first 8
+    // vectors — deterministic, no trained state) assigns every vector to
+    // its nearest cell; queries probe ONLY their own cell. The inverted
+    // structure is the point: at 100 TB the cell assignment is one
+    // broadcast-join map pass, and each probe touches |cell| ≈ N/8
+    // candidates instead of N. Complements the sign-LSH variant above
+    // (hash-bucketed vs centroid-bucketed recall trade-offs).
+    QueryDef(
+      "q_sim_ivf",
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureCosine(s)
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("c_cos").desc, col("cent_id"))
+        val cells = e.join(broadcast(cent))
+          .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val q = cells.filter(col("vec_id").between(100, 119))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+        val c = cells.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("cell").as("c_cell"))
+        val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+        q.join(c, col("cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+          .selectExpr("q_id", "cell", "c_id", "cosine_sim(q_emb, c_emb) AS cosine")
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") === 1)
+          .select("q_id", "cell", "c_id", "cosine")
+          .orderBy("q_id")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+              |             FROM embeddings WHERE vec_id < 8),
+              |assign AS (
+              |  SELECT vec_id, embedding, cent_id,
+              |    ${duckDot("embedding", "cent_emb")}
+              |      / (sqrt(${duckDot("embedding", "embedding")})
+              |         * sqrt(${duckDot("cent_emb", "cent_emb")})) AS c_cos
+              |  FROM embeddings CROSS JOIN cent),
+              |cells AS (
+              |  SELECT vec_id, embedding, cent_id AS cell FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |              ORDER BY c_cos DESC, cent_id) AS rn FROM assign)
+              |  WHERE rn = 1),
+              |probe AS (
+              |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id,
+              |    ${duckDot("q.embedding", "c.embedding")}
+              |      / (sqrt(${duckDot("q.embedding", "q.embedding")})
+              |         * sqrt(${duckDot("c.embedding", "c.embedding")})) AS cosine
+              |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id BETWEEN 100 AND 119)
+              |SELECT q_id, cell, c_id, cosine FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              |            ORDER BY cosine DESC, c_id) AS rn FROM probe)
+              |WHERE rn = 1 ORDER BY q_id""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, brute force (verify-scale
     // baseline; the LSH bucket join above is the 100 TB shape).
     QueryDef(

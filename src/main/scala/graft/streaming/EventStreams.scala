@@ -56,4 +56,40 @@ object EventStreams {
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"),
         col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+
+  /** Arbitrary keyed state via flatMapGroupsWithState (SURVEY.md §2.2:
+    * "arbitrary state — only if a declared op needs it"): per-user
+    * running totals that survive across micro-batches. The monetary sum
+    * accumulates as floor-quantized cents so the result is independent
+    * of intra-batch iteration order — the same discipline as the
+    * oracle-checked aggregates. State is one small record per user;
+    * each batch emits that user's updated snapshot (append mode).
+    */
+  def runningTotals(events: org.apache.spark.sql.Dataset[StreamEvent]):
+      org.apache.spark.sql.Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[StreamEvent],
+         state: org.apache.spark.sql.streaming.GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0L))
+          val upd = it.foldLeft(prev) { (acc, e) =>
+            UserTotals(uid, acc.n_events + 1,
+              acc.total_cents + math.floor(e.value * 100).toLong)
+          }
+          state.update(upd)
+          Iterator.single(upd)
+      }
+  }
 }
+
+/** Typed event row for the stateful operators. */
+final case class StreamEvent(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user running state snapshot emitted by
+  * [[EventStreams.runningTotals]]. */
+final case class UserTotals(user_id: Long, n_events: Long, total_cents: Long)

@@ -84,6 +84,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0L)
   }
 
+  test("flatMapGroupsWithState keeps running per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.runningTotals(
+        mem.toDF().as[graft.streaming.StreamEvent])
+      .writeStream.format("memory").queryName("t_state").outputMode("append").start()
+    try {
+      val n = orderedEvents.size
+      orderedEvents.grouped(math.max(1, n / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // last emission per user == batch aggregate (quantized cents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalTotals = spark.table("t_state")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_events", "total_cents")
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total_cents"))
+    assert(finalTotals.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(finalTotals).count() === 0L)
+  }
+
   test("watermark drops late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
