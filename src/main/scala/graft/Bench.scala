@@ -49,6 +49,11 @@ object Bench {
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_sim_lsh",
+    "q_sim_ivf",
+    "q_sim_cosine",
+    "q_agg_pivot",
+    "q_agg_percentile",
+    "q_split_holdout",
     "q_multimodal_meta",
     "q_stream_tumble",
     "q_stream_session")

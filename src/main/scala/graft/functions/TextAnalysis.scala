@@ -141,6 +141,27 @@ object TextAnalysis {
               |    FROM documents))
               |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Deterministic train/val/test split by content hash — the holdout
+    // idiom for a 100 TB corpus: no RNG state, no sampling seed to
+    // coordinate across jobs; membership is a pure function of the key,
+    // reproducible from any engine (oracle checks the split itself).
+    QueryDef(
+      "q_split_holdout",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", s"${tokHash("CAST(doc_id AS STRING)")} % 100 AS h")
+        .selectExpr("doc_id",
+          "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("split"),
+      Some(s"""SELECT split, COUNT(*) AS n, SUM(doc_id) AS id_checksum
+              |FROM (
+              |  SELECT doc_id,
+              |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+              |  FROM (SELECT doc_id, ${duckTokHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+              |        FROM documents))
+              |GROUP BY split ORDER BY split""".stripMargin)),
+
     // Document fingerprint: left-fold rolling hash over md5-derived token
     // hashes, mod 1e9+7 at each step (no overflow: h*31 + tok < 2^63).
     QueryDef(

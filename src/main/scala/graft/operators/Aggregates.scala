@@ -120,6 +120,46 @@ object Aggregates {
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY st, pri""".stripMargin)),
 
+    // Pivot — groupBy().pivot() with explicit value list (never let the
+    // engine scan for distinct pivot values at scale); the oracle is the
+    // CASE-filtered aggregation pivot desugars to.
+    QueryDef(
+      "q_agg_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("qty"))
+        .select(col("l_returnflag"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"), coalesce(col("F_qty"), lit(0.0)).as("f_qty"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"), coalesce(col("O_qty"), lit(0.0)).as("o_qty"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_n,
+              |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2)))
+              |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 0.0) AS f_qty,
+              |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_n,
+              |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2)))
+              |    FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 0.0) AS o_qty
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact interpolated percentiles — Spark percentile() and DuckDB
+    // quantile_cont share the (1-g)*lo + g*hi definition over the sorted
+    // values, so results match bit-for-bit on identical input doubles.
+    QueryDef(
+      "q_agg_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_quantity, 0.25)").as("q25"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.5) AS p50,
+             |  quantile_cont(l_extendedprice, 0.95) AS p95,
+             |  quantile_cont(l_quantity, 0.25) AS q25
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // GROUPING SETS through the SQL entry point (spark.sql over a temp
     // view — the surface a SQL-first user drives), sentinel-coalesced
     // like rollup/cube above.
