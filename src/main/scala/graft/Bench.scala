@@ -34,6 +34,9 @@ object Bench {
     "q_join_left",
     "q_join_semi",
     "q_join_asof",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
     "q_sort_limit",
     "q_topk",
     "q_union_all",

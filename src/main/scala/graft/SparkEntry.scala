@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.Aggregates.defs ++
       operators.Joins.defs ++
+      operators.Analytics.defs ++
       operators.Windows.defs ++
       functions.Scalars.defs ++
       functions.TextAnalysis.defs ++

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Composed multi-join analytics in classic TPC-H shapes (Q3/Q5/Q6
+  * adapted to the synthetic star schema) — the "whole queries a user
+  * actually runs" layer over the per-operator surface, and the shapes
+  * that exercise Catalyst's join ordering, semi-join reduction and
+  * scan pruning together.
+  *
+  * Scale notes: Q3/Q5 join fact←dim chains — dims broadcast, the two
+  * fact tables shuffle once on the join key each; Q6 is the pure
+  * scan-predicate-aggregate shape whose entire cost is the pruned
+  * parquet scan (PushedFilters + 4-column ReadSchema).
+  */
+object Analytics {
+  import Parity._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q3: shipping-priority revenue — segment-filtered customers' orders
+    // not yet shipped at the cutoff, top-10 by revenue.
+    QueryDef(
+      "q_tpch_q3",
+      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some(s"""SELECT l_orderkey, o_orderdate,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey AND o_orderdate < TIMESTAMP '1996-06-01'
+              |JOIN lineitem ON o_orderkey = l_orderkey AND l_shipdate > TIMESTAMP '1996-06-01'
+              |WHERE c_mktsegment = 'BUILDING'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // Q5: local-supplier revenue by nation within one region and year —
+    // the 6-table chain with the customer-nation = supplier-nation
+    // equality that prunes cross-nation pairs.
+    QueryDef(
+      "q_tpch_q5",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some(s"""SELECT n_name,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Q6: forecasting revenue change — the pure pruned-scan aggregate.
+    QueryDef(
+      "q_tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount").between(0.05, 0.07)
+            && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n")),
+      Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue, COUNT(*) AS n
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
+  )
+}
