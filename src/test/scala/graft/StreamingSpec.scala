@@ -66,6 +66,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("sliding windows: streamed append result equals the batch twin") {
+    val streamed = runStream("t_slide", EventStreams.slidingAgg)
+      .filter(col("wstart") < "2029-01-01")
+    val batch = StreamingTwins.defs.find(_.name == "q_stream_slide").get
+      .fn(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("session windows: streamed append result equals the batch twin") {
     val streamed = runStream("t_session", EventStreams.sessionAgg)
       .filter(col("user_id") >= 0)
