@@ -154,6 +154,47 @@ object Scalars {
              |  CAST(list_min(embedding) AS DOUBLE) AS min_v
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // Higher-order functions over arrays: exists/forall/filter/
+    // transform/aggregate plus posexplode, sort_array, flatten and
+    // sequence — the lambda surface Catalyst evaluates without UDFs.
+    QueryDef(
+      "q_array_hof",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr(
+          "doc_id",
+          "exists(toks, w -> length(w) > 8) AS has_long",
+          "forall(toks, w -> length(w) > 1) AS all_gt1",
+          "size(filter(toks, w -> w RLIKE '^[st]')) AS st_words",
+          "aggregate(transform(toks, w -> length(w)), 0, (a, x) -> a + x) AS total_chars",
+          "size(flatten(array(slice(toks, 1, 3), slice(toks, 1, 2)))) AS flat_n",
+          "sort_array(slice(toks, 1, 4)) AS first4_sorted",
+          "size(sequence(1, size(toks))) AS seq_n")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(list_filter(toks, w -> len(w) > 8)) > 0 AS has_long,
+             |  len(list_filter(toks, w -> NOT len(w) > 1)) = 0 AS all_gt1,
+             |  CAST(len(list_filter(toks, w -> regexp_matches(w, '^[st]'))) AS INT) AS st_words,
+             |  CAST(list_sum(list_transform(toks, w -> len(w))) AS INT) AS total_chars,
+             |  CAST(len(list_cat(toks[1:3], toks[1:2])) AS INT) AS flat_n,
+             |  list_sort(toks[1:4]) AS first4_sorted,
+             |  CAST(len(toks) AS INT) AS seq_n
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // posexplode → UNNEST WITH ORDINALITY: position-preserving generator.
+    QueryDef(
+      "q_posexplode",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") % 100 === 0)
+        .selectExpr("doc_id", "posexplode(slice(split(text, ' '), 1, 5)) AS (pos, tok)")
+        .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(pos - 1 AS INT) AS pos, tok FROM (
+             |  SELECT doc_id, UNNEST(string_split(text, ' ')[1:5]) AS tok,
+             |         generate_subscripts(string_split(text, ' ')[1:5], 1) AS pos
+             |  FROM documents WHERE doc_id % 100 = 0)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // Map construction + extraction. The oracle pins the *values* (map
     // lookup must return exactly the source columns), which checks the
     // Spark map path without relying on engine map-type formatting.

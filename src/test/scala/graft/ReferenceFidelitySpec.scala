@@ -84,6 +84,35 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(keys.last === "4071")
   }
 
+  test("streamConsume: entry point #1 end-to-end over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val kvStream = mem.toDF()
+      .selectExpr("CAST(_1 AS BINARY) AS key", "CAST(_2 AS BINARY) AS value")
+    val q = TemPipelines.streamConsume(
+      kvStream,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      format = "memory",
+      queryName = "t_ref_stream",
+      options = Map.empty)
+    try {
+      val kv = TemPipelines.toKeyValue(TemPipelines.readSeedCsv(spark, Csv2))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      mem.addData(kv.take(100).toSeq)
+      q.processAllAvailable()
+      mem.addData(kv.drop(100).take(50).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_ref_stream")
+    assert(out.count() === 150L)
+    assert(out.columns.contains("Tem(Avg)"))
+    // the derived metric flows through the streaming plan identically
+    val avg = out.filter(col("id") === 2799)
+      .select(col("`Tem(Avg)`")).collect().head.getDouble(0)
+    assert(avg === 24.41182861328125)
+  }
+
   test("replay dedup: dropDuplicates on id halves csv2") {
     val df = TemPipelines.readSeedCsv(spark, Csv2)
     assert(df.dropDuplicates("id").count() === 755L)
