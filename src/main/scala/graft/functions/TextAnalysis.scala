@@ -141,6 +141,28 @@ object TextAnalysis {
               |    FROM documents))
               |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Edit distance between consecutive documents — levenshtein as the
+    // character-level near-dup metric (token/shingle metrics live in
+    // Dedup); the adjacent-pair join bounds the quadratic cost.
+    QueryDef(
+      "q_text_editdist",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), substring(col("text"), 1, 120).as("t"))
+        val a = docs.select(col("doc_id").as("a"), col("t").as("ta"))
+        val b = docs.select(col("doc_id").as("b"), col("t").as("tb"))
+        a.join(b, col("b") === col("a") + 1)
+          .selectExpr("a", "b", "levenshtein(ta, tb) AS dist",
+            "levenshtein(ta, ta) AS self_zero")
+          .orderBy("a")
+      },
+      Some("""SELECT a, b, dist, self_zero FROM (
+             |  SELECT x.doc_id AS a, y.doc_id AS b,
+             |    CAST(levenshtein(substr(x.text, 1, 120), substr(y.text, 1, 120)) AS INT) AS dist,
+             |    CAST(levenshtein(substr(x.text, 1, 120), substr(x.text, 1, 120)) AS INT) AS self_zero
+             |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1)
+             |ORDER BY a""".stripMargin)),
+
     // Deterministic train/val/test split by content hash — the holdout
     // idiom for a 100 TB corpus: no RNG state, no sampling seed to
     // coordinate across jobs; membership is a pure function of the key,

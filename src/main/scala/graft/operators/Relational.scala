@@ -135,6 +135,40 @@ object Relational {
       Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // -- subqueries (Catalyst decorrelates both into joins) ----------------
+    QueryDef(
+      "q_subquery_scalar",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+        s.sql("""
+          |SELECT o_orderkey,
+          |  (SELECT COUNT(*) FROM lineitem_sq WHERE l_orderkey = o_orderkey) AS n_items
+          |FROM orders_sq
+          |WHERE o_totalprice > 450000
+          |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+             |FROM orders WHERE o_totalprice > 450000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q_subquery_in",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sq2")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq2")
+        s.sql("""
+          |SELECT o_orderkey, o_totalprice FROM orders_sq2
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_sq2 WHERE l_quantity = 50)
+          |  AND o_orderpriority = '1-URGENT'
+          |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50)
+             |  AND o_orderpriority = '1-URGENT'
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // -- set operations ----------------------------------------------------
     // Spark `union` is SQL UNION ALL (positional); output is aggregated so
     // the multiset compare is order-free.

@@ -133,6 +133,30 @@ object Windows {
              |                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // first/last/nth over explicit full-partition frames (last_value
+    // needs the unbounded-following frame or it degenerates to the
+    // running last — a classic window pitfall, pinned here).
+    QueryDef(
+      "q_win_first_last",
+      (s, d) => {
+        val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            first(col("value")).over(full).as("first_v"),
+            last(col("value")).over(full).as("last_v"),
+            nth_value(col("value"), 2).over(full).as("second_v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  FIRST_VALUE(value) OVER w AS first_v,
+             |  LAST_VALUE(value) OVER w AS last_v,
+             |  NTH_VALUE(value, 2) OVER w AS second_v
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin)),
+
     // ntile over a unique ordering (deterministic bucket assignment),
     // summarized per bucket.
     QueryDef(

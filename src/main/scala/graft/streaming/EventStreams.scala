@@ -57,6 +57,30 @@ object EventStreams {
       .select(col("user_id"), col("event_type"),
         col("event_id").as("first_event_id"), col("ts").as("first_ts"))
 
+  /** Stream-stream inner join with event-time bounds: each purchase
+    * joins the signups of the same user within the preceding 24 hours.
+    * Both sides carry watermarks, and the time-bound condition is what
+    * lets Spark expire join state — an unbounded-condition
+    * stream-stream join would buffer forever. Works identically on
+    * bounded frames (the batch twin the test compares against).
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(signups,
+      col("p_user") === col("s_user")
+        && col("s_ts") <= col("p_ts")
+        && col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("purchase_id"), col("signup_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("s_ts"))
+  }
+
   /** Arbitrary keyed state via flatMapGroupsWithState (SURVEY.md §2.2:
     * "arbitrary state — only if a declared op needs it"): per-user
     * running totals that survive across micro-batches. The monetary sum

@@ -94,6 +94,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0L)
   }
 
+  test("stream-stream join: purchase attribution equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.purchaseAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
+    try {
+      val n = orderedEvents.size
+      orderedEvents.grouped(math.max(1, n / 3)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_ssjoin").filter(col("user_id") >= 0)
+    val batch = graft.streaming.EventStreams.purchaseAttribution(
+      Tables.events(spark, sf))
+    assert(batch.count() > 0L)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
