@@ -1,9 +1,8 @@
 package graft.tools
 
-import graft.Tables
+import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -13,26 +12,32 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    def q1(mk: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column) =
-      Tables.lineitem(spark, d)
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          mk(col("l_quantity"), 2).as("sum_qty"),
-          mk(col("l_extendedprice"), 2).as("sum_base_price"),
-          mk(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
-          mk(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")
     def time(tag: String)(f: => Unit): Unit = {
-      f // warm
-      val t0 = System.nanoTime(); f; f; f
-      println(f"$tag: ${(System.nanoTime()-t0)/3e9}%.3f s/run")
+      val t0 = System.nanoTime(); f
+      println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
-    time("dec28")(q1((c, s) => sum(c.cast(DecimalType(28, s))).cast("double")).collect())
-    time("dec18")(q1((c, s) => sum(c.cast(DecimalType(18, s))).cast("double")).collect())
-    time("double")(q1((c, _) => sum(c)).collect())
-    time("longq")(q1((c, s) => (sum(floor(c * math.pow(10, s)).cast("long")) / math.pow(10, s))).collect())
+    // stage 1: tokens only
+    time("tokens")(graft.Tables.documents(spark, d)
+      .repartition(32).selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("sum(size(toks))").collect())
+    // stage 2: shingle strings
+    time("shingles")(graft.Tables.documents(spark, d)
+      .repartition(32).selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))) AS g")
+      .selectExpr("sum(size(g))").collect())
+    // stage 3: + md5 hashing
+    time("hashes")(graft.operators.Dedup.shingleFrame(spark, d)
+      .selectExpr("sum(size(hs))").collect())
+    spark.catalog.clearCache()
+    // stage 4: + 16 minhash mins
+    val sigExprs = Dedup.MinhashPerms.map { case (a, b) =>
+      s"array_min(transform(hs, s -> ($a * s + $b) % ${Dedup.MinhashP}))" }
+    time("sigs")(graft.operators.Dedup.shingleFrame(spark, d)
+      .selectExpr("doc_id", s"array(${sigExprs.mkString(", ")}) AS sig")
+      .selectExpr("sum(sig[0])").collect())
+    spark.catalog.clearCache()
+    // full query
+    time("full")(graft.SparkEntry.queries("q_dedup_minhash")(spark, d).count())
     spark.stop()
   }
 }
