@@ -120,6 +120,28 @@ object Aggregates {
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY st, pri""".stripMargin)),
 
+    // SpaceSaving sketch driven through its SQL surface, in the exact
+    // regime: capacity (32) exceeds the vocabulary (31 words), where the
+    // sketch provably equals the true counts — so the oracle can check
+    // the sketch output itself; the approximate regime is spec-checked
+    // (SpaceSavingSpec) via the containment guarantee.
+    QueryDef(
+      "q_agg_topk_sketch",
+      (s, d) => {
+        graft.functions.SpaceSavingTopK.ensureRegistered(s)
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .agg(expr("topk_sketch(w)").as("top"))
+          .selectExpr("inline(top)")
+          .toDF("word", "cnt", "err")
+          .select("word", "cnt")
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some("""SELECT word, COUNT(*) AS cnt
+             |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word
+             |ORDER BY cnt DESC, word""".stripMargin)),
+
     // Pivot — groupBy().pivot() with explicit value list (never let the
     // engine scan for distinct pivot values at scale); the oracle is the
     // CASE-filtered aggregation pivot desugars to.
