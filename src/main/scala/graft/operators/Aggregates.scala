@@ -188,13 +188,14 @@ object Aggregates {
     QueryDef(
       "q_agg_groupingsets",
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        val id = java.util.UUID.randomUUID().toString.replace("-", "")
+        Tables.lineitem(s, d).createOrReplaceTempView(s"lineitem_$id")
         s.sql(s"""
           |SELECT COALESCE(l_returnflag, 'ALL') AS rf,
           |       COALESCE(l_linestatus, 'ALL') AS ls,
           |       COUNT(*) AS n,
           |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
-          |FROM lineitem_gs
+          |FROM lineitem_$id
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY rf, ls""".stripMargin)
       },

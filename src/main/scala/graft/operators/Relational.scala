@@ -139,12 +139,15 @@ object Relational {
     QueryDef(
       "q_subquery_scalar",
       (s, d) => {
-        Tables.orders(s, d).createOrReplaceTempView("orders_sq")
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
-        s.sql("""
+        // per-call unique view names: fixed names race when queries run
+        // concurrently in one session
+        val id = java.util.UUID.randomUUID().toString.replace("-", "")
+        Tables.orders(s, d).createOrReplaceTempView(s"orders_$id")
+        Tables.lineitem(s, d).createOrReplaceTempView(s"lineitem_$id")
+        s.sql(s"""
           |SELECT o_orderkey,
-          |  (SELECT COUNT(*) FROM lineitem_sq WHERE l_orderkey = o_orderkey) AS n_items
-          |FROM orders_sq
+          |  (SELECT COUNT(*) FROM lineitem_$id WHERE l_orderkey = o_orderkey) AS n_items
+          |FROM orders_$id
           |WHERE o_totalprice > 450000
           |ORDER BY o_orderkey""".stripMargin)
       },
@@ -156,11 +159,12 @@ object Relational {
     QueryDef(
       "q_subquery_in",
       (s, d) => {
-        Tables.orders(s, d).createOrReplaceTempView("orders_sq2")
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq2")
-        s.sql("""
-          |SELECT o_orderkey, o_totalprice FROM orders_sq2
-          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_sq2 WHERE l_quantity = 50)
+        val id = java.util.UUID.randomUUID().toString.replace("-", "")
+        Tables.orders(s, d).createOrReplaceTempView(s"orders_$id")
+        Tables.lineitem(s, d).createOrReplaceTempView(s"lineitem_$id")
+        s.sql(s"""
+          |SELECT o_orderkey, o_totalprice FROM orders_$id
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_$id WHERE l_quantity = 50)
           |  AND o_orderpriority = '1-URGENT'
           |ORDER BY o_orderkey""".stripMargin)
       },

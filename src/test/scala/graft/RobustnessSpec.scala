@@ -1,0 +1,82 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import graft.operators.{MediaRow, Multimodal}
+import graft.reference.{SensorSchema, TemPipelines}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Edge-condition hardening: malformed input (the PERMISSIVE contract
+  * from SURVEY.md §1.2), empty inputs, concurrent query execution in a
+  * shared session, and binary payload round trips.
+  */
+class RobustnessSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("malformed JSON values parse to null rows (PERMISSIVE), valid ones survive") {
+    import spark.implicits._
+    val good = TemPipelines.toKeyValue(
+        TemPipelines.readSeedCsv(spark, "/root/reference/data/csv2.csv"))
+      .limit(1).collect().head.getString(1)
+    val kv = Seq(
+      ("1", good),
+      ("2", "not json at all"),
+      ("3", """{"id": "also-not-an-int"}"""),
+      ("4", null.asInstanceOf[String]))
+      .toDF("key", "value")
+      .selectExpr("CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value")
+    val parsed = TemPipelines.withTemAvg(TemPipelines.parseKeyValue(kv))
+    assert(parsed.count() === 4L)
+    assert(parsed.filter(col("id").isNotNull).count() === 1L)
+    assert(parsed.filter(col("`Tem(Avg)`").isNotNull).count() === 1L)
+  }
+
+  test("core transforms are total on empty input") {
+    val emptySensor = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), SensorSchema.consumer)
+    assert(TemPipelines.withTemAvg(emptySensor).count() === 0L)
+    assert(TemPipelines.parseKeyValue(
+      TemPipelines.toKeyValue(
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), SensorSchema.producer))
+        .selectExpr("CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value"))
+      .count() === 0L)
+    implicit val s = spark
+    val emptyDocs = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      Tables.documents(spark, sf).schema)
+    assert(Multimodal.decodeFeatures(Multimodal.toMedia(emptyDocs)).count() === 0L)
+  }
+
+  test("queries run concurrently in one shared session") {
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val names = Seq("q_agg_group", "q_subquery_scalar", "q_subquery_in",
+        "q_agg_groupingsets", "q_join_broadcast", "q_filter_basic",
+        "q_subquery_scalar", "q_agg_groupingsets")
+      val futures = names.map { n =>
+        Future(n -> SparkEntry.queries(n)(spark, sf).count())
+      }
+      val results = Await.result(Future.sequence(futures), Duration("300s"))
+      results.foreach { case (n, c) => assert(c > 0L, s"$n returned no rows") }
+    } finally pool.shutdown()
+  }
+
+  test("binary media payloads round-trip through parquet bit-exactly") {
+    implicit val s = spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    val media = Multimodal.toMedia(Tables.documents(spark, sf))
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[MediaRow]
+    val before = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id).toSeq
+    val after = Multimodal.decodeFeatures(back).collect().sortBy(_.doc_id).toSeq
+    assert(before === after) // checksums identical ⇒ bytes identical
+  }
+}
