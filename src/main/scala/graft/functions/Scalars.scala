@@ -303,6 +303,31 @@ object Scalars {
              |  split_part(n_name, 'A', 1) AS first_part
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // Map higher-order functions — transform_keys/values, map_filter,
+    // map_zip_with. DuckDB has no map lambdas, so the oracle pins the
+    // extracted VALUES the lambdas must produce (same technique as
+    // q_map_funcs).
+    QueryDef(
+      "q_map_hof",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 1000 === 0)
+        .selectExpr("l_orderkey", "l_linenumber",
+          "map('qty', l_quantity, 'disc', l_discount) AS m")
+        .selectExpr("l_orderkey", "l_linenumber",
+          "element_at(transform_values(m, (k, v) -> v * 2), 'qty') AS qty2",
+          "element_at(transform_keys(m, (k, v) -> upper(k)), 'DISC') AS disc_up",
+          "size(map_filter(m, (k, v) -> v > 0.5)) AS n_big",
+          "element_at(map_zip_with(m, map('qty', 1.0, 'disc', 10.0), (k, a, b) -> a * b), 'disc') AS disc10")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_quantity * 2 AS qty2,
+             |  l_discount AS disc_up,
+             |  CAST((CASE WHEN l_quantity > 0.5 THEN 1 ELSE 0 END)
+             |     + (CASE WHEN l_discount > 0.5 THEN 1 ELSE 0 END) AS INT) AS n_big,
+             |  l_discount * 10.0 AS disc10
+             |FROM lineitem WHERE l_orderkey % 1000 = 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // JSON extraction over events.props (e.g. '{"k": 87}').
     QueryDef(
       "q_json_extract",
