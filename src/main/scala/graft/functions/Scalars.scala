@@ -98,6 +98,27 @@ object Scalars {
              |FROM lineitem WHERE l_orderkey % 100 = 0
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Calendar arithmetic: day/month offsets with end-of-month clamping,
+    // last_day, week truncation.
+    QueryDef(
+      "q_date_arith",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") % 25 === 0)
+        .selectExpr(
+          "o_orderkey",
+          "date_add(o_orderdate, 30) AS plus30d",
+          "add_months(o_orderdate, 2) AS plus2m",
+          "last_day(o_orderdate) AS month_end",
+          "CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30d,
+             |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             |  last_day(o_orderdate) AS month_end,
+             |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+             |FROM orders WHERE o_orderkey % 25 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Timestamp parse/format round trip — the dateTime string→timestamp
     // cast the reference never performs (SURVEY.md §1.2: TimestampType
     // imported but unused); format then reparse then diff against the

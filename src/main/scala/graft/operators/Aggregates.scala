@@ -120,6 +120,44 @@ object Aggregates {
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY st, pri""".stripMargin)),
 
+    // Pearson correlation and covariance from exact decimal moments
+    // (same closed-form discipline as q_agg_stddev — the built-ins'
+    // merge order differs per engine, the moments don't).
+    QueryDef(
+      "q_agg_corr",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast(DecimalType(28, 2))).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(DecimalType(28, 2))).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+            .cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+            .cast("double").as("syy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+            .cast("double").as("sxy"))
+        .select(col("l_linestatus"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * (col("n") - 1.0))).as("covar_samp"))
+        .orderBy("l_linestatus"),
+      Some(s"""SELECT l_linestatus,
+              |  (n * sxy - sx * sy)
+              |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+              |  (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_samp
+              |FROM (SELECT l_linestatus,
+              |        CAST(COUNT(*) AS DOUBLE) AS n,
+              |        ${sqlDsum("l_quantity", 2)} AS sx,
+              |        ${sqlDsum("l_extendedprice", 2)} AS sy,
+              |        ${sqlDsum("l_quantity * l_quantity", 4)} AS sxx,
+              |        ${sqlDsum("l_extendedprice * l_extendedprice", 4)} AS syy,
+              |        ${sqlDsum("l_quantity * l_extendedprice", 4)} AS sxy
+              |      FROM lineitem GROUP BY l_linestatus)
+              |ORDER BY l_linestatus""".stripMargin)),
+
     // SpaceSaving sketch driven through its SQL surface, in the exact
     // regime: capacity (32) exceeds the vocabulary (31 words), where the
     // sketch provably equals the true counts — so the oracle can check

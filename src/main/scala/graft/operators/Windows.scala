@@ -115,6 +115,29 @@ object Windows {
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin)),
 
+    // Distribution functions: percent_rank, cume_dist, dense_rank over a
+    // unique ordering (identical rank→ratio definitions both engines).
+    QueryDef(
+      "q_win_distribution",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            dense_rank().over(w).as("drank"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  PERCENT_RANK() OVER w AS pct_rank,
+             |  CUME_DIST() OVER w AS cume,
+             |  CAST(DENSE_RANK() OVER w AS INT) AS drank
+             |FROM orders WHERE o_orderkey % 20 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // RANGE frame: count of same-user events within the trailing hour of
     // each event — a value-based frame (rangeBetween), not a row count.
     QueryDef(
