@@ -98,6 +98,25 @@ object Scalars {
              |FROM lineitem WHERE l_orderkey % 100 = 0
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Error-safe casts and arithmetic: try_cast / try_divide return null
+    // instead of failing — the ingestion-hardening surface for dirty
+    // data at scale (a single bad row must not kill a 100 TB job).
+    QueryDef(
+      "q_try_funcs",
+      (s, d) => Tables.part(s, d)
+        .selectExpr(
+          "p_partkey",
+          "try_cast(p_name AS INT) AS name_as_int",
+          "try_cast(regexp_extract(p_name, '([0-9]+)', 1) AS INT) AS digits_int",
+          "try_divide(p_partkey, p_partkey % 10) AS div_maybe_zero")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  TRY_CAST(p_name AS INT) AS name_as_int,
+             |  TRY_CAST(regexp_extract(p_name, '([0-9]+)', 1) AS INT) AS digits_int,
+             |  CASE WHEN p_partkey % 10 = 0 THEN NULL
+             |       ELSE CAST(p_partkey AS DOUBLE) / (p_partkey % 10) END AS div_maybe_zero
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Calendar arithmetic: day/month offsets with end-of-month clamping,
     // last_day, week truncation.
     QueryDef(

@@ -120,6 +120,55 @@ object Aggregates {
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY st, pri""".stripMargin)),
 
+    // Fixed-width histogram: bucket index is pure integer math on the
+    // value, counts by bucket — the distributed histogram idiom (no
+    // per-engine binning heuristics).
+    QueryDef(
+      "q_agg_histogram",
+      (s, d) => Tables.lineitem(s, d)
+        .selectExpr("CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket")
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // collect_set / collect_list surfaced deterministically: sets are
+    // sorted before output (collection order is partition-dependent,
+    // the sorted array is not), lists are aggregated from a sorted
+    // unique ordering.
+    QueryDef(
+      "q_agg_collect",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses_csv"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+             |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses_csv,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // min_by / max_by with a unique ordering key (ties on the ordering
+    // value would make the picked row engine-dependent).
+    QueryDef(
+      "q_agg_minmax_by",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("max_by(o_totalprice, o_orderkey)").as("price_of_max_key"),
+          expr("min_by(o_totalprice, o_orderkey)").as("price_of_min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  max_by(o_totalprice, o_orderkey) AS price_of_max_key,
+             |  min_by(o_totalprice, o_orderkey) AS price_of_min_key,
+             |  MAX(o_orderkey) AS max_key
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Pearson correlation and covariance from exact decimal moments
     // (same closed-form discipline as q_agg_stddev — the built-ins'
     // merge order differs per engine, the moments don't).
