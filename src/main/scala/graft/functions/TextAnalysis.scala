@@ -141,6 +141,62 @@ object TextAnalysis {
               |    FROM documents))
               |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Overlapping token chunking — THE training-data preprocessing op:
+    // fixed-size windows (40 tokens, stride 30) per document, exploded
+    // to one row per chunk with position metadata. Pure per-row map
+    // work + a generator: embarrassingly parallel at any scale.
+    QueryDef(
+      "q_text_chunk",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", "size(toks) AS n_toks",
+          // chunk starts: 1, 31, 61, ... up to the last index that opens
+          // a non-empty window
+          "transform(sequence(1, greatest(size(toks) - 9, 1), 30), i -> " +
+            "named_struct('start', i, 'body', concat_ws(' ', slice(toks, i, 40)))) AS chunks")
+        .selectExpr("doc_id", "n_toks", "posexplode(chunks) AS (chunk_idx, c)")
+        .selectExpr("doc_id", "chunk_idx", "c.start AS tok_start",
+          "size(split(c.body, ' ')) AS chunk_toks", "c.body AS chunk_text")
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  CAST(tok_start AS INT) AS tok_start,
+             |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_toks, chunk_text
+             |FROM (
+             |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(starts)), j ->
+             |    struct_pack(chunk_idx := j - 1, tok_start := starts[j],
+             |      chunk_text := array_to_string(toks[starts[j]:starts[j]+39], ' '))),
+             |    recursive := true)
+             |  FROM (
+             |    SELECT doc_id, toks,
+             |      generate_series(1, greatest(len(toks) - 9, 1), 30) AS starts
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Greedy sequence packing: assign documents to fixed-budget bins by
+    // cumulative token count (the distributed approximation of training
+    // batch packing — exact bin packing is sequential; running-sum
+    // bucketing is the shape that scales).
+    QueryDef(
+      "q_text_pack",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "size(split(text, ' ')) AS n_toks")
+          .withColumn("cum_toks", sum(col("n_toks")).over(w))
+          .selectExpr("doc_id", "n_toks", "CAST(floor((cum_toks - 1) / 2048) AS BIGINT) AS bin")
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_toks"))
+          .orderBy("bin")
+      },
+      Some("""SELECT bin, COUNT(*) AS n_docs, SUM(n_toks) AS bin_toks FROM (
+             |  SELECT doc_id, n_toks,
+             |    CAST(floor((SUM(n_toks) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 2048) AS BIGINT) AS bin
+             |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents))
+             |GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // Edit distance between consecutive documents — levenshtein as the
     // character-level near-dup metric (token/shingle metrics live in
     // Dedup); the adjacent-pair join bounds the quadratic cost.
