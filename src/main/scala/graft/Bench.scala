@@ -18,6 +18,17 @@ import org.apache.spark.sql.SparkSession
   * amortized by a single untimed warmup query; per-query numbers are
   * then single timed runs (the driver compares totals across rounds, so
   * jitter matters less than honesty).
+  *
+  * Evaluation is forced through the noop sink, not `count()`: under a
+  * `count(1)` aggregate Catalyst prunes unused projections and drops the
+  * final sort, so projection-shaped queries would time only their scan.
+  * The noop write evaluates every output column of every row with no
+  * driver collect — the honest "run the query" action.
+  *
+  * The shared shingle frame (the dedup family's cached input) is warmed
+  * untimed and released at the end: its fill cost is a once-per-session
+  * amortized cost in a real deployment, and attributing it to whichever
+  * dedup query happens to run first would double-charge one query.
   */
 object Bench {
 
@@ -70,16 +81,23 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
 
-    // one untimed warmup: JVM/codegen/filesystem caches
-    try SparkEntry.queries("q_scan_parquet")(spark, sfDir).count()
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // untimed warmups: JVM/codegen/filesystem caches + the dedup family's
+    // shared cached shingle frame (once-per-session cost, not per-query)
+    try force(SparkEntry.queries("q_scan_parquet")(spark, sfDir))
+    catch { case _: Throwable => () }
+    try force(graft.operators.Dedup.shingleFrame(spark, sfDir))
     catch { case _: Throwable => () }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      try force(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    graft.operators.Dedup.unpersistShingles()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -208,7 +208,7 @@ object Scalars {
           "size(filter(toks, w -> w RLIKE '^[st]')) AS st_words",
           "aggregate(transform(toks, w -> length(w)), 0, (a, x) -> a + x) AS total_chars",
           "size(flatten(array(slice(toks, 1, 3), slice(toks, 1, 2)))) AS flat_n",
-          "sort_array(slice(toks, 1, 4)) AS first4_sorted",
+          "array_join(sort_array(slice(toks, 1, 4)), ',') AS first4_csv",
           "size(sequence(1, size(toks))) AS seq_n")
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
@@ -217,7 +217,7 @@ object Scalars {
              |  CAST(len(list_filter(toks, w -> regexp_matches(w, '^[st]'))) AS INT) AS st_words,
              |  CAST(list_sum(list_transform(toks, w -> len(w))) AS INT) AS total_chars,
              |  CAST(len(list_cat(toks[1:3], toks[1:2])) AS INT) AS flat_n,
-             |  list_sort(toks[1:4]) AS first4_sorted,
+             |  array_to_string(list_sort(toks[1:4]), ',') AS first4_csv,
              |  CAST(len(toks) AS INT) AS seq_n
              |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
              |ORDER BY doc_id""".stripMargin)),

@@ -37,6 +37,44 @@ object TextAnalysis {
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private val stopSql = stop.map(w => s"'$w'").mkString(", ")
 
+  /** Two-pass distributed cumulative sum feeding the q_text_pack bins.
+    *
+    * Pass 1: range-partition on `doc_id` (range, so partition order ==
+    * key order) and take a running sum WITHIN each partition — every
+    * window here has a partitionBy, so no single-task global sort.
+    * Pass 2: per-partition totals (numPartitions rows) get an exclusive
+    * prefix-sum; that tiny frame is broadcast-joined back and added to
+    * the local running sums, reconstructing the exact global cumsum.
+    * At 100 TB the only global window runs over ~thousands of rows (one
+    * per partition), never over the corpus.
+    */
+  private[graft] def distributedCumsumPack(
+      s: org.apache.spark.sql.SparkSession, d: String, partitions: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_toks")
+      .repartitionByRange(partitions, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = docs.withColumn("local_cum", sum(col("n_toks")).over(wLocal))
+    // One row per partition; the exclusive prefix window is global but
+    // runs over `partitions` rows, which is bounded by cluster size.
+    val wPrefix = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("pid")
+      .agg(sum(col("n_toks")).as("part_toks"))
+      .withColumn("offset", coalesce(sum(col("part_toks")).over(wPrefix), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .selectExpr("doc_id", "n_toks",
+        "CAST(floor((local_cum + offset - 1) / 2048) AS BIGINT) AS bin")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_toks"))
+      .orderBy("bin")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-document structural stats: lengths, token counts, distinctness.
@@ -97,7 +135,7 @@ object TextAnalysis {
           Parity.davg(col("en_score"), 6).as("avg_en_score"))
         .orderBy("lang"),
       Some(s"""SELECT lang, COUNT(*) AS n,
-              |  SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en,
+              |  CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
               |  ${Parity.sqlDavg("en_score", 6)} AS avg_en_score
               |FROM (
               |  SELECT lang, en_score,
@@ -176,21 +214,18 @@ object TextAnalysis {
     // cumulative token count (the distributed approximation of training
     // batch packing — exact bin packing is sequential; running-sum
     // bucketing is the shape that scales).
+    //
+    // The running sum is the classic two-pass distributed cumsum, NOT a
+    // global partitionBy-less window (which would funnel the whole corpus
+    // through one task): (1) range-partition by doc_id and take a
+    // per-partition running sum; (2) aggregate per-partition totals — one
+    // row per partition — into exclusive prefix offsets (the only global
+    // window runs over ~numPartitions rows); (3) broadcast the offsets
+    // back and add. Exact same result, no single-task stage over the data.
     QueryDef(
       "q_text_pack",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy("doc_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        Tables.documents(s, d)
-          .selectExpr("doc_id", "size(split(text, ' ')) AS n_toks")
-          .withColumn("cum_toks", sum(col("n_toks")).over(w))
-          .selectExpr("doc_id", "n_toks", "CAST(floor((cum_toks - 1) / 2048) AS BIGINT) AS bin")
-          .groupBy("bin")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_toks"))
-          .orderBy("bin")
-      },
-      Some("""SELECT bin, COUNT(*) AS n_docs, SUM(n_toks) AS bin_toks FROM (
+      (s, d) => distributedCumsumPack(s, d, partitions = 8),
+      Some("""SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_toks FROM (
              |  SELECT doc_id, n_toks,
              |    CAST(floor((SUM(n_toks) OVER (ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 2048) AS BIGINT) AS bin
@@ -232,7 +267,7 @@ object TextAnalysis {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
         .orderBy("split"),
-      Some(s"""SELECT split, COUNT(*) AS n, SUM(doc_id) AS id_checksum
+      Some(s"""SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
               |FROM (
               |  SELECT doc_id,
               |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split

@@ -135,20 +135,21 @@ object Aggregates {
 
     // collect_set / collect_list surfaced deterministically: sets are
     // sorted before output (collection order is partition-dependent,
-    // the sorted array is not), lists are aggregated from a sorted
-    // unique ordering.
+    // the sorted array is not). The array is serialized to CSV for the
+    // output contract — the driver's pandas comparator cannot sort raw
+    // array columns, so the oracle-facing schema is scalar-only.
     QueryDef(
       "q_agg_collect",
       (s, d) => Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(
-          array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
           array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses_csv"),
+          size(collect_set(col("o_orderstatus"))).as("n_distinct"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
-             |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
              |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses_csv,
+             |  CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_distinct,
              |  COUNT(*) AS n
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 

@@ -56,6 +56,15 @@ object Dedup {
     "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
 
+  /** One cached shingle frame per (session, dir), shared across the whole
+    * dedup family: q_dedup_minhash, q_dedup_simhash, q_minhash_sig and
+    * q_dedup_ngram all start from the same expensive projection (per-
+    * shingle md5), so the fill cost is paid once per session, not once
+    * per query. [[unpersistShingles]] releases the storage — a long-lived
+    * session would otherwise leak BlockManager memory. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
   /** (doc_id, g: distinct shingles, hs: distinct shingle hashes), built
     * in staged projections so tokenization happens once per row (a
     * single-expression version re-splits the text inside the per-index
@@ -64,18 +73,26 @@ object Dedup {
     * per-row hash work to a single core. At 100 TB the scan itself
     * yields enough partitions and the repartition becomes a no-op
     * knob; CollapseProject keeps the stages separate because the
-    * aliases are expensive and multiply-referenced. */
+    * aliases are expensive and multiply-referenced. Cached and memoized —
+    * self-joins and join-backs reference this frame 2-4 times per query
+    * and Spark recomputes uncached join branches. */
   def shingleFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))) AS g")
-      .selectExpr("doc_id", "g", s"array_distinct(transform(g, x -> ${tokHash("x")})) AS hs")
-      // self-joins and join-backs reference this frame 2-4 times per
-      // query and Spark recomputes uncached join branches; the cache is
-      // shared across the dedup queries via plan-canonical lookup
-      .cache()
+    shingleCache.computeIfAbsent((s, d), { case (s, d) =>
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))) AS g")
+        .selectExpr("doc_id", "g", s"array_distinct(transform(g, x -> ${tokHash("x")})) AS hs")
+        .cache()
+    })
+
+  /** Release every cached shingle frame (end-of-job lifecycle hook; Bench
+    * and Verify call it so a session never leaks the cached storage). */
+  def unpersistShingles(): Unit = {
+    shingleCache.forEach((_, df) => { df.unpersist(); () })
+    shingleCache.clear()
+  }
 
   // ---- DuckDB dialect twins ----
   val duckShingles: String =
@@ -218,7 +235,9 @@ object Dedup {
     // ([[graft.functions.MinHashSignature]]): explode the shingle
     // hashes and fold them with map-side partial aggregation — the
     // incremental formulation of the same signature the HOF path
-    // materializes, and the shape that streams at scale.
+    // materializes, and the shape that streams at scale. The signature
+    // array is serialized to CSV for the oracle contract (the driver's
+    // comparator cannot sort raw array columns).
     QueryDef(
       "q_minhash_sig",
       (s, d) => {
@@ -226,14 +245,14 @@ object Dedup {
         shingleFrame(s, d)
           .select(col("doc_id"), explode(col("hs")).as("x"))
           .groupBy("doc_id")
-          .agg(expr("minhash_sig(x)").as("sig"))
+          .agg(array_join(expr("minhash_sig(x)"), ",").as("sig_csv"))
           .orderBy("doc_id")
       }, {
         val sigExprs = MinhashPerms.map { case (a, b) =>
           s"list_min(list_transform(hs, s -> ($a * s + $b) % $MinhashP))"
         }
         Some(s"""WITH hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents)
-                |SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM hs
+                |SELECT doc_id, array_to_string([${sigExprs.mkString(", ")}], ',') AS sig_csv FROM hs
                 |ORDER BY doc_id""".stripMargin)
       }),
 

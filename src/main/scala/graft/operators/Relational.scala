@@ -84,7 +84,7 @@ object Relational {
         .agg(count(lit(1)).as("n_total"), count(col("st")).as("n_nonnull"),
           sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_null")),
       Some("""SELECT COUNT(*) AS n_total, COUNT(st) AS n_nonnull,
-             |       SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS n_null
+             |       CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
              |FROM (SELECT NULLIF(l_linestatus, 'F') AS st FROM lineitem)""".stripMargin)),
 
     // -- projections --------------------------------------------------------

@@ -52,7 +52,19 @@ class SourcesSpec extends AnyFunSuite {
   test("file-based streaming source replays parquet micro-batches") {
     val dir = Files.createTempDirectory("graft_fstream").toString
     val events = Tables.events(spark, sf)
-    events.repartition(4).write.mode("overwrite").parquet(dir)
+    // The replay must be event-time-ordered: dedupStream carries a 1 h
+    // watermark, and out-of-order file arrival can legitimately drop a
+    // key whose only events sit far behind the advanced watermark —
+    // arrival order is not part of the operator contract, so the test
+    // pins it by writing event-time quartiles as mod-time-ascending
+    // files (FileStreamSource replays oldest-first).
+    val buckets = events.withColumn("b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    (1 to 4).foreach { b =>
+      buckets.filter(col("b") === b).drop("b")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+    }
     val stream = spark.readStream
       .schema(events.schema)
       .option("maxFilesPerTrigger", "1")
@@ -61,8 +73,6 @@ class SourcesSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("t_fsource").outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("t_fsource").select("user_id", "event_type")
-    // file order is not event-time order, so only the key set is
-    // deterministic (which first event wins depends on arrival order)
     val batch = events.select("user_id", "event_type").distinct()
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).count() === 0L)

@@ -21,7 +21,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class ContractError(Exception):
+    """Output violates the driver harness's comparator contract."""
+
+
 def norm(v):
+    # The driver's pandas comparator cannot sort/hash array-typed cells —
+    # mirror that here so an array output column fails locally too.
+    if isinstance(v, (list, tuple)):
+        raise ContractError("array-typed output column (driver pandas "
+                            "sort_values would raise; serialize with "
+                            "array_join/array_to_string)")
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -66,9 +76,17 @@ def main():
         if not spark_dir.exists():
             print(f"MISSING  {name} (no spark output)"); n_fail += 1; continue
         try:
-            duck = con.execute(sql)
-            dcols = [c[0] for c in duck.description]
-            drows = duck.fetchall()
+            rel = con.sql(sql)
+            dcols = list(rel.columns)
+            # DuckDB SUM(INTEGER/BIGINT) yields HUGEINT (int128), which the
+            # driver hashes differently from Spark's BIGINT even when values
+            # are equal — require an explicit CAST in the oracle SQL.
+            huge = [c for c, t in zip(dcols, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"FAIL     {name}: HUGEINT oracle column(s) {huge} "
+                      f"(wrap in CAST(... AS BIGINT))"); n_fail += 1; continue
+            drows = rel.fetchall()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}"); n_fail += 1; continue
         try:
@@ -77,8 +95,11 @@ def main():
             srows = sp.fetchall()
         except Exception as e:
             print(f"SPARK-ERR {name}: {e}"); n_fail += 1; continue
-        dc, dr = canon(drows, dcols)
-        sc, sr = canon(srows, scols)
+        try:
+            dc, dr = canon(drows, dcols)
+            sc, sr = canon(srows, scols)
+        except ContractError as e:
+            print(f"FAIL     {name}: {e}"); n_fail += 1; continue
         if dc != sc:
             print(f"FAIL     {name}: columns duck={dc} spark={sc}"); n_fail += 1; continue
         if len(dr) != len(sr):
