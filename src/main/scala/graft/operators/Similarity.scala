@@ -50,14 +50,33 @@ object Similarity {
     s"(CAST(list_sum(list_transform(list_zip($x, $y), " +
       s"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 100000000000000) AS BIGINT))) AS DOUBLE) / 100000000000000)"
 
-  /** Sign-bit LSH bucket from the first 8 coordinates (both dialects —
-    * the expression text is dialect-neutral except for element access). */
-  private def bucketExpr(elem: Int => String): String =
-    (0 until 8).map(i => s"(CASE WHEN ${elem(i + 1)} > 0 THEN ${1 << i} ELSE 0 END)")
+  /** Sign-bit LSH bucket from the first `bits` coordinates (both dialects
+    * — the expression text is dialect-neutral except for element access).
+    * The hyperplanes are the coordinate axes: fixed and data-independent,
+    * so both engines and any two cluster runs agree. `bits` MUST scale
+    * with log(N): the probe join costs ~N²/2^bits, so a fixed bucket
+    * count stops working at 100× the rows — [[lshBitsFor]] is the
+    * sizing rule, and the LSH/IVF queries run at two settings to pin
+    * that the knob actually steers bucket population (ScaleSpec bounds
+    * the max bucket). Capped at the embedding dimension (64 here). */
+  private[graft] def bucketExpr(bits: Int, elem: Int => String): String =
+    (0 until bits).map(i => s"(CASE WHEN ${elem(i + 1)} > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  private val sparkBucket = bucketExpr(i => s"element_at(embedding, $i)")
-  private val duckBucket  = bucketExpr(i => s"embedding[$i]")
+  private[graft] def sparkBucket(bits: Int) = bucketExpr(bits, i => s"element_at(embedding, $i)")
+  private[graft] def duckBucket(bits: Int)  = bucketExpr(bits, i => s"embedding[$i]")
+
+  /** log(N) sizing for the LSH bit count: 2^bits ≈ N / targetBucket,
+    * clamped to [4, dim]. At N=500 → 4–10 bits; at N=10⁹ (a 100 TB
+    * corpus) → ~25 bits, keeping expected bucket population constant. */
+  def lshBitsFor(n: Long, dim: Int = 64, targetBucket: Int = 32): Int =
+    math.min(dim, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
+
+  /** √N sizing for the IVF coarse-quantizer cell count: probe cost is
+    * N/cells per query and assignment cost is N·cells, balanced at √N. */
+  def ivfCellsFor(n: Long): Int =
+    math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
 
   /** vec_id, embedding, nrm (L2 norm as double) — Spark side. */
   private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -66,6 +85,106 @@ object Similarity {
 
   private val duckNormCte =
     s"n AS (SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)"
+
+  /** LSH ANN at a given hyperplane count: bucket assignment is map work,
+    * candidates come from an equi-join on the bucket id, top-1 per query
+    * by a window keyed on q_id. The only shuffles are the bucket join
+    * and the per-query window — both keyed, both skew-bounded because
+    * 2^bits tracks N ([[lshBitsFor]]). */
+  def lshAnn(s: org.apache.spark.sql.SparkSession, d: String, bits: Int,
+             queryLimit: Int = 100): org.apache.spark.sql.DataFrame = {
+    val b = withNorm(s, d).selectExpr("vec_id", "embedding", "nrm", s"${sparkBucket(bits)} AS bucket")
+    val q = b.filter(col("vec_id") < queryLimit).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val c = b.select(
+      col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"), col("bucket").as("c_bucket"))
+    val scored = q.join(c, col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "q_bucket", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("q_id")))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("q_bucket").as("bucket"), col("c_id").as("nn_id"),
+        col("cosine"), col("n_cand"))
+      .orderBy("q_id")
+  }
+
+  /** IVF ANN at a given coarse-quantizer size: centroids are the first
+    * `cells` vectors (deterministic, no trained state), broadcast to
+    * assign every vector its nearest cell; probes equi-join on the cell.
+    * Complements sign-LSH (hash-bucketed vs centroid-bucketed recall). */
+  def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String, cells: Int)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.ensureCosine(s)
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val cellFrame = e.join(broadcast(cent))
+      .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val q = cellFrame.filter(col("vec_id").between(100, 119))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val c = cellFrame.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("cell").as("c_cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    q.join(c, col("cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "cell", "c_id", "cosine_sim(q_emb, c_emb) AS cosine")
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select("q_id", "cell", "c_id", "cosine")
+      .orderBy("q_id")
+  }
+
+  /** DuckDB twin of [[ivfAnn]], generated from the same parameters. */
+  def ivfOracle(cells: Int): String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |             FROM embeddings WHERE vec_id < $cells),
+       |assign AS (
+       |  SELECT vec_id, embedding, cent_id,
+       |    ${duckDot("embedding", "cent_emb")}
+       |      / (sqrt(${duckDot("embedding", "embedding")})
+       |         * sqrt(${duckDot("cent_emb", "cent_emb")})) AS c_cos
+       |  FROM embeddings CROSS JOIN cent),
+       |cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |              ORDER BY c_cos DESC, cent_id) AS rn FROM assign)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id,
+       |    ${duckDot("q.embedding", "c.embedding")}
+       |      / (sqrt(${duckDot("q.embedding", "q.embedding")})
+       |         * sqrt(${duckDot("c.embedding", "c.embedding")})) AS cosine
+       |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id BETWEEN 100 AND 119)
+       |SELECT q_id, cell, c_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |            ORDER BY cosine DESC, c_id) AS rn FROM probe)
+       |WHERE rn = 1 ORDER BY q_id""".stripMargin
+
+  /** DuckDB twin of [[lshAnn]], generated from the same parameters. */
+  def lshOracle(bits: Int, queryLimit: Int = 100): String =
+    s"""WITH $duckNormCte,
+       |b AS (SELECT vec_id, embedding, nrm, ${duckBucket(bits)} AS bucket FROM n),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS c_id,
+       |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $queryLimit),
+       |ranked AS (
+       |  SELECT q_id, bucket, c_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk,
+       |         COUNT(*) OVER (PARTITION BY q_id) AS n_cand
+       |  FROM scored)
+       |SELECT q_id, bucket, c_id AS nn_id, cosine, n_cand FROM ranked WHERE rnk = 1
+       |ORDER BY q_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -100,42 +219,10 @@ object Similarity {
 
     // LSH-bucketed approximate nearest neighbor: equi-join on the sign
     // bucket, top-1 within bucket (queries whose bucket holds no other
-    // vector drop out — approximate by construction).
-    QueryDef(
-      "q_sim_lsh",
-      (s, d) => {
-        val b = withNorm(s, d).selectExpr("vec_id", "embedding", "nrm", s"$sparkBucket AS bucket")
-        val q = b.filter(col("vec_id") < 100).select(
-          col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
-        val c = b.select(
-          col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("nrm").as("c_nrm"), col("bucket").as("c_bucket"))
-        val scored = q.join(c, col("q_bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
-          .selectExpr("q_id", "q_bucket", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
-        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-        scored
-          .withColumn("rnk", row_number().over(w))
-          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("q_id")))
-          .filter(col("rnk") === 1)
-          .select(col("q_id"), col("q_bucket").as("bucket"), col("c_id").as("nn_id"),
-            col("cosine"), col("n_cand"))
-          .orderBy("q_id")
-      },
-      Some(s"""WITH $duckNormCte,
-              |b AS (SELECT vec_id, embedding, nrm, $duckBucket AS bucket FROM n),
-              |scored AS (
-              |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS c_id,
-              |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
-              |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-              |  WHERE q.vec_id < 100),
-              |ranked AS (
-              |  SELECT q_id, bucket, c_id, cosine,
-              |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk,
-              |         COUNT(*) OVER (PARTITION BY q_id) AS n_cand
-              |  FROM scored)
-              |SELECT q_id, bucket, c_id AS nn_id, cosine, n_cand FROM ranked WHERE rnk = 1
-              |ORDER BY q_id""".stripMargin)),
+    // vector drop out — approximate by construction). Two settings are
+    // oracle-checked so the bit-count knob itself is under test.
+    QueryDef("q_sim_lsh", (s, d) => lshAnn(s, d, bits = 8), Some(lshOracle(bits = 8))),
+    QueryDef("q_sim_lsh_scaled", (s, d) => lshAnn(s, d, bits = 10), Some(lshOracle(bits = 10))),
 
     // Native-expression path: the same quantized cosine as a custom
     // Catalyst Expression with codegen ([[graft.functions.CosineSim]])
@@ -164,63 +251,15 @@ object Similarity {
               |  WHERE x.vec_id < 50)
               |WHERE cosine >= 0.3 ORDER BY a, b""".stripMargin)),
 
-    // IVF-style ANN: a fixed coarse quantizer (centroids = the first 8
-    // vectors — deterministic, no trained state) assigns every vector to
-    // its nearest cell; queries probe ONLY their own cell. The inverted
-    // structure is the point: at 100 TB the cell assignment is one
-    // broadcast-join map pass, and each probe touches |cell| ≈ N/8
-    // candidates instead of N. Complements the sign-LSH variant above
-    // (hash-bucketed vs centroid-bucketed recall trade-offs).
-    QueryDef(
-      "q_sim_ivf",
-      (s, d) => {
-        graft.functions.GraftFunctions.ensureCosine(s)
-        val e = Tables.embeddings(s, d)
-        val cent = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(col("c_cos").desc, col("cent_id"))
-        val cells = e.join(broadcast(cent))
-          .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-        val q = cells.filter(col("vec_id").between(100, 119))
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
-        val c = cells.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("cell").as("c_cell"))
-        val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-        q.join(c, col("cell") === col("c_cell") && col("q_id") =!= col("c_id"))
-          .selectExpr("q_id", "cell", "c_id", "cosine_sim(q_emb, c_emb) AS cosine")
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") === 1)
-          .select("q_id", "cell", "c_id", "cosine")
-          .orderBy("q_id")
-      },
-      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-              |             FROM embeddings WHERE vec_id < 8),
-              |assign AS (
-              |  SELECT vec_id, embedding, cent_id,
-              |    ${duckDot("embedding", "cent_emb")}
-              |      / (sqrt(${duckDot("embedding", "embedding")})
-              |         * sqrt(${duckDot("cent_emb", "cent_emb")})) AS c_cos
-              |  FROM embeddings CROSS JOIN cent),
-              |cells AS (
-              |  SELECT vec_id, embedding, cent_id AS cell FROM (
-              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-              |              ORDER BY c_cos DESC, cent_id) AS rn FROM assign)
-              |  WHERE rn = 1),
-              |probe AS (
-              |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id,
-              |    ${duckDot("q.embedding", "c.embedding")}
-              |      / (sqrt(${duckDot("q.embedding", "q.embedding")})
-              |         * sqrt(${duckDot("c.embedding", "c.embedding")})) AS cosine
-              |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-              |  WHERE q.vec_id BETWEEN 100 AND 119)
-              |SELECT q_id, cell, c_id, cosine FROM (
-              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
-              |            ORDER BY cosine DESC, c_id) AS rn FROM probe)
-              |WHERE rn = 1 ORDER BY q_id""".stripMargin)),
+    // IVF-style ANN: a fixed coarse quantizer (centroids = the first
+    // `cells` vectors — deterministic, no trained state) assigns every
+    // vector to its nearest cell; queries probe ONLY their own cell. The
+    // inverted structure is the point: at 100 TB the cell assignment is
+    // one broadcast-join map pass, and each probe touches |cell| ≈
+    // N/cells candidates instead of N. `cells` must track √N
+    // ([[ivfCellsFor]]) — two settings oracle-checked to pin the knob.
+    QueryDef("q_sim_ivf", (s, d) => ivfAnn(s, d, cells = 8), Some(ivfOracle(cells = 8))),
+    QueryDef("q_sim_ivf_scaled", (s, d) => ivfAnn(s, d, cells = 22), Some(ivfOracle(cells = 22))),
 
     // Embedding-cosine near-dup pairs, brute force (verify-scale
     // baseline; the LSH bucket join above is the 100 TB shape).

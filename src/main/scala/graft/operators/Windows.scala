@@ -181,22 +181,56 @@ object Windows {
              |ORDER BY event_id""".stripMargin)),
 
     // ntile over a unique ordering (deterministic bucket assignment),
-    // summarized per bucket.
+    // summarized per bucket. ntile is semantically global, but the
+    // built-in `ntile().over(Window.orderBy(...))` funnels every row
+    // through ONE task — [[distributedNtile]] is the range-partitioned
+    // equivalent (exact same buckets, no single-task stage).
     QueryDef(
       "q_win_ntile",
-      (s, d) => {
-        val w = Window.orderBy(col("o_orderkey"))
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
-          .groupBy("quartile")
-          .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"),
-            max("o_orderkey").as("max_key"))
-          .orderBy("quartile")
-      },
+      (s, d) => distributedNtile(s, d, k = 4, partitions = 8),
       Some("""SELECT quartile, COUNT(*) AS n, MIN(o_orderkey) AS min_key,
              |       MAX(o_orderkey) AS max_key
              |FROM (SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_orderkey) AS quartile
              |      FROM orders)
              |GROUP BY quartile ORDER BY quartile""".stripMargin))
   )
+
+  /** Exact NTILE(k) without a global single-task window: range-partition
+    * on the ordering key (partition order == key order), per-partition
+    * row_number, then per-partition row counts (numPartitions rows) give
+    * exclusive prefix offsets and the grand total; broadcast back, add,
+    * and apply SQL-standard NTILE arithmetic — the first (N mod k)
+    * buckets get ceil(N/k) rows, the rest floor(N/k). Bit-for-bit equal
+    * to the built-in, but the only global window runs over one row per
+    * partition. */
+  private[graft] def distributedNtile(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int, partitions: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val base = Tables.orders(s, d).select("o_orderkey")
+      .repartitionByRange(partitions, col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy("o_orderkey")
+    val local = base.withColumn("local_rn", row_number().over(wLocal).cast("long"))
+    val wPrefix = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wPrefix), lit(0L)))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select("pid", "offset", "total")
+    local.join(broadcast(offsets), "pid")
+      .selectExpr("o_orderkey", "local_rn + offset AS rn", "total",
+        s"total DIV $k AS qsize", s"total % $k AS rem")
+      .selectExpr("o_orderkey",
+        // SQL-standard ntile: rows 1..rem*(qsize+1) fall in the first rem
+        // (larger) buckets; the remainder spreads over qsize-row buckets.
+        s"""CAST(CASE WHEN qsize = 0 THEN rn
+           |  WHEN rn <= rem * (qsize + 1) THEN (rn - 1) DIV (qsize + 1) + 1
+           |  ELSE rem + (rn - rem * (qsize + 1) - 1) DIV qsize + 1
+           |END AS INT) AS quartile""".stripMargin)
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("quartile")
+  }
 }

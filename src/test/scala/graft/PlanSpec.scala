@@ -77,21 +77,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_join_anti").contains("LeftAnti"), plan("q_join_anti"))
   }
 
-  test("q_text_pack cumsum is distributed: no global window over the raw table") {
+  test("global-order queries (cumsum, ntile) never window over the raw table") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val lp = SparkEntry.queries("q_text_pack")(spark, sf)
-      .queryExecution.optimizedPlan
-    val globalWins = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-    // The only partitionBy-less window allowed is the prefix-offset pass,
-    // which must sit on top of an Aggregate (one row per partition) —
-    // never directly over the corpus scan.
-    globalWins.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-        s"global window runs over the raw table:\n$lp")
+    for (name <- Seq("q_text_pack", "q_win_ntile")) {
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val globalWins = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      // The only partitionBy-less window allowed is the prefix-offset
+      // pass, which must sit on top of an Aggregate (one row per
+      // partition) — never directly over the corpus scan.
+      globalWins.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$name: global window runs over the raw table:\n$lp")
+      }
+      // and the per-row pass must be a partitioned window
+      val partitioned = lp.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
+      assert(partitioned.nonEmpty, s"$name: expected a partitionBy window:\n$lp")
     }
-    // and the per-row running sum must be a partitioned window
-    val partitioned = lp.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
-    assert(partitioned.nonEmpty, s"expected a partitionBy running-sum window:\n$lp")
   }
 
   test("minhash candidate generation is an equi-join, never a nested-loop product") {

@@ -82,4 +82,37 @@ class ScaleSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
   }
+
+  test("LSH bit count steers bucket population (the log(N) scaling knob)") {
+    import operators.Similarity
+    def maxBucket(bits: Int): Long =
+      Tables.embeddings(spark, sf)
+        .selectExpr(s"${Similarity.bucketExpr(bits, i => s"element_at(embedding, $i)")} AS bucket")
+        .groupBy("bucket").count().agg(max("count")).head.getLong(0)
+    val n = Tables.embeddings(spark, sf).count()
+    val at4 = maxBucket(4)
+    val at10 = maxBucket(10)
+    // raising bits must shrink the worst bucket, and the probe join's
+    // worst key must stay far below the quadratic regime
+    assert(at10 < at4, s"bits=10 max bucket $at10 !< bits=4 max bucket $at4")
+    assert(at10 <= n / 16, s"bits=10 max bucket $at10 too close to N=$n")
+    // the sizing rule tracks log(N): 100× rows → +~7 bits, constant bucket
+    assert(Similarity.lshBitsFor(500) < Similarity.lshBitsFor(50000))
+    assert(Similarity.lshBitsFor(50000) < Similarity.lshBitsFor(5000000))
+    assert(Similarity.lshBitsFor(Long.MaxValue) <= 64) // capped at dim
+    assert(Similarity.ivfCellsFor(1000000) === 1000)   // √N cells
+  }
+
+  test("distributed ntile matches the built-in global-window ntile exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val builtin = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        ntile(4).over(Window.orderBy(col("o_orderkey"))).as("quartile"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+    val distributed = SparkEntry.queries("q_win_ntile")(spark, sf)
+    assert(distributed.exceptAll(builtin).count() === 0L)
+    assert(builtin.exceptAll(distributed).count() === 0L)
+  }
 }
