@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
+      sources.FileFormats.defs ++
       streaming.StreamingTwins.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

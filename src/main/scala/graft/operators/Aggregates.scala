@@ -90,6 +90,31 @@ object Aggregates {
              |FROM (SELECT approx_count_distinct(l_partkey) AS approx,
              |             COUNT(DISTINCT l_partkey) AS exact FROM lineitem)""".stripMargin)),
 
+    // approx_percentile, same contract style as q_agg_hll: sketches (and
+    // their partial-merge orders) differ across engines, so the checkable
+    // claim is the accuracy bound — each engine's approximate median lands
+    // within 5% of its own exact range. The approx value itself is never
+    // output (a GK/t-digest summary is not hash-stable); the boolean is.
+    QueryDef(
+      "q_agg_approxpct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact"),
+          max(col("l_extendedprice")).as("mx"), min(col("l_extendedprice")).as("mn"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("approx") - col("exact")) <= (col("mx") - col("mn")) * 0.05).as("within_eps"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, n, ABS(approx - exact) <= (mx - mn) * 0.05 AS within_eps
+             |FROM (SELECT l_returnflag,
+             |        approx_quantile(l_extendedprice, 0.5) AS approx,
+             |        quantile_cont(l_extendedprice, 0.5) AS exact,
+             |        MAX(l_extendedprice) AS mx, MIN(l_extendedprice) AS mn,
+             |        COUNT(*) AS n
+             |      FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // ROLLUP / CUBE: group cols coalesced to a sentinel so the compare
     // avoids engine-specific NULL ordering (data itself is null-free).
     QueryDef(

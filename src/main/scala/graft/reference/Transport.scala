@@ -54,12 +54,20 @@ final class InMemoryTransport extends RecordTransport {
 
 /** Kafka/MSK config — the plain-config replacement for the reference's
   * SSM parameter lookups. `saslIam = true` reproduces the MSK IAM auth
-  * option block (`temReadFromTopic.py:45-54`). */
+  * option block (`temReadFromTopic.py:44-57`,
+  * `03_temStreamEveryMin.py:48-57`, `temDataRead.py:64-74`), including
+  * the client truststore path the reference installs on every executor.
+  * KafkaContractSpec golden-checks these maps key-for-key against the
+  * reference scripts' literal option dicts. */
 final case class KafkaConfig(
     bootstrapServers: String,
     topic: String,
-    saslIam: Boolean = false) {
+    saslIam: Boolean = false,
+    truststoreLocation: String = "/tmp/kafka.client.truststore.jks") {
 
+  /** Streaming read options (`03_temStreamEveryMin.py:41-57`); the batch
+    * consumer adds `endingOffsets=latest` (`temReadFromTopic.py:41-42`),
+    * which [[KafkaTransport.readBatch]] appends. */
   def readOptions: Map[String, String] = Map(
     "kafka.bootstrap.servers" -> bootstrapServers,
     "subscribe" -> topic,
@@ -72,6 +80,7 @@ final case class KafkaConfig(
   private def authOptions: Map[String, String] =
     if (!saslIam) Map.empty
     else Map(
+      "kafka.ssl.truststore.location" -> truststoreLocation,
       "kafka.security.protocol" -> "SASL_SSL",
       "kafka.sasl.mechanism" -> "AWS_MSK_IAM",
       "kafka.sasl.jaas.config" ->

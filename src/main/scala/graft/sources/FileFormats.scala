@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** ORC and Avro file sources — the two lake formats SURVEY.md §2.2 named
+  * absent from the reference (its only file I/O is CSV,
+  * `pyspark_scripts/temDataRead.py:21-25`). Spark 4 bundles both readers;
+  * a real 100 TB lake is mixed-format, so "switch to this engine" has to
+  * include them.
+  *
+  * Oracle strategy: the Spark side round-trips a projection of a testdata
+  * table through the format under test (write → read back → aggregate);
+  * DuckDB computes the same aggregate from the original parquet. A lossy
+  * format round-trip (types, timestamps, nulls) breaks the hash match, so
+  * the comparison covers the serialization itself, not just the reader
+  * API. Only exact-typed columns (ints, strings, timestamps) are
+  * aggregated — double sums would need the Parity decimal path and prove
+  * nothing extra about the format.
+  *
+  * The round-trip slice is written under java.io.tmpdir, keyed by input
+  * dir, `overwrite` mode — idempotent per (sf, format).
+  */
+object FileFormats {
+
+  /** This distribution bundles `AvroFileFormat` inside spark-sql but does
+    * NOT register the `avro` short name (lookupDataSource special-cases
+    * the bare name into a "deploy spark-avro" error) — the fully
+    * qualified class name loads the same built-in format directly. */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def sliceDir(d: String, fmt: String): String = {
+    val key = java.lang.Integer.toHexString(d.hashCode)
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip/${fmt}_$key"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_scan_orc",
+      (s, d) => {
+        val dir = sliceDir(d, "orc")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_shipdate")
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_linenumber").cast("long")).as("sum_line"),
+            min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"),
+            min("l_shipdate").as("first_ship"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+             |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+             |  MIN(l_shipdate) AS first_ship
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q_scan_avro",
+      (s, d) => {
+        val dir = sliceDir(d, "avro")
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+          .write.mode("overwrite").format(AvroFormat).save(dir)
+        s.read.format(AvroFormat).load(dir)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum("o_custkey").as("sum_cust"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+            min("o_orderdate").as("first_date"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+             |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             |  MIN(o_orderdate) AS first_date
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+  )
+}

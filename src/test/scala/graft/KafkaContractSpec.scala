@@ -1,0 +1,68 @@
+package graft
+
+import graft.reference.KafkaConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden spec of the Kafka/MSK option contract against the reference
+  * scripts' literal option dicts. No broker or connector jar exists in
+  * this environment (zero egress, no spark-sql-kafka on the classpath),
+  * so the wire itself can't be integration-tested here — what CAN be
+  * pinned is that a user pointing [[graft.reference.KafkaTransport]] at
+  * real MSK sends exactly the options the reference pipelines send.
+  *
+  * Sources of truth (key-for-key, value-for-value):
+  *  - batch read:  `temReadFromTopic.py:36-59`
+  *  - stream read: `03_temStreamEveryMin.py:41-57`
+  *  - write:       `temDataRead.py:60-74`
+  */
+class KafkaContractSpec extends AnyFunSuite {
+
+  private val cfg = KafkaConfig(
+    bootstrapServers = "b-1.example:9098,b-2.example:9098",
+    topic = "topicB",
+    saslIam = true)
+
+  private val referenceAuthBlock = Map(
+    "kafka.ssl.truststore.location" -> "/tmp/kafka.client.truststore.jks",
+    "kafka.security.protocol" -> "SASL_SSL",
+    "kafka.sasl.mechanism" -> "AWS_MSK_IAM",
+    "kafka.sasl.jaas.config" ->
+      "software.amazon.msk.auth.iam.IAMLoginModule required;",
+    "kafka.sasl.client.callback.handler.class" ->
+      "software.amazon.msk.auth.iam.IAMClientCallbackHandler")
+
+  test("batch-consumer options equal temReadFromTopic.py's options_read") {
+    val expected = Map(
+      "kafka.bootstrap.servers" -> "b-1.example:9098,b-2.example:9098",
+      "subscribe" -> "topicB",
+      "startingOffsets" -> "earliest",
+      "endingOffsets" -> "latest") ++ referenceAuthBlock
+    assert(cfg.readOptions + ("endingOffsets" -> "latest") === expected)
+  }
+
+  test("stream-consumer options equal 03_temStreamEveryMin.py's options_read") {
+    val expected = Map(
+      "kafka.bootstrap.servers" -> "b-1.example:9098,b-2.example:9098",
+      "subscribe" -> "topicB",
+      "startingOffsets" -> "earliest") ++ referenceAuthBlock
+    assert(cfg.readOptions === expected)
+  }
+
+  test("producer options equal temDataRead.py's options_write") {
+    val expected = Map(
+      "kafka.bootstrap.servers" -> "b-1.example:9098,b-2.example:9098",
+      "topic" -> "topicB") ++ referenceAuthBlock
+    assert(cfg.writeOptions === expected)
+  }
+
+  test("plain (non-IAM) config carries no auth options — local-broker mode") {
+    val local = KafkaConfig("localhost:9092", "t")
+    assert(local.readOptions === Map(
+      "kafka.bootstrap.servers" -> "localhost:9092",
+      "subscribe" -> "t",
+      "startingOffsets" -> "earliest"))
+    assert(local.writeOptions === Map(
+      "kafka.bootstrap.servers" -> "localhost:9092",
+      "topic" -> "t"))
+  }
+}

@@ -31,6 +31,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(events.exceptAll(back).count() === 0L)
   }
 
+  test("ORC source round-trips the lineitem slice losslessly") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val slice = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_shipdate")
+    slice.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === slice.schema)
+    assert(back.exceptAll(slice).count() === 0L)
+    assert(slice.exceptAll(back).count() === 0L)
+  }
+
+  test("Avro source round-trips the orders slice losslessly") {
+    val dir = Files.createTempDirectory("graft_avro").toString
+    val slice = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    slice.write.mode("overwrite").format(graft.sources.FileFormats.AvroFormat).save(dir)
+    val back = spark.read.format(graft.sources.FileFormats.AvroFormat).load(dir)
+    assert(back.exceptAll(slice).count() === 0L)
+    assert(slice.exceptAll(back).count() === 0L)
+  }
+
   test("pipe-CSV sink writes header + overwrite and reads back") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val transport = new InMemoryTransport
