@@ -52,6 +52,31 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(spark.catalog.functionExists("cosine_sim"))
   }
 
+  test("UDF fallback path: an extension-less session gets identical cosine results") {
+    // Simulates a host harness's own session (no GraftExtensions): drop
+    // the injected function from a fresh session state, let ensureCosine
+    // take the degraded UDF branch, and pin result equality with the
+    // native expression — plus the entry() smoke the driver runs.
+    val vanilla = spark.newSession()
+    vanilla.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))
+    assert(!vanilla.catalog.functionExists("cosine_sim"))
+    GraftFunctions.ensureCosine(vanilla)
+    assert(vanilla.catalog.functionExists("cosine_sim"))
+
+    def pairs(s: org.apache.spark.sql.SparkSession) = {
+      val e = Tables.embeddings(s, sf).limit(40)
+      val x = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val y = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      x.join(y, col("a") < col("b"))
+        .selectExpr("a", "b", "cosine_sim(ea, eb) AS c")
+        .orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    assert(pairs(vanilla).toSeq === pairs(spark).toSeq)
+    assert(SparkEntry.entry(vanilla).count() > 0)
+  }
+
   test("MinHashSignature Aggregator reproduces the HOF signatures per document") {
     MinHashSignature.ensureRegistered(spark)
     val agg = Dedup.shingleFrame(spark, sf)
