@@ -77,9 +77,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(cpus)
 
-    val names =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
-      else headline.filter(SparkEntry.queries.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      // dev knob: time a comma-separated subset without the full sweep
+      case Some(only) => only.split(',').toSeq.filter(SparkEntry.queries.contains)
+      case None =>
+        if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
+        else headline.filter(SparkEntry.queries.contains)
+    }
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

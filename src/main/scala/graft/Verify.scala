@@ -14,6 +14,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any output from a previous run: a stale result dir would
+        // otherwise mask this failure as a pass in the comparator
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          stale.listFiles().foreach(_.delete()); stale.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

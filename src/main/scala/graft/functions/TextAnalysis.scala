@@ -61,9 +61,11 @@ object TextAnalysis {
     val local = docs.withColumn("local_cum", sum(col("n_toks")).over(wLocal))
     // One row per partition; the exclusive prefix window is global but
     // runs over `partitions` rows, which is bounded by cluster size.
+    // Offsets derive from `docs` (pre-window), not `local`: the join
+    // reuses the shuffle but would re-execute a window-bearing branch.
     val wPrefix = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("pid")
+    val offsets = docs.groupBy("pid")
       .agg(sum(col("n_toks")).as("part_toks"))
       .withColumn("offset", coalesce(sum(col("part_toks")).over(wPrefix), lit(0L)))
       .select("pid", "offset")
@@ -274,6 +276,46 @@ object TextAnalysis {
               |  FROM (SELECT doc_id, ${duckTokHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
               |        FROM documents))
               |GROUP BY split ORDER BY split""".stripMargin)),
+
+    // TF-IDF top term per document — the canonical corpus-statistics op:
+    // term frequency is an explode + groupBy (map-side combinable),
+    // document frequency aggregates the (doc, term) pairs again, and the
+    // small term-frequency table broadcast-joins back. At 100 TB both
+    // aggregations shuffle once on their keys; nothing is quadratic.
+    // ln() is not correctly rounded cross-engine, so the score is rounded
+    // to 6 dp on both sides (same rule as every ln/exp output here).
+    QueryDef(
+      "q_text_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(total))
+          .selectExpr("doc_id", "term",
+            "round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select("doc_id", "term", "score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             |total AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.term AS term,
+             |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+             |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total)
+             |SELECT doc_id, term, score FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |            ORDER BY score DESC, term) AS rnk FROM scored)
+             |WHERE rnk = 1 ORDER BY doc_id""".stripMargin)),
 
     // Document fingerprint: left-fold rolling hash over md5-derived token
     // hashes, mod 1e9+7 at each step (no overflow: h*31 + tok < 2^63).

@@ -211,10 +211,12 @@ object Windows {
       .withColumn("pid", spark_partition_id())
     val wLocal = Window.partitionBy("pid").orderBy("o_orderkey")
     val local = base.withColumn("local_rn", row_number().over(wLocal).cast("long"))
+    // offsets derive from `base` (pre-window), not `local`: the join
+    // reuses the shuffle but would re-execute a window-bearing branch
     val wPrefix = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = base.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("offset", coalesce(sum(col("cnt")).over(wPrefix), lit(0L)))
       .withColumn("total", sum(col("cnt")).over(wAll))
       .select("pid", "offset", "total")
