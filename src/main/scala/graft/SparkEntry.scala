@@ -19,6 +19,7 @@ object SparkEntry {
       functions.Scalars.defs ++
       functions.TextAnalysis.defs ++
       operators.Dedup.defs ++
+      operators.Clustering.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       sources.FileFormats.defs ++

@@ -18,76 +18,108 @@ object Aggregates {
   import Parity._
 
   /** Exact interpolated percentiles (quantile_cont semantics) without a
-    * value-indexed hashmap and without ever sorting the raw rows.
+    * value-indexed hashmap and without ever sorting or range-shuffling
+    * the raw rows.
     *
     * The built-in `percentile` aggregate buffers every distinct value
     * per group in an OpenHashMap and merges those maps across partials —
     * O(distinct) executor state that dies when a group holds billions of
-    * values (and measured 2.9 s at sf0.1). Instead:
+    * values (measured 2.9 s at sf0.1; and for near-unique doubles like
+    * prices, "distinct" ≈ "all", so a distinct-count reduction doesn't
+    * save anything either). Instead, a sketch-bracketed exact selection:
     *
-    *  1. all requested value columns stack into one (group, which, v)
-    *     frame and hash-aggregate to distinct-value counts — map-side
-    *     combinable, the ONLY pass over the raw data;
-    *  2. the counts frame (≤ distinct values, usually ≪ rows) gets a
-    *     global per-(group, column) cumulative count via the two-pass
-    *     range-slice cumsum (same pattern as distributedNtile /
-    *     distributedCumsumPack): range-partition, per-slice running sum
-    *     in a streaming window frame, tiny per-slice totals → broadcast
-    *     prefix offsets. No stage buffers more than one slice;
-    *  3. a percentile's interpolation rank r lands in the distinct value
-    *     whose cumulative range covers it (cum-cnt < r ≤ cum); keep only
-    *     those rows and interpolate `lower + frac * (higher - lower)`.
+    *  1. one combinable scan computes, per (group, column), the non-null
+    *     count n and a GK sketch query (`approx_percentile`) at
+    *     p ± 3/accuracy. GK's deterministic rank guarantee (error ≤
+    *     n/accuracy) makes [lo, hi] a certain bracket of the target
+    *     order statistics — whatever partial-merge order produced the
+    *     sketch, so the final result stays run-deterministic;
+    *  2. one combinable scan counts values below the bracket
+    *     (the global rank offset);
+    *  3. the ONLY per-row machinery beyond scans runs on the ≤ 6n/accuracy
+    *     candidate rows inside the bracket: a row_number window ranks
+    *     them, global rank = below-count + local rank picks the floor-
+    *     and ceil-rank values, and `lo + frac * (hi - lo)` interpolates.
+    *
+    * At 100 TB: three scans are map-side-combinable aggregates at scan
+    * speed; sketch state is O(accuracy·log n) per group; the window sees
+    * ~6n/accuracy rows per (group, percentile) — pick accuracy ≈ √n to
+    * bound both ends (the default 1e4 holds candidates to ~600 rows per
+    * group at sf0.1 and ~600k at n=1e9·groups).
     */
   private[graft] def sortPercentiles(
       df: org.apache.spark.sql.DataFrame, group: String,
-      specs: Seq[(String, Seq[(Double, String)])]): org.apache.spark.sql.DataFrame = {
+      specs: Seq[(String, Seq[(Double, String)])],
+      accuracy: Int = 2000): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val stacked = specs.map { case (c, _) =>
-      s"struct('$c' AS which, CAST($c AS DOUBLE) AS v)"
-    }.mkString(", ")
-    val counts = df
-      .selectExpr(group, s"explode(array($stacked)) AS s")
-      .selectExpr(group, "s.which AS which", "s.v AS v")
-      .groupBy(group, "which", "v").agg(count(lit(1)).as("cnt"))
-      .repartitionByRange(parts, col(group), col("which"), col("v"))
-      .withColumn("pid", spark_partition_id())
-    val wLocal = Window.partitionBy("pid", group, "which").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = counts.withColumn("lcum", sum(col("cnt")).over(wLocal))
-    // one row per (slice, group, column); offsets derive from `counts`
-    // (pre-window) so the join reuses the shuffle without re-running the
-    // window branch, and the only global windows sit on an Aggregate
-    val wPrefix = Window.partitionBy(group, "which").orderBy("pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTotal = Window.partitionBy(group, "which")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = counts.groupBy("pid", group, "which").agg(sum(col("cnt")).as("scnt"))
-      .withColumn("offset", coalesce(sum(col("scnt")).over(wPrefix), lit(0L)))
-      .withColumn("n", sum(col("scnt")).over(wTotal))
-      .select(col("pid"), col(group), col("which"), col("offset"), col("n"))
-    val cum = local.join(broadcast(offsets), Seq("pid", group, "which"))
-      .withColumn("cum", col("lcum") + col("offset"))
-      .withColumn("cumprev", col("cum") - col("cnt"))
-    // keep only the distinct values covering a floor/ceil interpolation rank
+    val eps = 3.0 / accuracy
     val flat = specs.flatMap { case (c, ps) => ps.map { case (p, name) => (c, p, name) } }
-    def covers(p: Double, side: String) =
-      s"CAST($side($p * (n - 1)) AS BIGINT) + 1 BETWEEN cumprev + 1 AND cum"
-    val needed = flat.map { case (c, p, _) =>
-      s"which = '$c' AND (${covers(p, "floor")} OR ${covers(p, "ceil")})"
-    }.mkString("(", ") OR (", ")")
-    val aggs = flat.flatMap { case (c, p, name) =>
-      Seq(
-        max(expr(s"CASE WHEN which = '$c' AND ${covers(p, "floor")} THEN v END")).as(s"__lo_$name"),
-        max(expr(s"CASE WHEN which = '$c' AND ${covers(p, "ceil")} THEN v END")).as(s"__hi_$name"),
-        max(expr(s"CASE WHEN which = '$c' THEN $p * (n - 1) - floor($p * (n - 1)) END")).as(s"__frac_$name"))
+    // Pass 1: one combinable scan — a non-null count and ONE GK sketch
+    // per value column (queried at every bracket bound at once). No
+    // row-stacking explode: all columns aggregate in the same pass.
+    val aggs1 = specs.flatMap { case (c, ps) =>
+      val qs = ps.flatMap { case (p, _) =>
+        Seq(math.max(0.0, p - eps), math.min(1.0, p + eps))
+      }.mkString(", ")
+      Seq(count(col(c)).as(s"__n_$c"),
+        expr(s"approx_percentile(CAST($c AS DOUBLE), array($qs), $accuracy)").as(s"__q_$c"))
     }
-    cum.filter(expr(needed))
-      .groupBy(group)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(group) +: flat.map { case (_, _, name) =>
-        expr(s"__lo_$name + __frac_$name * (__hi_$name - __lo_$name)").as(name)
-      }: _*)
+    val sketch = df.groupBy(group).agg(aggs1.head, aggs1.tail: _*)
+    // Wide per-group spec row: bracket bounds + floor/ceil target ranks
+    // + interpolation fraction for every requested percentile. Broadcast.
+    val specCols = specs.flatMap { case (c, ps) =>
+      ps.zipWithIndex.flatMap { case ((p, name), j) =>
+        Seq(
+          expr(s"__q_$c[${2 * j}]").as(s"__lo_$name"),
+          expr(s"__q_$c[${2 * j + 1}]").as(s"__hi_$name"),
+          expr(s"CAST(floor($p * (__n_$c - 1)) AS BIGINT) + 1").as(s"__rf_$name"),
+          expr(s"CAST(ceil($p * (__n_$c - 1)) AS BIGINT) + 1").as(s"__rc_$name"),
+          expr(s"$p * (__n_$c - 1) - floor($p * (__n_$c - 1))").as(s"__frac_$name"))
+      }
+    }
+    val specFrame = sketch.select(col(group) +: specCols: _*)
+    val joined = df.join(broadcast(specFrame), Seq(group))
+    // Pass 2: global rank offsets — values below each bracket, every
+    // spec summed in the same combinable scan.
+    val aggs2 = flat.map { case (c, _, name) =>
+      sum(when(col(c).cast("double") < col(s"__lo_$name"), 1L).otherwise(0L))
+        .as(s"__below_$name")
+    }
+    val below = joined.groupBy(group).agg(aggs2.head, aggs2.tail: _*)
+    // Pass 3: explode ONLY the in-bracket candidates (≤ 6n/accuracy rows
+    // per spec — the filter sits inside the array so out-of-bracket rows
+    // emit nothing), rank them, and pick the floor/ceil-rank values by
+    // exact global rank = below-count + local rank.
+    val candStructs = flat.map { case (c, _, name) =>
+      s"CASE WHEN CAST($c AS DOUBLE) >= __lo_$name AND CAST($c AS DOUBLE) <= __hi_$name " +
+        s"THEN struct('$name' AS n, CAST($c AS DOUBLE) AS v) END"
+    }
+    val cands = joined
+      .selectExpr(group, s"explode(filter(array(${candStructs.mkString(", ")}), x -> x IS NOT NULL)) AS s")
+      .selectExpr(group, "s.n AS __name", "s.v AS __v")
+    def byName(prefix: String, cast: String) = expr(
+      s"CASE __name ${flat.map { case (_, _, n) => s"WHEN '$n' THEN ${prefix}_$n" }.mkString(" ")} END")
+      .cast(cast)
+    val wCand = Window.partitionBy(col(group), col("__name")).orderBy("__v")
+    val picked = cands
+      .withColumn("__lr", row_number().over(wCand))
+      .join(broadcast(below), Seq(group))
+      .join(broadcast(specFrame), Seq(group))
+      .withColumn("__gr", byName("__below", "bigint") + col("__lr"))
+      .withColumn("__rf", byName("__rf", "bigint"))
+      .withColumn("__rc", byName("__rc", "bigint"))
+      .withColumn("__frac", byName("__frac", "double"))
+      .filter(col("__gr") === col("__rf") || col("__gr") === col("__rc"))
+      .groupBy(group, "__name")
+      .agg(
+        max(when(col("__gr") === col("__rf"), col("__v"))).as("__vlo"),
+        max(when(col("__gr") === col("__rc"), col("__v"))).as("__vhi"),
+        first(col("__frac")).as("__f"))
+      .withColumn("__val", col("__vlo") + col("__f") * (col("__vhi") - col("__vlo")))
+    val outCols = flat.map { case (_, _, name) =>
+      max(when(col("__name") === name, col("__val"))).as(name)
+    }
+    picked.groupBy(group).agg(outCols.head, outCols.tail: _*)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -350,17 +382,14 @@ object Aggregates {
               |    FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 0.0) AS o_qty
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // Exact interpolated percentiles — Spark percentile() and DuckDB
-    // quantile_cont share the (1-g)*lo + g*hi definition over the sorted
-    // values, so results match bit-for-bit on identical input doubles.
-    // Exact percentiles via distributed sort, NOT the built-in
-    // `percentile` aggregate: the built-in buffers an OpenHashMap of
-    // every distinct value per group (O(distinct) executor state, heavy
-    // partial-merge — measured 2.9 s at sf0.1 vs ~1 s for the sort), and
-    // that state model dies at 100 TB where a group holds billions of
-    // distinct doubles. The sort form shuffles once per value column,
-    // ranks within groups, and touches only the two interpolation rows
-    // per (group, percentile).
+    // Exact interpolated percentiles — Spark and DuckDB quantile_cont
+    // share the (1-g)*lo + g*hi definition over the sorted values, so
+    // results match bit-for-bit on identical input doubles. Computed by
+    // GK-bracketed exact selection ([[sortPercentiles]]): a sketch pass
+    // brackets each target order statistic, exact counting pins its
+    // global rank, and only the ~6n/accuracy in-bracket rows ever see
+    // per-row machinery — no O(distinct) executor state, no raw-row
+    // sort, three combinable scans.
     QueryDef(
       "q_agg_percentile",
       (s, d) => sortPercentiles(Tables.lineitem(s, d), "l_returnflag",

@@ -102,6 +102,61 @@ object Dedup {
   val duckShingleHashes: String =
     s"list_distinct(list_transform($duckShingles, x -> ${duckTokHash("x")}))"
 
+  /** Verified near-dup pairs (a < b, shingle Jaccard ≥ 0.5) from the
+    * MinHash+LSH candidate path — the production near-dup relation.
+    * Factored out because it feeds two operators: the pair listing
+    * (q_dedup_minhash) and the connected-components clustering that
+    * turns pairs into dedup groups ([[Clustering]]). */
+  def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val hs = shingleFrame(s, d).select("doc_id", "hs")
+    val sigExprs = MinhashPerms.map { case (a, b) =>
+      s"array_min(transform(hs, s -> ($a * s + $b) % $MinhashP))"
+    }
+    val sig = hs.selectExpr("doc_id", s"array(${sigExprs.mkString(", ")}) AS sig")
+    val bandStructs = (0 until 4).map { b =>
+      val elems = (0 until 4).map(r => s"sig[${4 * b + r}]").mkString(", ")
+      s"struct($b AS band, concat_ws(',', $elems) AS bsig)"
+    }
+    val bands = sig
+      .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(", ")})) AS bk")
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    pairs
+      .join(hs.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
+      .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+      .selectExpr("a", "b",
+        "CAST(size(array_intersect(ha, hb)) AS DOUBLE) / size(array_union(ha, hb)) AS jaccard")
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** DuckDB CTE chain ending in `verified(a, b, jaccard)` — the oracle
+    * twin of [[minhashPairs]], shared by the pair and clustering oracles.
+    * (No leading WITH so callers can prepend RECURSIVE members.) */
+  def duckVerifiedPairsCtes: String = {
+    val sigExprs = MinhashPerms.map { case (a, b) =>
+      s"list_min(list_transform(hs, s -> ($a * s + $b) % $MinhashP))"
+    }
+    val bandStructs = (0 until 4).map { b =>
+      s"struct_pack(band := $b, bsig := array_to_string(sig[${4 * b + 1}:${4 * b + 4}], ','))"
+    }
+    s"""hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents),
+       |sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM hs),
+       |bands AS (SELECT doc_id, UNNEST([${bandStructs.mkString(", ")}], recursive := true) FROM sig),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |          FROM bands x JOIN bands y
+       |          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |verified AS (SELECT a, b, jaccard FROM (
+       |  SELECT a, b, CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
+       |               / len(list_distinct(list_cat(xa.hs, xb.hs))) AS jaccard
+       |  FROM pairs JOIN hs xa ON xa.doc_id = pairs.a
+       |             JOIN hs xb ON xb.doc_id = pairs.b)
+       |  WHERE jaccard >= 0.5)""".stripMargin
+  }
+
   /** 32-bit SimHash over a bigint-list column named `hs` (DuckDB oracle
     * form): bit j is set when more member hashes have bit j set than
     * clear. The Spark side computes the same majority via explode +
@@ -144,51 +199,9 @@ object Dedup {
     // the (tiny) candidate set only.
     QueryDef(
       "q_dedup_minhash",
-      (s, d) => {
-        val hs = shingleFrame(s, d).select("doc_id", "hs")
-        val sigExprs = MinhashPerms.map { case (a, b) =>
-          s"array_min(transform(hs, s -> ($a * s + $b) % $MinhashP))"
-        }
-        val sig = hs.selectExpr("doc_id", s"array(${sigExprs.mkString(", ")}) AS sig")
-        val bandStructs = (0 until 4).map { b =>
-          val elems = (0 until 4).map(r => s"sig[${4 * b + r}]").mkString(", ")
-          s"struct($b AS band, concat_ws(',', $elems) AS bsig)"
-        }
-        val bands = sig
-          .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(", ")})) AS bk")
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
-        val pairs = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-        pairs
-          .join(hs.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
-          .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
-          .selectExpr("a", "b",
-            "CAST(size(array_intersect(ha, hb)) AS DOUBLE) / size(array_union(ha, hb)) AS jaccard")
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("a", "b")
-      }, {
-        val sigExprs = MinhashPerms.map { case (a, b) =>
-          s"list_min(list_transform(hs, s -> ($a * s + $b) % $MinhashP))"
-        }
-        val bandStructs = (0 until 4).map { b =>
-          s"struct_pack(band := $b, bsig := array_to_string(sig[${4 * b + 1}:${4 * b + 4}], ','))"
-        }
-        Some(s"""WITH hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents),
-                |sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM hs),
-                |bands AS (SELECT doc_id, UNNEST([${bandStructs.mkString(", ")}], recursive := true) FROM sig),
-                |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                |          FROM bands x JOIN bands y
-                |          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
-                |SELECT a, b, jaccard FROM (
-                |  SELECT a, b, CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
-                |               / len(list_distinct(list_cat(xa.hs, xb.hs))) AS jaccard
-                |  FROM pairs JOIN hs xa ON xa.doc_id = pairs.a
-                |             JOIN hs xb ON xb.doc_id = pairs.b)
-                |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin)
-      }),
+      (s, d) => minhashPairs(s, d).orderBy("a", "b"),
+      Some(s"""WITH $duckVerifiedPairsCtes
+              |SELECT a, b, jaccard FROM verified ORDER BY a, b""".stripMargin)),
 
     // SimHash near-dup: banded equi-join in Spark, brute force in the
     // oracle — same result set.
