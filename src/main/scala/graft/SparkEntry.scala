@@ -20,6 +20,9 @@ object SparkEntry {
       functions.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Clustering.defs ++
+      operators.Sampling.defs ++
+      operators.Profiling.defs ++
+      functions.Vocab.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       sources.FileFormats.defs ++

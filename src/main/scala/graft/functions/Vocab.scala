@@ -1,0 +1,136 @@
+package graft.functions
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary statistics — the token-level counting passes every
+  * tokenizer/LM training run starts with: frequency-ranked vocabulary,
+  * adjacent-pair counts (the candidate table of one BPE merge step),
+  * n-gram language-model conditionals, and a bounded inverted index.
+  * The reference does no text processing at all (its payloads are
+  * numeric CSV, SURVEY.md §5); this is extension surface over
+  * `documents`.
+  *
+  * Scale design: every query is explode → hash-aggregate — map-side
+  * combinable counts over (token | pair | trigram) keys, one shuffle
+  * each, no per-group state beyond the count. Top-k cuts go through
+  * rank-over-count windows AFTER aggregation (the aggregated key space
+  * is ≪ rows) or TakeOrderedAndProject. The inverted index bounds its
+  * posting lists with a per-token rank BEFORE collecting (rank ≤ k plans
+  * as WindowGroupLimit), so no collect_list ever sees unbounded input —
+  * the difference between an index build that survives 100 TB and one
+  * that OOMs on the first stop-word.
+  */
+object Vocab {
+
+  /** Ordered (non-distinct) token frame: one row per token occurrence. */
+  private def tokens(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "posexplode(toks) AS (pos, tok)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Frequency-ranked vocabulary head: top 50 tokens, rank keyed by
+    // (count desc, token) so the cut is total and engine-independent.
+    QueryDef(
+      "q_vocab_topk",
+      (s, d) => tokens(s, d)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)
+        .selectExpr("row_number() OVER (ORDER BY n DESC, tok) AS rank", "tok", "n"),
+      Some("""WITH counts AS (
+             |  SELECT tok, COUNT(*) AS n FROM (
+             |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok)
+             |SELECT * FROM (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank, tok, n
+             |  FROM counts)
+             |WHERE rank <= 50 ORDER BY rank""".stripMargin)),
+
+    // Adjacent-pair counts — the exact candidate relation a BPE merge
+    // step ranks (merge = argmax count). Top 30 pins the head.
+    QueryDef(
+      "q_bpe_pairs",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("split(text, ' ') AS toks")
+        .selectExpr("explode(transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS p")
+        .selectExpr("p.w1 AS w1", "p.w2 AS w2")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(30),
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |pairs AS (SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+             |                 i -> struct_pack(w1 := t[i], w2 := t[i + 1])), recursive := true)
+             |          FROM toks)
+             |SELECT w1, w2, COUNT(*) AS n FROM pairs
+             |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin)),
+
+    // Trigram LM conditionals: P(w3 | w1 w2) = c(w1w2w3)/c(w1w2) for the
+    // 20 most frequent trigrams. Two count aggregates joined on the
+    // bigram prefix; the division is per-row IEEE double — deterministic
+    // without decimal machinery.
+    QueryDef(
+      "q_ngram_lm",
+      (s, d) => {
+        val toks = Tables.documents(s, d).selectExpr("split(text, ' ') AS toks")
+        val tri = toks
+          .selectExpr("explode(transform(sequence(1, size(toks) - 2), " +
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3))) AS g")
+          .selectExpr("g.w1 AS w1", "g.w2 AS w2", "g.w3 AS w3")
+          .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+        val bi = toks
+          .selectExpr("explode(transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS g")
+          .selectExpr("g.w1 AS w1", "g.w2 AS w2")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        tri.join(bi, Seq("w1", "w2"))
+          .withColumn("p_cond", col("n3").cast("double") / col("n2"))
+          .orderBy(col("n3").desc, col("w1"), col("w2"), col("w3"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |tri AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM (
+             |  SELECT UNNEST(list_transform(generate_series(1, len(t) - 2),
+             |    i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2])), recursive := true)
+             |  FROM toks) GROUP BY w1, w2, w3),
+             |bi AS (SELECT w1, w2, COUNT(*) AS n2 FROM (
+             |  SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+             |    i -> struct_pack(w1 := t[i], w2 := t[i + 1])), recursive := true)
+             |  FROM toks) GROUP BY w1, w2)
+             |SELECT w1, w2, w3, n3, n2, CAST(n3 AS DOUBLE) / n2 AS p_cond
+             |FROM tri JOIN bi USING (w1, w2)
+             |ORDER BY n3 DESC, w1, w2, w3 LIMIT 20""".stripMargin)),
+
+    // Bounded inverted index: document frequency + the first 8 postings
+    // per token, for tokens appearing in ≥ 100 documents. The posting
+    // cut happens BEFORE collect (rank ≤ 8 → WindowGroupLimit), so
+    // aggregate state is O(8) per token regardless of corpus size.
+    QueryDef(
+      "q_inverted_index",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val posting = Tables.documents(s, d)
+          .selectExpr("doc_id", "explode(array_distinct(split(text, ' '))) AS tok")
+        val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+        val w = Window.partitionBy("tok").orderBy("doc_id")
+        val head = posting
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 8)
+          .groupBy("tok")
+          .agg(array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings_head"))
+        dfreq.filter(col("doc_freq") >= 100)
+          .join(head, "tok")
+          .select("tok", "doc_freq", "postings_head")
+          .orderBy("tok")
+      },
+      Some("""WITH posting AS (
+             |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+             |  FROM documents)
+             |SELECT tok, COUNT(*) AS doc_freq,
+             |  array_to_string(list_sort(list(doc_id ORDER BY doc_id))[1:8], ',') AS postings_head
+             |FROM posting GROUP BY tok HAVING COUNT(*) >= 100 ORDER BY tok""".stripMargin))
+  )
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data profiling and quantile-derived transforms — the "look at the
+  * data before training on it" passes: per-column summary statistics,
+  * quantile binning (feature discretization), and IQR outlier screening.
+  * Nothing in the reference profiles anything (it prints `df.show()` at
+  * most, `temDataRead.py:84`); extension surface.
+  *
+  * Scale design: the profile is ONE wide aggregate over the scan (plus
+  * Spark's Expand for the exact distinct counts — the documented cost of
+  * exactness; swap in approx_count_distinct when ±2% is fine). Binning
+  * and outlier screens compute per-group boundaries with the
+  * sketch-bracketed exact percentile ([[Aggregates.sortPercentiles]] —
+  * combinable scans, no raw-data range shuffle), broadcast the tiny
+  * boundary frame back, and bucket with a stateless per-row CASE: the
+  * whole pipeline is scan-shaped, no operator holds group state
+  * proportional to rows.
+  */
+object Profiling {
+
+  private val profCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-column summary: one pass, stacked to one row per column.
+    QueryDef(
+      "q_profile_table",
+      (s, d) => {
+        val aggs = profCols.flatMap { c =>
+          Seq(count(col(c)).as(s"__n_$c"),
+            countDistinct(col(c)).as(s"__d_$c"),
+            min(col(c)).as(s"__min_$c"),
+            max(col(c)).as(s"__max_$c"),
+            Parity.davg(col(c), 2).as(s"__avg_$c"))
+        }
+        val stacked = profCols.map { c =>
+          s"struct('$c' AS col_name, __n_$c AS n_nonnull, __d_$c AS n_distinct, " +
+            s"__min_$c AS min_v, __max_$c AS max_v, __avg_$c AS mean_v)"
+        }.mkString(", ")
+        Tables.lineitem(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"explode(array($stacked)) AS p")
+          .select("p.*")
+          .orderBy("col_name")
+      },
+      Some(profCols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n_nonnull,
+           |  COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS min_v, MAX($c) AS max_v,
+           |  ${Parity.sqlDavg(c, 2)} AS mean_v FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
+    // Quantile binning: per-group quartile boundaries → per-row bucket
+    // assignment → bucket histogram. The boundary values are the exact
+    // interpolated percentiles both engines agree on bit-for-bit
+    // (q_agg_percentile pins that), so the <= cuts agree too.
+    QueryDef(
+      "q_bin_quantile",
+      (s, d) => {
+        val bounds = Aggregates.sortPercentiles(
+          Tables.lineitem(s, d), "l_returnflag",
+          Seq("l_extendedprice" -> Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")))
+        Tables.lineitem(s, d)
+          .join(broadcast(bounds), "l_returnflag")
+          .withColumn("bucket",
+            expr("CASE WHEN l_extendedprice <= q25 THEN 1 WHEN l_extendedprice <= q50 THEN 2 " +
+              "WHEN l_extendedprice <= q75 THEN 3 ELSE 4 END"))
+          .groupBy("l_returnflag", "bucket")
+          .agg(count(lit(1)).as("n"), Parity.davg(col("l_extendedprice"), 2).as("avg_price"))
+          .orderBy("l_returnflag", "bucket")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT l_returnflag,
+              |    quantile_cont(l_extendedprice, 0.25) AS q25,
+              |    quantile_cont(l_extendedprice, 0.50) AS q50,
+              |    quantile_cont(l_extendedprice, 0.75) AS q75
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l.l_returnflag,
+              |  CASE WHEN l_extendedprice <= q25 THEN 1 WHEN l_extendedprice <= q50 THEN 2
+              |       WHEN l_extendedprice <= q75 THEN 3 ELSE 4 END AS bucket,
+              |  COUNT(*) AS n, ${Parity.sqlDavg("l_extendedprice", 2)} AS avg_price
+              |FROM lineitem l JOIN b USING (l_returnflag)
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // IQR outlier screen: Tukey fences per group; pins the outlier SET
+    // via key checksum, not just its size. Fence arithmetic is per-row
+    // IEEE double over bit-agreed boundaries — deterministic.
+    QueryDef(
+      "q_outlier_iqr",
+      (s, d) => {
+        val bounds = Aggregates.sortPercentiles(
+          Tables.orders(s, d), "o_orderpriority",
+          Seq("o_totalprice" -> Seq(0.25 -> "q1", 0.75 -> "q3")))
+        Tables.orders(s, d)
+          .join(broadcast(bounds), "o_orderpriority")
+          .withColumn("lo", expr("q1 - 1.5 * (q3 - q1)"))
+          .withColumn("hi", expr("q3 + 1.5 * (q3 - q1)"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"), 1L)
+              .otherwise(0L)).cast("bigint").as("n_outliers"),
+            sum(when(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"),
+              col("o_orderkey")).otherwise(0L)).cast("bigint").as("outlier_checksum"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority,
+             |    quantile_cont(o_totalprice, 0.25) AS q1,
+             |    quantile_cont(o_totalprice, 0.75) AS q3
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o.o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+             |                  OR o_totalprice > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  CAST(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+             |                  OR o_totalprice > q3 + 1.5 * (q3 - q1) THEN o_orderkey ELSE 0 END) AS BIGINT) AS outlier_checksum
+             |FROM orders o JOIN b USING (o_orderpriority)
+             |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin))
+  )
+}

@@ -223,6 +223,34 @@ object Relational {
       Some("""SELECT n_nationkey AS nk FROM nation
              |EXCEPT
              |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
-             |ORDER BY nk""".stripMargin))
+             |ORDER BY nk""".stripMargin)),
+
+    // -- reshaping --------------------------------------------------------
+    // Wide → long (unpivot/melt): the layout step feeding per-measure
+    // pipelines. Spark's native unpivot is a stateless per-row expansion
+    // (an Expand node — no shuffle); the oracle spells the same relation
+    // as a UNION ALL.
+    QueryDef(
+      "q_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, m AS measure, v AS val FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, l_quantity AS v
+             |  FROM lineitem WHERE l_orderkey < 200
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |  FROM lineitem WHERE l_orderkey < 200
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |  FROM lineitem WHERE l_orderkey < 200
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             |  FROM lineitem WHERE l_orderkey < 200)
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin))
   )
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.TextAnalysis.{duckTokHash, tokHash}
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling — the reproducibility-critical piece of a
+  * training-data pipeline (train/val splits, stratified downsampling,
+  * per-group exemplar picks must give the SAME rows on every run, on any
+  * cluster size, or every downstream artifact changes under you). The
+  * reference has no sampling anywhere (its replay loop ships whole
+  * files, `temDataRead.py:61-72`); this is engine extension surface.
+  *
+  * No RNG: membership is a pure function of the row key via md5
+  * ([[graft.functions.TextAnalysis.tokHash]]) — the same idiom as
+  * q_split_holdout, which also makes every sample oracle-checkable in
+  * DuckDB (seeded `TABLESAMPLE` reproduces across engines never;
+  * hash-threshold membership reproduces always).
+  *
+  * Scale design: Bernoulli/stratified sampling is a stateless per-row
+  * predicate — it fuses into the scan filter, no shuffle at all. The
+  * "reservoir" pick is per-group top-k by hash order: rank ≤ k over a
+  * hash-ordered window plans as WindowGroupLimit (per-partition k-heap
+  * before the shuffle), so executor state is O(k·groups), never O(rows)
+  * — the distributed equivalent of reservoir sampling without its
+  * sequential state.
+  */
+object Sampling {
+
+  /** 0..99 hash percentile of a row key — the sampling coin. */
+  private def pct(keyExpr: String): String = s"${tokHash(keyExpr)} % 100"
+  private def duckPct(keyExpr: String): String = s"${duckTokHash(keyExpr)} % 100"
+
+  private val rowKey = "concat(l_orderkey, '#', l_linenumber)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // 10% Bernoulli sample of lineitem: a pushed-down per-row predicate.
+    // Output pins the exact membership set (count + key checksum), not
+    // just its size.
+    QueryDef(
+      "q_sample_bernoulli",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(expr(s"${pct(rowKey)} < 10"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("l_orderkey * 7 + l_linenumber")).cast("bigint").as("key_checksum"),
+          Parity.dsum(col("l_extendedprice"), 2).as("sum_price")),
+      Some(s"""SELECT COUNT(*) AS n,
+              |  CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_checksum,
+              |  ${Parity.sqlDsum("l_extendedprice", 2)} AS sum_price
+              |FROM lineitem WHERE ${duckPct(rowKey)} < 10""".stripMargin)),
+
+    // Stratified sample: a different rate per stratum (downsample the
+    // dominant classes, keep the rare one) — still one stateless scan,
+    // the per-stratum rate is just data in the predicate.
+    QueryDef(
+      "q_sample_stratified",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("rate",
+          expr("CASE l_returnflag WHEN 'N' THEN 5 WHEN 'A' THEN 20 ELSE 50 END"))
+        .filter(expr(s"${pct(rowKey)} < rate"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(expr("l_orderkey * 7 + l_linenumber")).cast("bigint").as("key_checksum"),
+          Parity.davg(col("l_quantity"), 2).as("avg_qty"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_sampled,
+              |  CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_checksum,
+              |  ${Parity.sqlDavg("l_quantity", 2)} AS avg_qty
+              |FROM lineitem
+              |WHERE ${duckPct(rowKey)} <
+              |  CASE l_returnflag WHEN 'N' THEN 5 WHEN 'A' THEN 20 ELSE 50 END
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Per-group exemplars: k=5 uniform-without-replacement picks per
+    // order priority, via top-k in hash order (rank pushdown /
+    // WindowGroupLimit — PlanSpec asserts the limit reaches the map
+    // side). Hash ties are broken by the key itself so the pick is total.
+    QueryDef(
+      "q_sample_reservoir",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val coin = expr(s"${tokHash("CAST(o_orderkey AS STRING)")}")
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(coin.asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rk")
+      },
+      Some(s"""SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+              |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+              |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              |      ORDER BY ${duckTokHash("CAST(o_orderkey AS VARCHAR)")}, o_orderkey) AS rk
+              |  FROM orders)
+              |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin))
+  )
+}

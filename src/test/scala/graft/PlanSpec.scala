@@ -102,4 +102,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), s"expected equi-join on (band, sig):\n$p")
   }
+
+  test("rank<=k cuts (reservoir pick, posting-list bound) push the limit map-side") {
+    // WindowGroupLimit keeps a k-heap per partition BEFORE the shuffle,
+    // so executor state is O(k·groups) — the property that lets these
+    // run over unbounded groups.
+    for (name <- Seq("q_sample_reservoir", "q_inverted_index")) {
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit"), s"$name: expected WindowGroupLimit:\n$p")
+    }
+  }
+
+  test("bernoulli/stratified sampling is a stateless scan filter — no shuffle, no window") {
+    for (name <- Seq("q_sample_bernoulli", "q_sample_stratified")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name: sampling must not need a window:\n$p")
+      // exactly the aggregation exchange(s); membership itself adds none —
+      // the filter sits under the first partial aggregate
+      assert(p.contains("Filter"), s"$name: expected a scan-side filter:\n$p")
+    }
+  }
+
+  test("unpivot plans as a per-row Expand, not a union of re-scans") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), s"expected Expand node:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"unpivot must scan the table once, not per-measure:\n$p")
+  }
 }
