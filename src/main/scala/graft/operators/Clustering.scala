@@ -4,6 +4,8 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import Similarity.{duckDot, sparkDot}
+
 /** Near-duplicate clustering: connected components over the verified
   * MinHash pair relation ([[Dedup.minhashPairs]]), turning pairwise
   * "A ≈ B" hits into dedup groups with one representative per group —
@@ -87,7 +89,148 @@ object Clustering {
        |  SELECT reach.v, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
        |cc AS (SELECT v, MIN(r) AS cluster FROM reach GROUP BY v)""".stripMargin
 
+  // ---- k-means (Lloyd's) over the embedding table --------------------
+  //
+  // The trainable half of the IVF index ([[Similarity]] uses fixed
+  // centroids; this is how a real codebook gets fit). Deterministic by
+  // construction so the DuckDB oracle can replay it: init is the first k
+  // vectors by vec_id, every distance comparison uses the floor-quantized
+  // dot ([[Similarity.sparkDot]] — no cross-engine double-sum drift), ties
+  // break on centroid id, and centroid updates are exact integer per-dim
+  // sums (floor(v·1e8) summed as BIGINT) divided back in a fixed order.
+  //
+  // Scale shape per iteration: centroids broadcast (k·d doubles),
+  // assignment is stateless per-row argmin over k quantized dots (scan
+  // work), the update is a map-side-combinable (cid, dim) sum — nothing
+  // holds state beyond k·d per executor. Iteration count is fixed (the
+  // driver loop carries no data), so the whole fit is `iters` scans.
+
+  private val KmK = 4
+  private val KmIters = 3
+  private val KmDim = 64
+
+  /** Argmin assignment: (vec_id, cid) for the current centroid frame. */
+  private def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "cid",
+        s"${sparkDot("cent", "cent")} - 2 * ${sparkDot("embedding", "cent")} AS d")
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** Lloyd update: exact per-(cid, dim) quantized means, re-collected to
+    * ordered centroid arrays. */
+  private def kmUpdate(assigned: DataFrame, pts: DataFrame): DataFrame =
+    assigned.join(pts, "vec_id")
+      .selectExpr("cid", "posexplode(embedding) AS (pos, v)")
+      .groupBy("cid", "pos")
+      .agg((sum(expr("CAST(floor(CAST(v AS DOUBLE) * 100000000) AS BIGINT)")).cast("double")
+        / 100000000.0 / count(lit(1))).as("coord"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, coord))), s -> s.coord)").as("cent"))
+
+  /** `iters` rounds of Lloyd's from the deterministic seed; returns the
+    * final assignment. */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.embeddings(s, d).select("vec_id", "embedding")
+    var cents = pts.filter(col("vec_id") < KmK)
+      .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
+    for (_ <- 1 to KmIters)
+      cents = kmUpdate(kmAssign(pts, cents), pts)
+    kmAssign(pts, cents).join(cents, "cid")
+  }
+
+  /** The same fixed-point unrolled as a DuckDB CTE chain (c0 → a1/c1 →
+    * … → final assignment `aF(vec_id, cid, cent)`). */
+  private def duckKmeansCtes: String = {
+    val dexpr = s"${duckDot("c.cent", "c.cent")} - 2 * ${duckDot("p.embedding", "c.cent")}"
+    def assign(i: Int, cents: String) =
+      s"""s$i AS (SELECT p.vec_id, c.cid, $dexpr AS d FROM pts p CROSS JOIN $cents c),
+         |a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |  FROM s$i) WHERE rk = 1)""".stripMargin
+    def update(i: Int) =
+      s"""e$i AS (SELECT a.cid, g.i AS pos,
+         |  CAST(floor(CAST(p.embedding[g.i] AS DOUBLE) * 100000000) AS BIGINT) AS q
+         |  FROM a$i a JOIN pts p USING (vec_id) CROSS JOIN generate_series(1, $KmDim) AS g(i)),
+         |d$i AS (SELECT cid, pos, CAST(SUM(q) AS DOUBLE) / 100000000 / COUNT(*) AS coord
+         |  FROM e$i GROUP BY cid, pos),
+         |c$i AS (SELECT cid, list(coord ORDER BY pos) AS cent FROM d$i GROUP BY cid)""".stripMargin
+    val rounds = (1 to KmIters).map(i =>
+      s"${assign(i, s"c${i - 1}")},\n${update(i)}").mkString(",\n")
+    s"""pts AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cent
+       |       FROM embeddings WHERE vec_id < $KmK),
+       |$rounds,
+       |${assign(KmIters + 1, s"c$KmIters")}""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // k-means fit + final assignment, pinned per cluster: exact member
+    // set (count + checksum) and the fitted centroid's quantized norm.
+    QueryDef(
+      "q_kmeans",
+      (s, d) => kmeansAssign(s, d)
+        .groupBy("cid")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("vec_id")).cast("bigint").as("vec_checksum"),
+          first(expr(s"sqrt(${sparkDot("cent", "cent")})")).as("c_norm"))
+        .orderBy("cid"),
+      Some(s"""WITH $duckKmeansCtes
+              |SELECT a.cid, COUNT(*) AS n, CAST(SUM(a.vec_id) AS BIGINT) AS vec_checksum,
+              |  sqrt(${duckDot("c.cent", "c.cent")}) AS c_norm
+              |FROM a${KmIters + 1} a JOIN c$KmIters c USING (cid)
+              |GROUP BY a.cid, c.cent ORDER BY a.cid""".stripMargin)),
+
+    // PageRank (3 unrolled damped iterations) over the near-dup graph —
+    // "which documents sit at the center of a duplication cluster". Each
+    // iteration is one keyed join + one combinable sum; contributions are
+    // floor-quantized so partial-sum order can't shift a bit. Top 20 by
+    // (rank, id) pins the head exactly.
+    QueryDef(
+      "q_graph_pagerank",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d).select("a", "b")
+        val edges = pairs.selectExpr("a AS src", "b AS dst")
+          .union(pairs.selectExpr("b AS src", "a AS dst"))
+          .cache()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        var pr = deg.select(col("src").as("v"), lit(1.0).as("pr"))
+        for (_ <- 1 to 3) {
+          pr = edges.join(pr.withColumnRenamed("v", "src"), "src")
+            .join(deg, "src")
+            .selectExpr("dst", "CAST(floor(pr / deg * 1000000000000) AS BIGINT) AS q")
+            .groupBy("dst")
+            .agg((lit(0.15) + lit(0.85) * (sum(col("q")).cast("double") / 1000000000000.0)).as("pr"))
+            .withColumnRenamed("dst", "v")
+        }
+        val out = pr.join(deg.withColumnRenamed("src", "v"), "v")
+          .orderBy(col("pr").desc, col("v"))
+          .limit(20)
+          .select("v", "deg", "pr")
+        edges.unpersist()
+        out
+      }, {
+        def iter(i: Int): String =
+          s"""p$i AS (SELECT dst AS v,
+             |  0.15 + 0.85 * (CAST(SUM(CAST(floor(pr / deg * 1000000000000) AS BIGINT)) AS DOUBLE)
+             |                 / 1000000000000) AS pr
+             |  FROM edges JOIN p${i - 1} ON p${i - 1}.v = edges.src
+             |             JOIN deg ON deg.src = edges.src
+             |  GROUP BY dst)""".stripMargin
+        Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+                |edges AS (SELECT a AS src, b AS dst FROM verified
+                |          UNION ALL SELECT b, a FROM verified),
+                |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+                |p0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+                |${iter(1)},
+                |${iter(2)},
+                |${iter(3)}
+                |SELECT p3.v, deg.deg, p3.pr FROM p3 JOIN deg ON deg.src = p3.v
+                |ORDER BY p3.pr DESC, p3.v LIMIT 20""".stripMargin)
+      }),
 
     // Cluster assignment: every near-duplicated document with its
     // component representative (min doc_id) and the component size.
