@@ -60,11 +60,21 @@ object Clustering {
         .select(col("src").as("v"), col("lab"))
       val minLab = labels.union(nbr).groupBy("v").agg(min("lab").as("lab"))
       // pointer jumping: lab(v) <- lab(lab(v)); halves tree height.
-      val jumped = minLab.as("x")
+      // localCheckpoint (not cache): the self-join references minLab
+      // twice, so the logical plan DOUBLES per round — without lineage
+      // truncation the plan tree is 2^rounds nodes and the driver dies
+      // on a 10-round graph before any task runs. Checkpointing each
+      // round keeps the plan O(1) and the loop O(rounds).
+      val ck = minLab.as("x")
         .join(minLab.select(col("v").as("lv"), col("lab").as("llab")).as("y"),
           col("x.lab") === col("y.lv"), "left")
         .select(col("x.v").as("v"), coalesce(col("y.llab"), col("x.lab")).as("lab"))
-        .cache()
+        .localCheckpoint(true)
+      // Re-baseline on the checkpointed RDD with FRESH attribute ids:
+      // the next round unions this frame with a projection of itself,
+      // and Catalyst's union-constraint rewrite chokes when both
+      // branches carry the same attribute ids out of a LogicalRDD.
+      val jumped = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
       changed = jumped.withColumnRenamed("lab", "nl")
         .join(labels.withColumnRenamed("lab", "ol"), "v")
         .filter(col("nl") =!= col("ol"))
@@ -110,7 +120,7 @@ object Clustering {
   private val KmDim = 64
 
   /** Argmin assignment: (vec_id, cid) for the current centroid frame. */
-  private def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
     pts.crossJoin(broadcast(cents))
       .selectExpr("vec_id", "cid",
         s"${sparkDot("cent", "cent")} - 2 * ${sparkDot("embedding", "cent")} AS d")

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level checks for the iterative graph/ML operators — the oracle
+  * gate pins their end-to-end results on real data; these pin the
+  * algorithmic invariants on inputs chosen to exercise the mechanics
+  * (multi-hop chains for label propagation, known ground-truth labels
+  * for the k-means fit).
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("connected components: chains, triangles and isolates label to the component min") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a 4-chain — needs multi-round propagation),
+    // {10,11,12} (triangle), {20,21} (single edge)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = operators.Clustering.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components converge on a long path well inside the iteration cap") {
+    import spark.implicits._
+    // a 64-vertex path: naive propagation needs 63 rounds; pointer
+    // jumping must close it in O(log n) — the cap (25) only holds at
+    // scale if the doubling actually happens.
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val labs = operators.Clustering.connectedComponents(edges, maxIter = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(labs === Set(0L), "all 64 path vertices must reach label 0 within 10 rounds")
+  }
+
+  test("k-means partitions every vector and Lloyd's never increases the objective") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Clustering.kmeansAssign(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    // every vector assigned exactly once
+    assert(out.count() === emb.count())
+    assert(out.select("vec_id").distinct().count() === emb.count())
+
+    // Lloyd's invariant: within-cluster SSE after the fit must not
+    // exceed the SSE of assigning to the raw seed centroids. (The
+    // embeddings carry no label geometry — verified: same-label and
+    // cross-label mean cosine are both ~0 — so cluster-quality-vs-label
+    // assertions would be vacuous; the monotone objective is the real
+    // algorithmic property.)
+    val pts = emb.select("vec_id", "embedding")
+    def sse(assigned: org.apache.spark.sql.DataFrame): Double = assigned
+      .selectExpr(
+        s"${operators.Similarity.sparkDot("embedding", "embedding")} " +
+          s"- 2 * ${operators.Similarity.sparkDot("embedding", "cent")} " +
+          s"+ ${operators.Similarity.sparkDot("cent", "cent")} AS d2")
+      .agg(sum(col("d2"))).head().getDouble(0)
+    val seed = pts.filter(col("vec_id") < 4)
+      .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
+    val initial = operators.Clustering.kmAssign(pts, seed)
+      .join(seed, "cid").join(pts, "vec_id")
+    val fitted = out.join(pts, "vec_id")
+    val (s0, s1) = (sse(initial), sse(fitted))
+    assert(s1 <= s0 + 1e-9, s"SSE rose: seed-assign $s0 -> fitted $s1")
+    assert(s1 < s0, s"3 Lloyd rounds should strictly improve on random seeds ($s0 -> $s1)")
+  }
+
+  test("pagerank mass stays near |V| and ranks are in (0, |V|)") {
+    val pr = SparkEntry.queries("q_graph_pagerank")(spark, sf)
+    val rows = pr.collect()
+    assert(rows.nonEmpty)
+    // top-ranked vertices of a symmetric graph: pr bounded and positive
+    rows.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v > 0.15 - 1e-9 && v < rows.length.toDouble * 10,
+        s"pagerank $v out of plausible range")
+    }
+  }
+}
