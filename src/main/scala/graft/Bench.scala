@@ -70,7 +70,14 @@ object Bench {
     "q_split_holdout",
     "q_multimodal_meta",
     "q_stream_tumble",
-    "q_stream_session")
+    "q_stream_session",
+    // round 2: one representative per new operator family
+    "q_sample_reservoir",
+    "q_vocab_topk",
+    "q_profile_table",
+    "q_ts_resample",
+    "q_dedup_cc",
+    "q_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -34,8 +34,8 @@ object TextAnalysis {
   def duckTokHash(w: String): String =
     s"CAST(('0x' || substr(md5($w), 1, 8)) AS BIGINT)"
 
-  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-  private val stopSql = stop.map(w => s"'$w'").mkString(", ")
+  private[graft] val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private[graft] val stopSql = stop.map(w => s"'$w'").mkString(", ")
 
   /** Two-pass distributed cumulative sum feeding the q_text_pack bins.
     *

@@ -104,6 +104,43 @@ object Vocab {
              |FROM tri JOIN bi USING (w1, w2)
              |ORDER BY n3 DESC, w1, w2, w3 LIMIT 20""".stripMargin)),
 
+    // Stopword-strip + whitespace-normalize — the cleaning map every
+    // corpus pass applies before tokenization counts. Stateless per-row
+    // HOF work (tokens staged once; the lambda re-evaluating split()
+    // per element is the documented O(tokens²) trap).
+    QueryDef(
+      "q_text_clean",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          s"filter(toks, w -> NOT (w IN (${TextAnalysis.stopSql}))) AS kept")
+        .selectExpr("doc_id", "array_join(kept, ' ') AS cleaned", "size(kept) AS n_kept")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  array_to_string(kept, ' ') AS cleaned, len(kept) AS n_kept
+              |FROM (SELECT doc_id,
+              |  list_filter(string_split(text, ' '),
+              |              w -> NOT (w IN (${TextAnalysis.stopSql}))) AS kept
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Digit-run redaction over the events' JSON payloads — the masking
+    // shape of PII scrubbing (the patterns here are toy; the machinery —
+    // global regex replace + match counting, engine-portable semantics —
+    // is the real operator). Spark's regexp_replace is global by
+    // default; DuckDB needs the explicit 'g' flag.
+    QueryDef(
+      "q_text_mask",
+      (s, d) => Tables.events(s, d)
+        .selectExpr("event_id",
+          "regexp_replace(props, '[0-9]+', '#') AS masked",
+          "size(regexp_extract_all(props, '([0-9]+)', 0)) AS n_runs")
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+             |  len(regexp_extract_all(props, '[0-9]+')) AS n_runs
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Bounded inverted index: document frequency + the first 8 postings
     // per token, for tokens appearing in ≥ 100 documents. The posting
     // cut happens BEFORE collect (rank ≤ 8 → WindowGroupLimit), so

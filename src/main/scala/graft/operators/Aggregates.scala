@@ -283,6 +283,31 @@ object Aggregates {
              |  COUNT(*) AS n
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Modal value per group — two chained hash aggregates (value counts,
+    // then a rank-1 cut with a total tie order: count desc, value asc).
+    // Deliberately NOT the built-in mode(): its tie-breaking is
+    // engine-dependent; this spelling pins one winner everywhere and
+    // keeps both stages map-side combinable.
+    QueryDef(
+      "q_agg_mode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("l_quantity").asc)
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n").as("n_mode"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, mode_qty, n_mode FROM (
+             |  SELECT l_returnflag, l_quantity AS mode_qty, COUNT(*) AS n_mode,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY COUNT(*) DESC, l_quantity ASC) AS rk
+             |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+             |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin)),
+
     // min_by / max_by with a unique ordering key (ties on the ordering
     // value would make the picked row engine-dependent).
     QueryDef(

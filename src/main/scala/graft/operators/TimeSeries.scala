@@ -57,6 +57,50 @@ object TimeSeries {
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
               |FROM spine LEFT JOIN agg
               |  ON agg.user_id = spine.user_id AND agg.bucket = spine.bucket
-              |ORDER BY spine.user_id, spine.bucket""".stripMargin))
+              |ORDER BY spine.user_id, spine.bucket""".stripMargin)),
+
+    // Interval-overlap maximum (sweep line): peak number of concurrent
+    // in-transit shipments per supplier. Each interval emits a +1/-1
+    // boundary event; a per-supplier running sum over (date, delta)
+    // order is the live count, and its max is the answer. The (-1
+    // before +1) tie order closes a transit before opening a same-day
+    // one; the group max is invariant to ordering WITHIN a (date,
+    // delta) tie, so no unique key is needed for determinism. All work
+    // partitions by supplier — the 100 TB shape (a global sweep would
+    // be the q_text_pack mistake).
+    QueryDef(
+      "q_interval_overlap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_suppkey").orderBy(col("d"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.lineitem(s, d)
+          .selectExpr("l_suppkey", "CAST(l_shipdate AS DATE) AS st",
+            "date_add(CAST(l_shipdate AS DATE), CAST(l_quantity AS INT) % 7 + 1) AS en")
+          .selectExpr("l_suppkey",
+            "explode(array(struct(st AS d, 1 AS delta), struct(en AS d, -1 AS delta))) AS e")
+          .select(col("l_suppkey"), col("e.d").as("d"), col("e.delta").as("delta"))
+          .withColumn("live", sum(col("delta")).over(w))
+          .groupBy("l_suppkey")
+          .agg(max(col("live")).as("max_concurrent"),
+            (count(lit(1)) / 2).cast("bigint").as("n_intervals"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH iv AS (
+             |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS st,
+             |    CAST(l_shipdate AS DATE) + (CAST(l_quantity AS INT) % 7 + 1) AS en
+             |  FROM lineitem),
+             |ev AS (
+             |  SELECT l_suppkey, st AS d, 1 AS delta FROM iv
+             |  UNION ALL
+             |  SELECT l_suppkey, en, -1 FROM iv),
+             |run AS (
+             |  SELECT l_suppkey,
+             |    SUM(delta) OVER (PARTITION BY l_suppkey ORDER BY d, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+             |  FROM ev)
+             |SELECT l_suppkey, CAST(MAX(live) AS BIGINT) AS max_concurrent,
+             |  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+             |FROM run GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
   )
 }
