@@ -89,6 +89,88 @@ object Analytics {
       Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue, COUNT(*) AS n
               |FROM lineitem
               |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin))
+              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // -- behavioral / growth analytics over the event log ----------------
+    // The query family every event pipeline runs at scale; all three
+    // reduce the raw log with a per-user aggregate FIRST (one keyed
+    // shuffle over users, not events), then operate on the ≪-sized
+    // user/day/cohort frames. Global windows only ever sit on
+    // aggregates (the PlanSpec rule).
+
+    // New users per day + cumulative growth curve.
+    QueryDef(
+      "q_first_seen_daily",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+          .select(to_date(col("first_ts")).as("d"))
+          .groupBy("d").agg(count(lit(1)).as("n_new"))
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+          .orderBy("d")
+      },
+      Some("""WITH firsts AS (
+             |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+             |daily AS (
+             |  SELECT CAST(first_ts AS DATE) AS d, COUNT(*) AS n_new
+             |  FROM firsts GROUP BY 1)
+             |SELECT d, n_new,
+             |  CAST(SUM(n_new) OVER (ORDER BY d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM daily ORDER BY d""".stripMargin)),
+
+    // Weekly cohort retention: users bucketed by first-seen week; how
+    // many of each cohort are active k weeks later.
+    QueryDef(
+      "q_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+        val firsts = ev.groupBy("user_id").agg(min(col("week")).as("cohort"))
+        ev.join(firsts, "user_id")
+          .withColumn("k", (datediff(col("week"), col("cohort")) / 7).cast("int"))
+          .groupBy("cohort", "k")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort", "k")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+             |firsts AS (SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY user_id)
+             |SELECT cohort, CAST(date_diff('day', cohort, week) / 7 AS INT) AS k,
+             |  COUNT(DISTINCT ev.user_id) AS n_active
+             |FROM ev JOIN firsts USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin)),
+
+    // Ordered conversion funnel view → click → purchase: one conditional
+    // per-user aggregate pass, then a strict time-order predicate per
+    // stage (a user converts at stage n only through the ordered chain).
+    QueryDef(
+      "q_funnel",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("tv").isNotNull, 1L).otherwise(0L)).cast("bigint").as("n_view"),
+          sum(when(col("tv").isNotNull && col("tc") > col("tv"), 1L).otherwise(0L))
+            .cast("bigint").as("n_view_click"),
+          sum(when(col("tv").isNotNull && col("tc") > col("tv") && col("tp") > col("tc"), 1L)
+            .otherwise(0L)).cast("bigint").as("n_full_funnel")),
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+             |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+             |  FROM events GROUP BY user_id)
+             |SELECT COUNT(*) AS n_users,
+             |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |  CAST(SUM(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+             |  CAST(SUM(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+             |FROM u""".stripMargin))
   )
 }
