@@ -84,6 +84,38 @@ object Profiling {
               |FROM lineitem l JOIN b USING (l_returnflag)
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Median absolute deviation — the robust scale estimate (stddev
+    // blows up on the same outliers it's meant to flag). A two-pass
+    // composition over the exact-percentile machinery: median per
+    // group, broadcast back, then the median OF the absolute
+    // deviations — the second pass runs on a derived column, the shape
+    // that proves percentiles compose (boundary values bit-agree
+    // across engines, so the derived |x - med| values do too).
+    QueryDef(
+      "q_agg_mad",
+      (s, d) => {
+        val med = Aggregates.sortPercentiles(
+          Tables.orders(s, d), "o_orderpriority",
+          Seq("o_totalprice" -> Seq(0.5 -> "med")))
+        val dev = Tables.orders(s, d)
+          .join(broadcast(med), "o_orderpriority")
+          .withColumn("adev", abs(col("o_totalprice") - col("med")))
+        Aggregates.sortPercentiles(dev, "o_orderpriority",
+            Seq("adev" -> Seq(0.5 -> "mad")))
+          .join(med, "o_orderpriority")
+          .select("o_orderpriority", "med", "mad")
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+             |  FROM orders GROUP BY o_orderpriority),
+             |dev AS (
+             |  SELECT o.o_orderpriority, m.med, abs(o_totalprice - med) AS adev
+             |  FROM orders o JOIN m USING (o_orderpriority))
+             |SELECT o_orderpriority, ANY_VALUE(med) AS med,
+             |  quantile_cont(adev, 0.5) AS mad
+             |FROM dev GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // IQR outlier screen: Tukey fences per group; pins the outlier SET
     // via key checksum, not just its size. Fence arithmetic is per-row
     // IEEE double over bit-agreed boundaries — deterministic.

@@ -81,6 +81,21 @@ object EventStreams {
         col("p_ts"), col("s_ts"))
   }
 
+  /** Stream-static enrichment: the streaming fact joins a bounded
+    * dimension snapshot — the most common production join (enrich
+    * clickstream with the user/account table). Stateless on the stream
+    * side (no watermark needed, append passes through); the static side
+    * broadcasts per micro-batch, so dimension updates between batches
+    * are picked up and no join state accumulates — at scale this is a
+    * map-side hash join inside every micro-batch.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events("user_id") === dim("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"))
+
   /** Arbitrary keyed state via flatMapGroupsWithState (SURVEY.md §2.2:
     * "arbitrary state — only if a declared op needs it"): per-user
     * running totals that survive across micro-batches. The monetary sum

@@ -115,4 +115,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(distributed.exceptAll(builtin).count() === 0L)
     assert(builtin.exceptAll(distributed).count() === 0L)
   }
+
+  test("runtime bloom filter from a selective dim side prunes the fact scan") {
+    // At 100 TB the fact side of a selective join should be pre-filtered
+    // by a bloom built from the dim side's join keys, before the
+    // shuffle. Spark 4's InjectRuntimeFilter does exactly this; the
+    // default size thresholds (10 MB scans) are tuned for clusters, so
+    // pin them down to make the tiny test tables eligible — the
+    // assertion is that the mechanism engages, not the threshold.
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be SMALLER than this (a bloom of a huge side
+      // is useless), application side must be BIGGER than this (a tiny
+      // scan isn't worth filtering)
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val q = Tables.lineitem(spark, sf).join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        s"expected an injected bloom runtime filter on the fact side:\n$plan")
+      q.collect() // and it must still execute correctly with the filter in place
+    } finally {
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
 }

@@ -218,4 +218,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batchTwin).count() === 0L)
     assert(batchTwin.exceptAll(streamed).count() === 0L)
   }
+
+  test("stream-static enrichment join equals the batch join and holds no stream state") {
+    val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    val streamed = runStream("t_enrich", EventStreams.enrichWithDim(_, dim))
+      .filter(col("event_type") =!= "sentinel")
+    val batch = EventStreams.enrichWithDim(Tables.events(spark, sf), dim)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
 }
