@@ -17,6 +17,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
 
   /** Deterministic sampler (no scalatest-scalacheck bridge in the
     * offline dependency cache): n cases from fixed seeds. */
@@ -103,5 +104,50 @@ class PropertySpec extends AnyFunSuite {
     assert(once.count() <= 4L)
     val again = once.distinct()
     assert(again.count() === once.count())
+  }
+
+  // ---- input-layout invariance -------------------------------------
+  // The reproducibility claims ("same rows on every run, on any cluster
+  // size") reduce to: the result is a pure function of the DATA, never
+  // of its partitioning or arrival order. Re-running the same plan
+  // wouldn't test that (Spark re-plans identically); these feed the
+  // operators adversarially re-partitioned, re-ordered inputs.
+
+  test("connected components are invariant to edge order and partitioning") {
+    import spark.implicits._
+    // deterministic scattered edge list (filtered Gens can fail to
+    // sample; arithmetic scatter gives the same coverage reproducibly)
+    val edges = (0 until 120).map { i =>
+      val a = (i * 37 + 5) % 60; val b = (i * 53 + 11) % 60
+      val bb = if (a == b) (b + 1) % 60 else b
+      (math.min(a, bb).toLong, math.max(a, bb).toLong)
+    }
+    val df1 = edges.toDF("a", "b")
+    val df2 = edges.reverse.toDF("a", "b").repartition(7)
+    val l1 = operators.Clustering.connectedComponents(df1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val l2 = operators.Clustering.connectedComponents(df2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(l1 === l2)
+  }
+
+  test("exact percentiles are invariant to input partitioning") {
+    val li = Tables.lineitem(spark, sf)
+    val spec = Seq("l_extendedprice" -> Seq(0.5 -> "p50", 0.9 -> "p90"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      operators.Aggregates.sortPercentiles(df, "l_returnflag", spec)
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(run(li) === run(li.repartition(17)))
+  }
+
+  test("hash-sample membership is a pure key function (partitioning-independent)") {
+    val li = Tables.lineitem(spark, sf)
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] = df
+      .filter(org.apache.spark.sql.functions.expr(
+        s"${functions.TextAnalysis.tokHash("concat(l_orderkey, '#', l_linenumber)")} % 100 < 10"))
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(keys(li) === keys(li.repartition(13)))
+    assert(keys(li).nonEmpty)
   }
 }
