@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Clustering.defs ++
       operators.Sampling.defs ++
+      operators.Skew.defs ++
       operators.TimeSeries.defs ++
       operators.Profiling.defs ++
       functions.Vocab.defs ++

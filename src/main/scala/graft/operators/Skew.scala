@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Parity, QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,4 +35,49 @@ object Skew {
           && saltedBig("__salt_b") === saltedSmall("__salt_s"))
       .drop("__salt_b", "__salt_s")
   }
+
+  /** Oracle obligations: the skew tricks must be *semantically invisible*
+    * — the whole point is changing the shuffle layout without changing
+    * the answer, and that invariant is exactly what a cross-engine hash
+    * compare pins (the oracle runs the plain un-salted query).
+    */
+  val defs: Seq[QueryDef] = Seq(
+
+    // Salted fact⋈dim join: the (key, salt) shuffle spreads a hot key
+    // over `salts` reducers; the aggregate must equal the plain join.
+    QueryDef(
+      "q_join_salted",
+      (s, d) => {
+        val dim = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_totalprice")
+        saltedJoin(Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey", 8)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            Parity.dsum(col("l_extendedprice"), 2).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+              |  ${Parity.sqlDsum("l_extendedprice", 2)} AS sum_price
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE o_orderpriority = '1-URGENT'
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Two-phase distinct count: salt by hash OF THE COUNTED VALUE, so
+    // each distinct value lands in exactly one (group, salt) cell —
+    // per-cell exact distincts then SUM. Spreads a high-cardinality
+    // COUNT(DISTINCT) hot group over 16 reducers instead of one; the
+    // oracle is the plain single-phase spelling.
+    QueryDef(
+      "q_agg_distinct_salted",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("__salt", pmod(col("l_partkey"), lit(16L)).cast("int"))
+        .groupBy("l_returnflag", "__salt")
+        .agg(countDistinct(col("l_partkey")).as("c"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("c")).cast("bigint").as("n_distinct_parts"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_parts
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
 }
