@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Clustering.defs ++
       operators.Sampling.defs ++
       operators.Skew.defs ++
+      operators.TypedOps.defs ++
       operators.TimeSeries.defs ++
       operators.Profiling.defs ++
       functions.Vocab.defs ++

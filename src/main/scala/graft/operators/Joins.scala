@@ -184,6 +184,39 @@ object Joins {
              |   WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts)
              |  AS last_signup_ts
              |FROM events p WHERE p.event_type = 'purchase'
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Fuzzy join (record linkage): same-entity detection across dirty
+    // name columns. The scalable shape is blocking → equi-join →
+    // verify: candidates come from an equi-join on a cheap blocking key
+    // (here the name's noun token), so only plausibly-linkable rows
+    // ever meet, and the quadratic edit-distance check runs inside
+    // blocks only — the relational cousin of the MinHash band join.
+    // Output aggregates per block so the result stays bounded while the
+    // checksum still pins the exact matched pair set.
+    QueryDef(
+      "q_join_fuzzy",
+      (s, d) => {
+        val parts = Tables.part(s, d)
+          .selectExpr("p_partkey", "p_name",
+            "element_at(split(p_name, ' '), -1) AS block")
+        parts.as("x").join(parts.as("y"),
+            col("x.block") === col("y.block")
+              && col("x.p_partkey") < col("y.p_partkey"))
+          .filter(expr("levenshtein(x.p_name, y.p_name) <= 3"))
+          .groupBy(col("x.block").as("block"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("x.p_partkey * 31 + y.p_partkey")).cast("bigint").as("pair_checksum"))
+          .orderBy("block")
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS block
+             |  FROM part)
+             |SELECT x.block AS block, COUNT(*) AS n_pairs,
+             |  CAST(SUM(x.p_partkey * 31 + y.p_partkey) AS BIGINT) AS pair_checksum
+             |FROM p x JOIN p y
+             |  ON x.block = y.block AND x.p_partkey < y.p_partkey
+             |WHERE levenshtein(x.p_name, y.p_name) <= 3
+             |GROUP BY x.block ORDER BY block""".stripMargin))
   )
 }
