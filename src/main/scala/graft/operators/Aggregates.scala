@@ -326,6 +326,54 @@ object Aggregates {
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // Pearson correlation and covariance from exact decimal moments
+    // Skewness / excess kurtosis from exact power sums — the 3rd/4th
+    // moments of the same closed-form discipline. l_quantity is
+    // integer-valued, so x², x³, x⁴ are exact in double and the decimal
+    // power sums are exact; every downstream step is the IDENTICAL
+    // double expression tree on both engines (left-associative, same
+    // parenthesization), which is what makes the high-order cancellation
+    // bit-stable. Built-in skewness()/kurtosis() merge partials in
+    // engine-specific order — unusable for a hash gate.
+    QueryDef(
+      "q_agg_moments",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("l_quantity").cast(DecimalType(28, 2))).cast("double").as("s1"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+            .cast("double").as("s2"),
+          sum((col("l_quantity") * col("l_quantity") * col("l_quantity"))
+            .cast(DecimalType(28, 4))).cast("double").as("s3"),
+          sum((col("l_quantity") * col("l_quantity") * col("l_quantity") * col("l_quantity"))
+            .cast(DecimalType(28, 4))).cast("double").as("s4"))
+        .selectExpr("l_linestatus", "n", "s1", "s2", "s3", "s4", "s1 / n AS mu")
+        .selectExpr("l_linestatus", "n", "mu",
+          "s2 / n - mu * mu AS m2",
+          "s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu AS m3",
+          "s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu AS m4")
+        .selectExpr("l_linestatus",
+          "m3 / (m2 * sqrt(m2)) AS skewness",
+          "m4 / (m2 * m2) - 3 AS kurtosis_excess")
+        .orderBy("l_linestatus"),
+      Some("""WITH sums AS (
+             |  SELECT l_linestatus, CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s3,
+             |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s4
+             |  FROM lineitem GROUP BY l_linestatus),
+             |wmu AS (SELECT l_linestatus, n, s1, s2, s3, s4, s1 / n AS mu FROM sums),
+             |cm AS (SELECT l_linestatus,
+             |    s2 / n - mu * mu AS m2,
+             |    s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu AS m3,
+             |    s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu AS m4
+             |  FROM wmu)
+             |SELECT l_linestatus,
+             |  m3 / (m2 * sqrt(m2)) AS skewness,
+             |  m4 / (m2 * m2) - 3 AS kurtosis_excess
+             |FROM cm ORDER BY l_linestatus""".stripMargin)),
+
     // (same closed-form discipline as q_agg_stddev — the built-ins'
     // merge order differs per engine, the moments don't).
     QueryDef(
