@@ -217,6 +217,41 @@ object Joins {
              |FROM p x JOIN p y
              |  ON x.block = y.block AND x.p_partkey < y.p_partkey
              |WHERE levenshtein(x.p_name, y.p_name) <= 3
-             |GROUP BY x.block ORDER BY block""".stripMargin))
+             |GROUP BY x.block ORDER BY block""".stripMargin)),
+
+    // Interval join with NO equi key — the shape Spark can only plan as
+    // a nested loop (every probe row × every interval), which is a bug
+    // at 100 TB, not an operator. The scale rewrite is temporal
+    // binning: each interval explodes to the (≤ 2, because bin width ≥
+    // interval width) time bins it covers, each probe row computes its
+    // single bin, and the bin equi-join + residual range filter meets
+    // each qualifying pair exactly once (the probe's bin is unique, so
+    // no dedup pass). Same candidates-by-equi-join idea as the LSH band
+    // join, applied to time. The oracle runs the plain range join
+    // (DuckDB's IEJoin handles it natively) — same answer, different
+    // strategy, which is exactly what the gate pins.
+    QueryDef(
+      "q_join_interval",
+      (s, d) => {
+        val iv = Tables.orders(s, d)
+          .selectExpr("o_totalprice", "CAST(o_orderdate AS DATE) AS lo",
+            "date_add(CAST(o_orderdate AS DATE), 3) AS hi")
+          .selectExpr("o_totalprice", "lo", "hi",
+            "datediff(lo, DATE'1970-01-01') AS lod",
+            "datediff(hi, DATE'1970-01-01') AS hid")
+          .selectExpr("o_totalprice", "lo", "hi",
+            "explode(sequence(lod DIV 4, hid DIV 4)) AS bin")
+        val pr = Tables.lineitem(s, d)
+          .selectExpr("l_extendedprice", "CAST(l_shipdate AS DATE) AS sd")
+          .selectExpr("l_extendedprice", "sd",
+            "datediff(sd, DATE'1970-01-01') DIV 4 AS bin")
+        pr.join(iv, "bin")
+          .filter(col("sd") >= col("lo") && col("sd") <= col("hi"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_price"))
+      },
+      Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice", 2)} AS sum_price
+              |FROM lineitem JOIN orders
+              |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+              | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 3""".stripMargin))
   )
 }

@@ -124,6 +124,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("binned interval join is an equi-join on the time bin, never a nested loop") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binning must remove the nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected a bin equi-join:\n$p")
+  }
+
   test("unpivot plans as a per-row Expand, not a union of re-scans") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand"), s"expected Expand node:\n$p")
