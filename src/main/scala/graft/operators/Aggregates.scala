@@ -50,7 +50,7 @@ object Aggregates {
   private[graft] def sortPercentiles(
       df: org.apache.spark.sql.DataFrame, group: String,
       specs: Seq[(String, Seq[(Double, String)])],
-      accuracy: Int = 2000): org.apache.spark.sql.DataFrame = {
+      accuracy: Int = 800): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val eps = 3.0 / accuracy
     val flat = specs.flatMap { case (c, ps) => ps.map { case (p, name) => (c, p, name) } }

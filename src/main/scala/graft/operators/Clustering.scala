@@ -194,6 +194,34 @@ object Clustering {
               |FROM a${KmIters + 1} a JOIN c$KmIters c USING (cid)
               |GROUP BY a.cid, c.cent ORDER BY a.cid""".stripMargin)),
 
+    // Triangle count over the near-dup graph — the clustering-coefficient
+    // numerator (how clique-like the duplication neighborhoods are; for
+    // exact-copy groups the verified-pair graph is a clique, so the
+    // count also sanity-checks pair completeness). Orienting every edge
+    // a < b makes each triangle a < b < c appear exactly once as
+    // (a,b)(b,c)(a,c): two keyed equi-joins on an edge list — no
+    // per-vertex adjacency ever materializes, which is the 100 TB shape
+    // (the standard join-based triangle enumeration).
+    QueryDef(
+      "q_graph_triangles",
+      (s, d) => {
+        val e = Dedup.minhashPairs(s, d).select("a", "b")
+        val wedges = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        wedges.join(e.as("e3"),
+            col("x") === col("e3.a") && col("z") === col("e3.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select("n_edges", "n_triangles")
+      },
+      Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+              |e AS (SELECT a, b FROM verified)
+              |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+              |  COUNT(*) AS n_triangles
+              |FROM e e1 JOIN e e2 ON e1.b = e2.a
+              |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)),
+
     // PageRank (3 unrolled damped iterations) over the near-dup graph —
     // "which documents sit at the center of a duplication cluster". Each
     // iteration is one keyed join + one combinable sum; contributions are

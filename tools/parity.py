@@ -53,7 +53,8 @@ def main():
     only = set(args[2:])
     if "--skip-verify" not in sys.argv:
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            ["sbt", "-batch",
+             f'runMain graft.Verify {sfdir} {outdir} {" ".join(sorted(only))}'],
             cwd="/root/repo", capture_output=True, text=True, timeout=1800)
         if r.returncode != 0:
             print(r.stdout[-3000:]); print(r.stderr[-3000:])
