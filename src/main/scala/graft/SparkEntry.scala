@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TypedOps.defs ++
       operators.TimeSeries.defs ++
       operators.Profiling.defs ++
+      operators.Quality.defs ++
       functions.Vocab.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit — the gate a 100 TB corpus passes through before
+  * anything trains on it: declared-constraint violations, referential
+  * orphans, key-uniqueness accounting, and categorical entropy /
+  * concentration. The reference ingests blindly (`temDataRead.py`
+  * replays whatever the CSV holds, duplicated ids and all); extension
+  * surface.
+  *
+  * Scale design: every audit is conditional aggregation over a single
+  * scan of each audited table (violation rules per table are fused into
+  * ONE pass, not one scan per rule); orphan checks aggregate the child
+  * side to distinct keys BEFORE the anti-join so the shuffle carries
+  * keys, not rows; uniqueness is a two-level aggregate (key → count,
+  * then count histogram). Violations are pinned by key checksum, not
+  * just counted — a wrong-rows-right-count bug cannot hide.
+  *
+  * Determinism: entropy needs `ln`, which is not correctly rounded and
+  * disagrees in the last ulp across engines. Each ln value is quantized
+  * to integer micros (`CAST(round(ln(c)*1e6) AS BIGINT)`) BEFORE any
+  * aggregation, so the sum is exact integer arithmetic in both engines
+  * and the final division is a deterministic double over integers.
+  */
+object Quality {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Declared-constraint audit: one row per rule, one scan per table.
+    // customer_acctbal_nonneg and lineitem_discount_cap genuinely fire
+    // on the generator data; events_value_positive passing with zero
+    // violations is part of the contract (a rule that can never fire is
+    // untested, a rule that fires everywhere is a schema error).
+    QueryDef(
+      "q_dq_audit",
+      (s, d) => {
+        val cust = Tables.customer(s, d).agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).cast("bigint").as("n_viol"),
+          sum(when(col("c_acctbal") < 0, col("c_custkey")).otherwise(0L))
+            .cast("bigint").as("viol_checksum"))
+          .select(lit("customer_acctbal_nonneg").as("rule"), col("*"))
+        val li = Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).cast("bigint").as("n_viol"),
+          sum(when(col("l_discount") > 0.08, col("l_orderkey")).otherwise(0L))
+            .cast("bigint").as("viol_checksum"))
+          .select(lit("lineitem_discount_cap").as("rule"), col("*"))
+        val ev = Tables.events(s, d).agg(
+          count(lit(1)).as("n_checked"),
+          sum(when(col("value") <= 0, 1L).otherwise(0L)).cast("bigint").as("n_viol"),
+          sum(when(col("value") <= 0, col("event_id")).otherwise(0L))
+            .cast("bigint").as("viol_checksum"))
+          .select(lit("events_value_positive").as("rule"), col("*"))
+        cust.unionByName(li).unionByName(ev).orderBy("rule")
+      },
+      Some("""SELECT 'customer_acctbal_nonneg' AS rule, COUNT(*) AS n_checked,
+             |  CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+             |  CAST(SUM(CASE WHEN c_acctbal < 0 THEN c_custkey ELSE 0 END) AS BIGINT) AS viol_checksum
+             |FROM customer
+             |UNION ALL
+             |SELECT 'lineitem_discount_cap', COUNT(*),
+             |  CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(SUM(CASE WHEN l_discount > 0.08 THEN l_orderkey ELSE 0 END) AS BIGINT)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'events_value_positive', COUNT(*),
+             |  CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(SUM(CASE WHEN value <= 0 THEN event_id ELSE 0 END) AS BIGINT)
+             |FROM events
+             |ORDER BY rule""".stripMargin)),
+
+    // Referential-orphan audit, both directions. The child side is
+    // aggregated to DISTINCT keys before the anti-join so the shuffle
+    // carries |keys| not |rows| — at 100 TB the lineitem→orders check
+    // joins ~N/4 distinct keys, not N lines. orders_without_lineitem
+    // fires (the generator leaves ~1.7% of orders childless).
+    QueryDef(
+      "q_dq_orphans",
+      (s, d) => {
+        val liKeys = Tables.lineitem(s, d).select("l_orderkey").distinct()
+        val o = Tables.orders(s, d)
+        val childless = o.join(liKeys, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            coalesce(sum(col("o_orderkey")), lit(0L)).cast("bigint").as("orphan_checksum"))
+          .select(lit("orders_without_lineitem").as("check"), col("*"))
+        val liOrphan = Tables.lineitem(s, d)
+          .join(o.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            coalesce(sum(col("l_orderkey")), lit(0L)).cast("bigint").as("orphan_checksum"))
+          .select(lit("lineitem_orphan_order").as("check"), col("*"))
+        val custOrphan = o
+          .join(Tables.customer(s, d).select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            coalesce(sum(col("o_orderkey")), lit(0L)).cast("bigint").as("orphan_checksum"))
+          .select(lit("orders_orphan_customer").as("check"), col("*"))
+        childless.unionByName(liOrphan).unionByName(custOrphan).orderBy("check")
+      },
+      Some("""SELECT 'orders_without_lineitem' AS "check", COUNT(*) AS n_orphans,
+             |  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS orphan_checksum
+             |FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+             |UNION ALL
+             |SELECT 'lineitem_orphan_order', COUNT(*),
+             |  CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT)
+             |FROM lineitem l
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |UNION ALL
+             |SELECT 'orders_orphan_customer', COUNT(*),
+             |  CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT)
+             |FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |ORDER BY "check"""".stripMargin)),
+
+    // Key-uniqueness accounting over the declared primary keys: total
+    // rows, distinct keys, duplicated keys, and worst multiplicity.
+    // Two-level aggregate: key→count (the only per-key state), then a
+    // four-number fold — no key list ever reaches the driver. The
+    // composite lineitem key exercises multi-column grouping.
+    QueryDef(
+      "q_dq_unique",
+      (s, d) => {
+        def audit(df: org.apache.spark.sql.DataFrame, name: String, keys: String*) = {
+          df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+            .agg(sum(col("c")).cast("bigint").as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              sum(when(col("c") > 1, 1L).otherwise(0L)).cast("bigint").as("n_dup_keys"),
+              max(col("c")).as("max_mult"))
+            .select(lit(name).as("key_constraint"), col("*"))
+        }
+        audit(Tables.orders(s, d), "orders_pk", "o_orderkey")
+          .unionByName(audit(Tables.lineitem(s, d), "lineitem_pk", "l_orderkey", "l_linenumber"))
+          .unionByName(audit(Tables.events(s, d), "events_pk", "event_id"))
+          .unionByName(audit(Tables.documents(s, d), "documents_pk", "doc_id"))
+          .orderBy("key_constraint")
+      },
+      Some("""WITH a AS (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey),
+             |b AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber),
+             |e AS (SELECT COUNT(*) AS c FROM events GROUP BY event_id),
+             |f AS (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id)
+             |SELECT 'orders_pk' AS key_constraint, CAST(SUM(c) AS BIGINT) AS n_rows,
+             |  COUNT(*) AS n_keys,
+             |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+             |  MAX(c) AS max_mult FROM a
+             |UNION ALL
+             |SELECT 'lineitem_pk', CAST(SUM(c) AS BIGINT), COUNT(*),
+             |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(c) FROM b
+             |UNION ALL
+             |SELECT 'events_pk', CAST(SUM(c) AS BIGINT), COUNT(*),
+             |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(c) FROM e
+             |UNION ALL
+             |SELECT 'documents_pk', CAST(SUM(c) AS BIGINT), COUNT(*),
+             |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(c) FROM f
+             |ORDER BY key_constraint""".stripMargin)),
+
+    // Categorical-column entropy and concentration: Shannon entropy
+    // H = ln(N) - Σ c·ln(c) / N over the value counts, plus the top
+    // value's share. Each ln is quantized to integer micros before the
+    // Σ so the aggregation is exact BIGINT arithmetic (see object doc);
+    // the c·lnq products stay far below 2^63 (c ≤ 1e12, lnq ≤ 3e7).
+    QueryDef(
+      "q_dq_entropy",
+      (s, d) => {
+        def ent(df: org.apache.spark.sql.DataFrame, cname: String, c: String) =
+          df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+            .agg(sum(col("cnt")).cast("bigint").as("n"),
+              count(lit(1)).as("n_distinct"),
+              max(col("cnt")).as("top_cnt"),
+              sum(col("cnt") * expr("CAST(round(ln(cnt) * 1e6, 0) AS BIGINT)"))
+                .cast("bigint").as("s_micro"))
+            .select(lit(cname).as("col_name"), col("n_distinct"),
+              round(expr("CAST(round(ln(n) * 1e6, 0) AS BIGINT) / 1e6 - s_micro / (n * 1e6)"), 6)
+                .as("entropy"),
+              round(col("top_cnt") / col("n"), 6).as("top_share"))
+        ent(Tables.lineitem(s, d), "l_returnflag", "l_returnflag")
+          .unionByName(ent(Tables.orders(s, d), "o_orderpriority", "o_orderpriority"))
+          .unionByName(ent(Tables.events(s, d), "event_type", "event_type"))
+          .unionByName(ent(Tables.customer(s, d), "c_mktsegment", "c_mktsegment"))
+          .orderBy("col_name")
+      },
+      Some("""WITH li AS (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag),
+             |o AS (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority),
+             |e AS (SELECT COUNT(*) AS cnt FROM events GROUP BY event_type),
+             |c AS (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment),
+             |u AS (
+             |  SELECT 'l_returnflag' AS col_name, CAST(SUM(cnt) AS BIGINT) AS n,
+             |    COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt,
+             |    CAST(SUM(cnt * CAST(round(ln(cnt) * 1e6) AS BIGINT)) AS BIGINT) AS s_micro
+             |  FROM li
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', CAST(SUM(cnt) AS BIGINT), COUNT(*), MAX(cnt),
+             |    CAST(SUM(cnt * CAST(round(ln(cnt) * 1e6) AS BIGINT)) AS BIGINT) FROM o
+             |  UNION ALL
+             |  SELECT 'event_type', CAST(SUM(cnt) AS BIGINT), COUNT(*), MAX(cnt),
+             |    CAST(SUM(cnt * CAST(round(ln(cnt) * 1e6) AS BIGINT)) AS BIGINT) FROM e
+             |  UNION ALL
+             |  SELECT 'c_mktsegment', CAST(SUM(cnt) AS BIGINT), COUNT(*), MAX(cnt),
+             |    CAST(SUM(cnt * CAST(round(ln(cnt) * 1e6) AS BIGINT)) AS BIGINT) FROM c)
+             |SELECT col_name, n_distinct,
+             |  round(CAST(round(ln(n) * 1e6) AS BIGINT) / 1e6 - s_micro / (n * 1e6), 6) AS entropy,
+             |  round(top_cnt / CAST(n AS DOUBLE), 6) AS top_share
+             |FROM u ORDER BY col_name""".stripMargin))
+  )
+}
