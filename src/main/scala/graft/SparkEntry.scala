@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Profiling.defs ++
       operators.Quality.defs ++
       functions.Vocab.defs ++
+      functions.Ranking.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       sources.FileFormats.defs ++
