@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Skew.defs ++
       operators.TypedOps.defs ++
       operators.TimeSeries.defs ++
+      operators.Cdc.defs ++
       operators.Profiling.defs ++
       operators.Quality.defs ++
       functions.Vocab.defs ++

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{Parity, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture shapes over the event log: snapshot merge
+  * (upsert), slowly-changing-dimension type-2 history, and batch
+  * sessionization. The reference replays an append-only stream and
+  * never reconciles state (`temDataRead.py` ships rows as they come);
+  * these are the operators that turn such a log into queryable state —
+  * the lakehouse MERGE INTO / dimension-history workload, expressed
+  * Spark-first (latest-row selection via rank windows, the merge via
+  * one full-outer join; Spark has no MERGE over raw parquet).
+  *
+  * Scale design: everything partitions by the entity key. Latest-row
+  * selection is a rank window per user (combinable after the shuffle
+  * on user_id); the merge joins two already-deduplicated one-row-per-
+  * key frames; SCD2/sessionization are single ordered windows per
+  * user — no global sort, no driver state. Ordering keys always end in
+  * event_id: (ts) alone is not unique in a real log, and a tie there
+  * silently flips survivor rows between runs.
+  */
+object Cdc {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // MERGE INTO semantics over the orders log, keyed by customer:
+    // target = each customer's latest (status, totalprice) from orders
+    // before 1996; source = the 1996 change batch. Full-outer reconcile
+    // classifies every key as inserted (first order lands in the batch
+    // year), updated (state on both sides), or carried (no change in
+    // the batch) — the order-date spread makes all three classes fire,
+    // and each is pinned by key checksum plus the exact-decimal sum of
+    // post-merge values.
+    QueryDef(
+      "q_merge_upsert",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def latest(pred: org.apache.spark.sql.Column) = {
+          val w = Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+          Tables.orders(s, d).filter(pred)
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select("o_custkey", "o_orderstatus", "o_totalprice")
+        }
+        val target = latest(expr("o_orderdate < DATE '1996-01-01'"))
+          .withColumnRenamed("o_orderstatus", "t_status")
+          .withColumnRenamed("o_totalprice", "t_price")
+        val source = latest(expr(
+          "o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'"))
+          .withColumnRenamed("o_orderstatus", "s_status")
+          .withColumnRenamed("o_totalprice", "s_price")
+        target.join(source, Seq("o_custkey"), "full_outer")
+          .withColumn("action", expr(
+            """CASE WHEN t_status IS NULL THEN 'inserted'
+              |     WHEN s_status IS NULL THEN 'carried'
+              |     WHEN s_status = t_status AND s_price = t_price THEN 'unchanged'
+              |     ELSE 'updated' END""".stripMargin))
+          .withColumn("final_price", coalesce(col("s_price"), col("t_price")))
+          .groupBy("action")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("o_custkey")).cast("bigint").as("key_checksum"),
+            Parity.dsum(col("final_price"), 2).as("sum_final_price"))
+          .orderBy("action")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT o_custkey, o_orderstatus AS t_status, o_totalprice AS t_price FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+              |    FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01') WHERE rk = 1),
+              |src AS (
+              |  SELECT o_custkey, o_orderstatus AS s_status, o_totalprice AS s_price FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+              |    FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              |      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01') WHERE rk = 1),
+              |m AS (
+              |  SELECT COALESCE(t.o_custkey, src.o_custkey) AS o_custkey,
+              |    CASE WHEN t_status IS NULL THEN 'inserted'
+              |         WHEN s_status IS NULL THEN 'carried'
+              |         WHEN s_status = t_status AND s_price = t_price THEN 'unchanged'
+              |         ELSE 'updated' END AS action,
+              |    COALESCE(s_price, t_price) AS final_price
+              |  FROM t FULL OUTER JOIN src ON t.o_custkey = src.o_custkey)
+              |SELECT action, COUNT(*) AS n_keys,
+              |  CAST(SUM(o_custkey) AS BIGINT) AS key_checksum,
+              |  ${Parity.sqlDsum("final_price", 2)} AS sum_final_price
+              |FROM m GROUP BY action ORDER BY action""".stripMargin)),
+
+    // SCD2 history: collapse each user's event stream into versioned
+    // event_type segments with [valid_from, valid_to) ranges; the open
+    // segment's valid_to is NULL. Change detection and range stitching
+    // are two ordered windows over the same user partition.
+    QueryDef(
+      "q_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seg = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(seg))
+          .withColumn("version", row_number().over(seg))
+          .select("user_id", "version", "event_type", "valid_from", "valid_to")
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH chg AS (
+             |  SELECT user_id, event_type, ts AS valid_from, event_id FROM (
+             |    SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |    FROM events)
+             |  WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version,
+             |  event_type, valid_from,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+             |FROM chg ORDER BY user_id, version""".stripMargin)),
+
+    // Batch sessionization (gaps-and-islands, 30-minute timeout):
+    // session index = running count of gap-opens per user, then a
+    // session-length histogram — the compact corpus-level answer (the
+    // per-session frame is the intermediate, the distribution is the
+    // deliverable). Durations subtract truncated epoch seconds, which
+    // DuckDB's boundary-crossing date_diff reproduces exactly.
+    QueryDef(
+      "q_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val cum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val sessions = Tables.events(s, d)
+          .withColumn("gap_open", when(
+            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > 1800
+              || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_idx", sum(col("gap_open")).over(cum))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("session_len"),
+            (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_s"))
+        sessions.groupBy("session_len")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("dur_s")).cast("bigint").as("total_dur_s"))
+          .orderBy("session_len")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_ts IS NULL
+             |           OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS gap_open
+             |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS prev_ts FROM events)),
+             |sess AS (
+             |  SELECT user_id,
+             |    SUM(gap_open) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx,
+             |    ts FROM g),
+             |per AS (
+             |  SELECT user_id, session_idx, COUNT(*) AS session_len,
+             |    date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+             |  FROM sess GROUP BY user_id, session_idx)
+             |SELECT session_len, COUNT(*) AS n_sessions,
+             |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
+             |FROM per GROUP BY session_len ORDER BY session_len""".stripMargin))
+  )
+}
