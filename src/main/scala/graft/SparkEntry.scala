@@ -25,6 +25,7 @@ object SparkEntry {
       operators.TypedOps.defs ++
       operators.TimeSeries.defs ++
       operators.Cdc.defs ++
+      operators.Layout.defs ++
       operators.Profiling.defs ++
       operators.Quality.defs ++
       functions.Vocab.defs ++

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators: Z-order (Morton) interleaving — the sort
+  * key that makes multi-dimensional min/max data skipping work. A scan
+  * laid out by one column prunes predicates on that column only; laid
+  * out by z-value, EVERY interleaved dimension gets bounded per-file
+  * spans, so a 2-D range predicate prunes files on both axes. The
+  * reference writes unsorted CSV (`temReadFromTopic.py` K3); extension
+  * surface.
+  *
+  * The z-value is a pure per-row integer expression (8 unrolled
+  * bit-interleave terms per dimension — codegen-friendly, no UDF), so
+  * clustering a 100 TB table is `repartitionByRange(zval).sortWithin
+  * Partitions(zval)` — one range shuffle, the same cost as any global
+  * sort, paid once at write time. Each dimension is first quantized to
+  * the SAME 8-bit width (proportional to its own domain) — interleaving
+  * unequal-width dimensions puts the wide dimension's high bits on top
+  * and degenerates into a single-column sort; equal-width quantization
+  * is what makes the curve actually alternate. Skewed domains would use
+  * rank quantiles ([[Aggregates.sortPercentiles]]) instead of
+  * proportional scaling.
+  *
+  * The oracle shares the generated bit-arithmetic SQL string with the
+  * Spark side — one dialect-neutral expression, two engines.
+  */
+object Layout {
+
+  /** Unrolled 8-bit × 2 Morton interleave, valid SQL in both Spark
+    * and DuckDB: even bits from `x`, odd bits from `y`. */
+  private[graft] def mortonSql(x: String, y: String): String = {
+    val terms = (0 until 8).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i})", s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Proportional 8-bit quantizer: maps [0, max] onto 0..255 with the
+    * same exact double arithmetic in both engines. */
+  private[graft] def q8(x: String, xmax: String): String =
+    s"CAST(floor($x * 256.0 / ($xmax + 1)) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Z-cluster lineitem on (l_partkey, l_suppkey), cut the curve into
+    // 32 equal z-ranges (the "files"), and report each range's min/max
+    // envelope on BOTH dimensions plus its row count — exactly the
+    // footer statistics a reader would prune against. The envelope
+    // widths being ≪ the full key range on both axes at once is the
+    // property single-column sorting cannot deliver.
+    QueryDef(
+      "q_zorder",
+      (s, d) => {
+        val z = mortonSql(q8("l_partkey", "pmax"), q8("l_suppkey", "smax"))
+        val dims = Tables.lineitem(s, d)
+          .agg(max(col("l_partkey")).as("pmax"), max(col("l_suppkey")).as("smax"))
+        Tables.lineitem(s, d)
+          .crossJoin(broadcast(dims))
+          .selectExpr("l_partkey", "l_suppkey", s"$z AS zval")
+          // zval < 2^16 by construction: 32 fixed-width curve ranges
+          .selectExpr("CAST(zval / 2048 AS BIGINT) AS z_bucket",
+            "l_partkey", "l_suppkey")
+          .groupBy("z_bucket")
+          .agg(count(lit(1)).as("n"),
+            min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+            min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+          .orderBy("z_bucket")
+      },
+      Some(s"""WITH dims AS (
+              |  SELECT MAX(l_partkey) AS pmax, MAX(l_suppkey) AS smax FROM lineitem),
+              |z AS (
+              |  SELECT l_partkey, l_suppkey,
+              |    ${mortonSql(q8("l_partkey", "pmax"), q8("l_suppkey", "smax"))} AS zval
+              |  FROM lineitem CROSS JOIN dims)
+              |SELECT CAST(zval // 2048 AS BIGINT) AS z_bucket, COUNT(*) AS n,
+              |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+              |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

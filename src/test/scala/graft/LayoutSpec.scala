@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: the multi-dimensional skipping property itself —
+  * z-range "files" bound BOTH dimensions at once, which single-column
+  * sorting provably cannot — plus the write-path shape (one range
+  * shuffle, files internally sorted by z-value).
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("z-buckets bound both dimensions; single-dim sort leaves the other dimension unbounded") {
+    def num(r: org.apache.spark.sql.Row, i: Int): Double =
+      r.getAs[Number](i).doubleValue
+    val rows = SparkEntry.queries("q_zorder")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+    val (pRange, sRange) = (num(li, 0), num(li, 1))
+
+    // mean normalized envelope area under z-order: each z-range sees a
+    // small rectangle of the (part, supp) plane
+    val zAreas = rows.map { r =>
+      ((num(r, 3) - num(r, 2)) / pRange) * ((num(r, 5) - num(r, 4)) / sRange)
+    }
+    val zMean = zAreas.sum / zAreas.length
+    assert(zMean < 0.25, s"z-order envelopes too loose: $zMean")
+
+    // the comparison layout: same file count, sorted by l_partkey only —
+    // the suppkey envelope of every file spans ~the full domain
+    val oneD = Tables.lineitem(spark, sf)
+      .withColumn("b", ntile(rows.length).over(
+        org.apache.spark.sql.expressions.Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")))
+      .groupBy("b")
+      .agg(min("l_suppkey").as("lo"), max("l_suppkey").as("hi"))
+      .collect()
+    val oneDSuppSpan = oneD.map(r => (num(r, 2) - num(r, 1)) / sRange)
+    val oneDMean = oneDSuppSpan.sum / oneDSuppSpan.length
+    assert(oneDMean > 0.7,
+      s"single-dim sort unexpectedly bounded the second dimension: $oneDMean")
+    // and z-order's per-bucket supp spans are strictly tighter on average
+    val zSuppSpans = rows.map(r => (num(r, 5) - num(r, 4)) / sRange)
+    val zSuppMean = zSuppSpans.sum / zSuppSpans.length
+    assert(zSuppMean < oneDMean,
+      s"z-order supp spans not tighter: z=$zSuppMean vs 1d=$oneDMean")
+  }
+
+  test("z-clustered write is one range shuffle producing internally-sorted files") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val z = operators.Layout.mortonSql(
+      "CAST(l_partkey % 256 AS BIGINT)", "CAST(l_suppkey % 256 AS BIGINT)")
+    val zed = Tables.lineitem(spark, sf).selectExpr("*", s"$z AS zval")
+    zed.repartitionByRange(4, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4)
+    // each file's z-values are a contiguous, internally sorted range
+    val perFile = files.map { f =>
+      val v = spark.read.parquet(f.getPath).select("zval")
+        .collect().map(_.getLong(0))
+      assert(v.sameElements(v.sorted), s"${f.getName} not sorted")
+      (v.min, v.max)
+    }.sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "file z-ranges overlap")
+      case _ =>
+    }
+  }
+}
