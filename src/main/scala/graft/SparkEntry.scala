@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Quality.defs ++
       functions.Vocab.defs ++
       functions.Ranking.defs ++
+      functions.Fuzzy.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       sources.FileFormats.defs ++

@@ -100,4 +100,43 @@ class NativeFunctionsSpec extends AnyFunSuite {
     val merged = a.merge(h1.foldLeft(a.zero)(a.reduce), h2.foldLeft(a.zero)(a.reduce))
     assert(whole.toSeq === merged.toSeq)
   }
+
+  test("jaro_winkler reproduces the textbook reference values") {
+    import graft.functions.JaroWinklerAlgo
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinklerAlgo.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-15)
+    assert(jw("", "") === 0.0)
+    assert(jw("", "abc") === 0.0)
+    assert(jw("ab", "ba") === 0.0)   // window 0: no off-position matches
+    assert(jw("same", "same") === 1.0)
+  }
+
+  test("jaro_winkler is symmetric and bounded on corpus strings") {
+    val names = Tables.part(spark, sf).select("p_name").distinct().limit(25)
+    val pairs = names.as("a").crossJoin(names.as("b"))
+      .selectExpr("jaro_winkler(a.p_name, b.p_name) AS ab",
+        "jaro_winkler(b.p_name, a.p_name) AS ba")
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), "asymmetric")
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    }
+  }
+
+  test("jaro_winkler codegen path agrees with the interpreted path") {
+    val df = Tables.part(spark, sf)
+      .selectExpr("p_name", "reverse(p_name) AS r")
+    val viaCodegen = df.selectExpr("jaro_winkler(p_name, r) AS v").collect()
+    import graft.functions.JaroWinklerAlgo
+    import org.apache.spark.unsafe.types.UTF8String
+    val direct = df.select("p_name", "r").collect().map(row =>
+      JaroWinklerAlgo.sim(UTF8String.fromString(row.getString(0)),
+        UTF8String.fromString(row.getString(1))))
+    viaCodegen.map(_.getDouble(0)).zip(direct).foreach { case (a, b) =>
+      assert(a === b)
+    }
+  }
 }
