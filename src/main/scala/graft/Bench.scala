@@ -77,7 +77,19 @@ object Bench {
     "q_profile_table",
     "q_ts_resample",
     "q_dedup_cc",
-    "q_kmeans")
+    "q_kmeans",
+    // round 2, second wave: audit / relevance / CDC / layout families
+    "q_dq_audit",
+    "q_dq_entropy",
+    "q_tfidf",
+    "q_bm25",
+    "q_merge_upsert",
+    "q_scd2",
+    "q_sessionize",
+    "q_zorder",
+    "q_fuzzy_jw",
+    "q_incremental_agg",
+    "q_chi2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

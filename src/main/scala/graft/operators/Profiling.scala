@@ -149,6 +149,50 @@ object Profiling {
              |  CAST(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
              |                  OR o_totalprice > q3 + 1.5 * (q3 - q1) THEN o_orderkey ELSE 0 END) AS BIGINT) AS outlier_checksum
              |FROM orders o JOIN b USING (o_orderpriority)
-             |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin))
+             |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)),
+
+    // Feature scaling: per-group z-score and min-max normalization of
+    // l_extendedprice — the standardization pass before any numeric
+    // feature meets a model. Group stats come from exact decimal power
+    // sums (one combinable aggregate, broadcast back); the per-row
+    // scaled values are IEEE doubles over those exact stats, checked on
+    // a hash-pinned row sample so the output stays bounded while the
+    // scaling is verified end-to-end.
+    QueryDef(
+      "q_feature_scale",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val stats = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(28, 2))).cast("double").as("sx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+              .cast("double").as("sxx"),
+            min(col("l_extendedprice")).as("mn"),
+            max(col("l_extendedprice")).as("mx"))
+        Tables.lineitem(s, d)
+          .join(broadcast(stats), "l_returnflag")
+          .filter(expr(s"${graft.functions.TextAnalysis.tokHash(
+            "concat(l_orderkey, '#', l_linenumber)")} % 100 < 2"))
+          .selectExpr("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+            "round((l_extendedprice - sx / n) " +
+              "/ sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS zscore",
+            "round((l_extendedprice - mn) / (mx - mn), 6) AS minmax")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+              |    ${Parity.sqlDsum("l_extendedprice", 2)} AS sx,
+              |    ${Parity.sqlDsum("l_extendedprice * l_extendedprice", 4)} AS sxx,
+              |    MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+              |  round((l_extendedprice - sx / n)
+              |    / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS zscore,
+              |  round((l_extendedprice - mn) / (mx - mn), 6) AS minmax
+              |FROM lineitem JOIN stats USING (l_returnflag)
+              |WHERE ${graft.functions.TextAnalysis.duckTokHash(
+                 "concat(l_orderkey, '#', l_linenumber)")} % 100 < 2
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 }

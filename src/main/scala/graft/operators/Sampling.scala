@@ -96,6 +96,39 @@ object Sampling {
               |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
               |      ORDER BY ${duckTokHash("CAST(o_orderkey AS VARCHAR)")}, o_orderkey) AS rk
               |  FROM orders)
-              |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin))
+              |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin)),
+
+    // Weighted sampling without replacement (A-ES / exponential race):
+    // each row draws u from its hash, races with key -ln(u)/w, and the
+    // k smallest keys per stratum win — heavier rows (weight =
+    // l_quantity) win proportionally more often, yet the draw is a
+    // pure row function: same winners on any cluster, any partition
+    // count, any run. The race key is micro-quantized before ranking
+    // (ln is the only cross-engine ulp risk), tie-broken by row id; the
+    // same WindowGroupLimit top-k shape as q_sample_reservoir.
+    QueryDef(
+      "q_sample_weighted",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val race =
+          s"CAST(round(-ln((${tokHash(rowKey)} % 1000000 + 1) / 1e6) * 1e6" +
+            " / l_quantity, 0) AS BIGINT)"
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("race_key").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        Tables.lineitem(s, d)
+          .selectExpr("l_returnflag", "l_orderkey", "l_linenumber",
+            "l_quantity", s"$race AS race_key")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 8)
+          .select("l_returnflag", "rk", "l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_returnflag", "rk")
+      },
+      Some(s"""SELECT l_returnflag, rk, l_orderkey, l_linenumber, l_quantity FROM (
+              |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+              |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              |      ORDER BY CAST(round(-ln((${duckTokHash(rowKey)} % 1000000 + 1) / 1e6) * 1e6
+              |                / l_quantity) AS BIGINT), l_orderkey, l_linenumber) AS rk
+              |  FROM lineitem)
+              |WHERE rk <= 8 ORDER BY l_returnflag, rk""".stripMargin))
   )
 }

@@ -101,6 +101,57 @@ object TimeSeries {
              |  FROM ev)
              |SELECT l_suppkey, CAST(MAX(live) AS BIGINT) AS max_concurrent,
              |  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
-             |FROM run GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
+             |FROM run GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    // Rolling z-score anomaly screen: each event against the trailing
+    // 5-event window of its own user's series. The window sums run over
+    // MILLI-QUANTIZED values (exact integer frame sums — a rolling
+    // sum of raw doubles is order-dependent and would never cross-check),
+    // the z denominator is the integer Cauchy-Schwarz form n·Σv²−(Σv)²
+    // (non-negative by construction, no catastrophic cancellation), and
+    // only full 5-row frames score. Per-user anomaly counts with the
+    // flagged-event checksum pin the exact flag set.
+    QueryDef(
+      "q_ts_anomaly",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val frame = ord.rowsBetween(-4, 0)
+        Tables.events(s, d)
+          .withColumn("vq", expr("CAST(floor(value * 1000) AS BIGINT)"))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("sx", sum(col("vq")).over(frame))
+          .withColumn("sxx", sum(col("vq") * col("vq")).over(frame))
+          .filter(col("rn") >= 5)
+          .withColumn("z", expr(
+            "CASE WHEN 5 * sxx - sx * sx = 0 THEN 0.0 " +
+              "ELSE (5 * vq - sx) / sqrt((5 * sxx - sx * sx) * 5.0 / 4.0) END"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_scored"),
+            sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).cast("bigint").as("n_anomalies"),
+            sum(when(abs(col("z")) > 2, col("event_id")).otherwise(0L))
+              .cast("bigint").as("flag_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vq,
+             |    ROW_NUMBER() OVER w AS rn,
+             |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER (w ROWS
+             |      BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sx,
+             |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)
+             |           * CAST(floor(value * 1000) AS BIGINT)) OVER (w ROWS
+             |      BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sxx
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |z AS (
+             |  SELECT user_id, event_id,
+             |    CASE WHEN 5 * sxx - sx * sx = 0 THEN 0.0
+             |         ELSE (5 * vq - sx) / sqrt((5 * sxx - sx * sx) * 5.0 / 4.0) END AS z
+             |  FROM q WHERE rn >= 5)
+             |SELECT user_id, COUNT(*) AS n_scored,
+             |  CAST(SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+             |  CAST(SUM(CASE WHEN abs(z) > 2 THEN event_id ELSE 0 END) AS BIGINT) AS flag_checksum
+             |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
