@@ -19,11 +19,16 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any output from a previous run: a stale result dir would
-        // otherwise mask this failure as a pass in the comparator
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          stale.listFiles().foreach(_.delete()); stale.delete()
+        // otherwise mask this failure as a pass in the comparator. A
+        // failed write can leave nested dirs (_temporary), so the delete
+        // must walk the tree — a flat listFiles().delete() leaves the
+        // nested dir behind and the partial output survives.
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+          f.delete(); ()
         }
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) rmTree(stale)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,7 +46,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    graft.operators.Dedup.unpersistShingles()
+    graft.FrameCache.release(spark)
     spark.stop()
   }
 }

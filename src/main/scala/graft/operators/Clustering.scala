@@ -54,11 +54,18 @@ object Clustering {
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       // min over self + neighbor labels — a keyed join and a combinable
-      // aggregate; nothing materializes a whole component anywhere.
+      // aggregate; nothing materializes a whole component anywhere. The
+      // self rows carry the round's incoming label as `old` (unique per
+      // v, so max() recovers it through the aggregate): the convergence
+      // check then reads the checkpointed frame directly instead of
+      // re-joining it against the previous labels — one filter+count
+      // over in-memory blocks per round, not a shuffle join action.
+      val self = labels.select(col("v"), col("lab"), col("lab").as("old"))
       val nbr = edges
         .join(labels.withColumnRenamed("v", "dst"), "dst")
-        .select(col("src").as("v"), col("lab"))
-      val minLab = labels.union(nbr).groupBy("v").agg(min("lab").as("lab"))
+        .select(col("src").as("v"), col("lab"), lit(null).cast("long").as("old"))
+      val minLab = self.union(nbr).groupBy("v")
+        .agg(min("lab").as("lab"), max("old").as("old"))
       // pointer jumping: lab(v) <- lab(lab(v)); halves tree height.
       // localCheckpoint (not cache): the self-join references minLab
       // twice, so the logical plan DOUBLES per round — without lineage
@@ -68,19 +75,17 @@ object Clustering {
       val ck = minLab.as("x")
         .join(minLab.select(col("v").as("lv"), col("lab").as("llab")).as("y"),
           col("x.lab") === col("y.lv"), "left")
-        .select(col("x.v").as("v"), coalesce(col("y.llab"), col("x.lab")).as("lab"))
+        .select(col("x.v").as("v"), coalesce(col("y.llab"), col("x.lab")).as("lab"),
+          col("x.old").as("old"))
         .localCheckpoint(true)
       // Re-baseline on the checkpointed RDD with FRESH attribute ids:
       // the next round unions this frame with a projection of itself,
       // and Catalyst's union-constraint rewrite chokes when both
       // branches carry the same attribute ids out of a LogicalRDD.
       val jumped = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-      changed = jumped.withColumnRenamed("lab", "nl")
-        .join(labels.withColumnRenamed("lab", "ol"), "v")
-        .filter(col("nl") =!= col("ol"))
-        .count()
+      changed = jumped.filter(col("lab") =!= col("old")).count()
       labels.unpersist()
-      labels = jumped
+      labels = jumped.drop("old")
       iter += 1
     }
     edges.unpersist()
@@ -119,11 +124,16 @@ object Clustering {
   private val KmIters = 3
   private val KmDim = 64
 
-  /** Argmin assignment: (vec_id, cid) for the current centroid frame. */
+  /** Argmin assignment: (vec_id, cid) for the current centroid frame.
+    * The centroid self-dot is hoisted into the k-row broadcast side —
+    * computing it inside the cross join would redo a 64-element fold per
+    * (point, centroid) pair for a value that only depends on the
+    * centroid. */
   private[graft] def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(cents))
+    pts.crossJoin(broadcast(
+        cents.selectExpr("cid", "cent", s"${sparkDot("cent", "cent")} AS cc")))
       .selectExpr("vec_id", "cid",
-        s"${sparkDot("cent", "cent")} - 2 * ${sparkDot("embedding", "cent")} AS d")
+        s"cc - 2 * ${sparkDot("embedding", "cent")} AS d")
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
@@ -139,14 +149,29 @@ object Clustering {
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, coord))), s -> s.coord)").as("cent"))
 
+  /** The point set every iterative fit (k-means, PQ) re-reads each pass:
+    * cached once per session ([[graft.FrameCache]] — release via
+    * `FrameCache.release(session)`), so Lloyd's `iters` passes scan
+    * memory, not parquet. */
+  private[graft] def cachedPoints(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.memo(s, s"embpts:$d")(
+      Tables.embeddings(s, d).select("vec_id", "embedding"))
+
   /** `iters` rounds of Lloyd's from the deterministic seed; returns the
-    * final assignment. */
+    * final assignment. Each round materializes the k-row centroid frame
+    * eagerly (localCheckpoint): the round is then ONE job over the
+    * cached points, and the next round's plan starts from k in-memory
+    * rows instead of nesting the whole previous fit — without this the
+    * final action re-ran every assignment and update pass against the
+    * raw scan (7 parquet re-reads for a 3-iteration fit). */
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
-    val pts = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val pts = cachedPoints(s, d)
     var cents = pts.filter(col("vec_id") < KmK)
       .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
-    for (_ <- 1 to KmIters)
-      cents = kmUpdate(kmAssign(pts, cents), pts)
+    for (_ <- 1 to KmIters) {
+      val ck = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint(true)
+      cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     kmAssign(pts, cents).join(cents, "cid")
   }
 

@@ -48,22 +48,14 @@ object Dedup {
     (16573L, 7177L), (17707L, 1801L), (18859L, 9461L), (19993L, 5701L))
 
   // ---- shared SQL fragments, Spark dialect ----
-  /** Distinct 3-gram token shingles (docs are single-space tokenized and
-    * always ≥ 3 tokens in this corpus). NB for one-shot string use only:
-    * the lambda re-evaluates `split(text)` per index — the staged
-    * [[shingleFrame]] is the performant path. */
+  /** Distinct 3-gram token shingles (guarded against sub-3-token docs —
+    * Spark's `sequence(1, n)` descends when n < 1). NB for one-shot
+    * string use only: the lambda re-evaluates `split(text)` per index —
+    * the staged [[shingleFrame]] is the performant path. */
   val sparkShingles: String =
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+    "array_distinct(transform(CASE WHEN size(split(text, ' ')) >= 3 " +
+      "THEN sequence(1, size(split(text, ' ')) - 2) ELSE CAST(array() AS ARRAY<INT>) END, " +
       "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
-
-  /** One cached shingle frame per (session, dir), shared across the whole
-    * dedup family: q_dedup_minhash, q_dedup_simhash, q_minhash_sig and
-    * q_dedup_ngram all start from the same expensive projection (per-
-    * shingle md5), so the fill cost is paid once per session, not once
-    * per query. [[unpersistShingles]] releases the storage — a long-lived
-    * session would otherwise leak BlockManager memory. */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
 
   /** (doc_id, g: distinct shingles, hs: distinct shingle hashes), built
     * in staged projections so tokenization happens once per row (a
@@ -73,26 +65,24 @@ object Dedup {
     * per-row hash work to a single core. At 100 TB the scan itself
     * yields enough partitions and the repartition becomes a no-op
     * knob; CollapseProject keeps the stages separate because the
-    * aliases are expensive and multiply-referenced. Cached and memoized —
-    * self-joins and join-backs reference this frame 2-4 times per query
-    * and Spark recomputes uncached join branches. */
+    * aliases are expensive and multiply-referenced. Cached and memoized
+    * per session ([[graft.FrameCache]]) — self-joins and join-backs
+    * reference this frame 2-4 times per query and Spark recomputes
+    * uncached join branches; `FrameCache.release(session)` is the
+    * end-of-job lifecycle hook (Bench and Verify call it). The `size - 2`
+    * upper bound is guarded: Spark's `sequence(1, n)` DESCENDS when
+    * n < 1 (yielding [1, 0] — spurious null shingles), so sub-3-token
+    * docs map to an empty shingle set instead. */
   def shingleFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    shingleCache.computeIfAbsent((s, d), { case (s, d) =>
+    graft.FrameCache.memo(s, s"shingles:$d") {
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .selectExpr("doc_id", "split(text, ' ') AS toks")
         .selectExpr("doc_id",
-          "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))) AS g")
+          "array_distinct(transform(CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) " +
+            "ELSE CAST(array() AS ARRAY<INT>) END, i -> concat_ws(' ', slice(toks, i, 3)))) AS g")
         .selectExpr("doc_id", "g", s"array_distinct(transform(g, x -> ${tokHash("x")})) AS hs")
-        .cache()
-    })
-
-  /** Release every cached shingle frame (end-of-job lifecycle hook; Bench
-    * and Verify call it so a session never leaks the cached storage). */
-  def unpersistShingles(): Unit = {
-    shingleCache.forEach((_, df) => { df.unpersist(); () })
-    shingleCache.clear()
-  }
+    }
 
   // ---- DuckDB dialect twins ----
   val duckShingles: String =

@@ -52,6 +52,36 @@ object Profiling {
            |  ${Parity.sqlDavg(c, 2)} AS mean_v FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
 
+    // The headline profile: same single-pass shape with
+    // approx_count_distinct (HLL++) replacing the exact distincts — the
+    // 4 exact COUNT(DISTINCT) above force a 5× Expand of the scan, the
+    // documented price of exactness that a routine profile doesn't need
+    // (±2% on cardinality is diagnostic noise). No oracle SQL: Spark's
+    // HLL estimate is deterministic but not reproducible in DuckDB SQL,
+    // so the driver records the rows-only check; ProfilingSpec pins the
+    // estimates within 5% of the exact counts at two SFs instead.
+    QueryDef(
+      "q_profile_approx",
+      (s, d) => {
+        val aggs = profCols.flatMap { c =>
+          Seq(count(col(c)).as(s"__n_$c"),
+            approx_count_distinct(col(c), 0.02).as(s"__d_$c"),
+            min(col(c)).as(s"__min_$c"),
+            max(col(c)).as(s"__max_$c"),
+            Parity.davg(col(c), 2).as(s"__avg_$c"))
+        }
+        val stacked = profCols.map { c =>
+          s"struct('$c' AS col_name, __n_$c AS n_nonnull, __d_$c AS approx_distinct, " +
+            s"__min_$c AS min_v, __max_$c AS max_v, __avg_$c AS mean_v)"
+        }.mkString(", ")
+        Tables.lineitem(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"explode(array($stacked)) AS p")
+          .select("p.*")
+          .orderBy("col_name")
+      },
+      None),
+
     // Quantile binning: per-group quartile boundaries → per-row bucket
     // assignment → bucket histogram. The boundary values are the exact
     // interpolated percentiles both engines agree on bit-for-bit
