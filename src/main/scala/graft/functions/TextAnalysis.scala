@@ -52,10 +52,16 @@ object TextAnalysis {
       s: org.apache.spark.sql.SparkSession, d: String, partitions: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint pins ONE physical layout: both downstream branches
+    // (local running sums, per-partition offsets) must see identical
+    // pid↔row assignments, and repartitionByRange SAMPLES its range
+    // boundaries — without pinning, correctness silently depends on
+    // Spark reusing the exchange for both branches.
     val docs = Tables.documents(s, d)
       .selectExpr("doc_id", "size(split(text, ' ')) AS n_toks")
       .repartitionByRange(partitions, col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = docs.withColumn("local_cum", sum(col("n_toks")).over(wLocal))

@@ -50,12 +50,17 @@ object Vocab {
              |WHERE rank <= 50 ORDER BY rank""".stripMargin)),
 
     // Adjacent-pair counts — the exact candidate relation a BPE merge
-    // step ranks (merge = argmax count). Top 30 pins the head.
+    // step ranks (merge = argmax count). Top 30 pins the head. The
+    // sequence upper bound is guarded: Spark's `sequence(1, n)` DESCENDS
+    // when n < 1 ([1, 0] — spurious null-token pairs), while the
+    // oracle's generate_series(1, 0) is empty; single-token docs must
+    // yield no pairs on both sides.
     QueryDef(
       "q_bpe_pairs",
       (s, d) => Tables.documents(s, d)
         .selectExpr("split(text, ' ') AS toks")
-        .selectExpr("explode(transform(sequence(1, size(toks) - 1), " +
+        .selectExpr("explode(transform(CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END, " +
           "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS p")
         .selectExpr("p.w1 AS w1", "p.w2 AS w2")
         .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
@@ -76,13 +81,16 @@ object Vocab {
       "q_ngram_lm",
       (s, d) => {
         val toks = Tables.documents(s, d).selectExpr("split(text, ' ') AS toks")
+        // same descending-sequence guard as q_bpe_pairs (≥3 / ≥2 tokens)
         val tri = toks
-          .selectExpr("explode(transform(sequence(1, size(toks) - 2), " +
+          .selectExpr("explode(transform(CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) " +
+            "ELSE CAST(array() AS ARRAY<INT>) END, " +
             "i -> struct(toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3))) AS g")
           .selectExpr("g.w1 AS w1", "g.w2 AS w2", "g.w3 AS w3")
           .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
         val bi = toks
-          .selectExpr("explode(transform(sequence(1, size(toks) - 1), " +
+          .selectExpr("explode(transform(CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1) " +
+            "ELSE CAST(array() AS ARRAY<INT>) END, " +
             "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS g")
           .selectExpr("g.w1 AS w1", "g.w2 AS w2")
           .groupBy("w1", "w2").agg(count(lit(1)).as("n2"))

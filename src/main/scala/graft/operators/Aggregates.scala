@@ -119,7 +119,12 @@ object Aggregates {
     val outCols = flat.map { case (_, _, name) =>
       max(when(col("__name") === name, col("__val"))).as(name)
     }
-    picked.groupBy(group).agg(outCols.head, outCols.tail: _*)
+    // Left-join back to the sketch's group list: a group whose value
+    // column is all-NULL yields no candidate rows in pass 3 and would
+    // vanish entirely, while quantile_cont semantics (and the DuckDB
+    // oracle) emit the group with a NULL percentile.
+    sketch.select(col(group))
+      .join(picked.groupBy(group).agg(outCols.head, outCols.tail: _*), Seq(group), "left")
   }
 
   val defs: Seq[QueryDef] = Seq(

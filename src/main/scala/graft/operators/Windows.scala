@@ -206,9 +206,14 @@ object Windows {
   private[graft] def distributedNtile(
       s: org.apache.spark.sql.SparkSession, d: String, k: Int, partitions: Int)
       : org.apache.spark.sql.DataFrame = {
+    // localCheckpoint pins one physical layout for both branches (local
+    // row_numbers, per-partition counts): repartitionByRange samples its
+    // boundaries, so two recomputes could stamp different pids — see the
+    // same pinning in TextAnalysis.distributedCumsumPack.
     val base = Tables.orders(s, d).select("o_orderkey")
       .repartitionByRange(partitions, col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy("pid").orderBy("o_orderkey")
     val local = base.withColumn("local_rn", row_number().over(wLocal).cast("long"))
     // offsets derive from `base` (pre-window), not `local`: the join

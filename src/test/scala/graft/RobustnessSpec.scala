@@ -68,6 +68,40 @@ class RobustnessSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("percentile groups whose value column is all-NULL surface with NULL values") {
+    import spark.implicits._
+    // group "b" has no non-null values: quantile_cont semantics (and the
+    // DuckDB oracle) keep the group with a NULL percentile — it must not
+    // vanish from the output.
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(2.0)),
+        ("b", None), ("b", None))
+      .toDF("g", "v")
+    val out = operators.Aggregates.sortPercentiles(
+        df, "g", Seq("v" -> Seq(0.5 -> "med")))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out.keySet === Set("a", "b"))
+    assert(out("a") === Some(2.0))
+    assert(out("b") === None)
+  }
+
+  test("sub-shingle-length docs produce empty shingle and pair sets, not descending-sequence junk") {
+    import spark.implicits._
+    val df = Seq((1L, "one"), (2L, "two words"), (3L, "three word doc"))
+      .toDF("doc_id", "text")
+    val shingled = df.selectExpr("doc_id", s"${operators.Dedup.sparkShingles} AS g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(shingled(1L).isEmpty && shingled(2L).isEmpty)
+    assert(shingled(3L) === Seq("three word doc"))
+    // pair transform guard: a 1-token doc yields zero pairs (unguarded
+    // sequence(1, 0) would descend and emit a (tok, null) pair)
+    val pairs = df.selectExpr(
+        "explode(transform(CASE WHEN size(split(text, ' ')) >= 2 THEN sequence(1, size(split(text, ' ')) - 1) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END, " +
+          "i -> struct(split(text, ' ')[i - 1] AS w1, split(text, ' ')[i] AS w2))) AS p")
+      .collect()
+    assert(pairs.length === 3) // 0 + 1 + 2 adjacent pairs
+  }
+
   test("binary media payloads round-trip through parquet bit-exactly") {
     implicit val s = spark
     import spark.implicits._
