@@ -59,12 +59,14 @@ object Similarity {
     * sizing rule, and the LSH/IVF queries run at two settings to pin
     * that the knob actually steers bucket population (ScaleSpec bounds
     * the max bucket). Capped at the embedding dimension (64 here). */
-  private[graft] def bucketExpr(bits: Int, elem: Int => String): String =
-    (0 until bits).map(i => s"(CASE WHEN ${elem(i + 1)} > 0 THEN ${1L << i} ELSE 0 END)")
+  private[graft] def bucketExpr(bits: Int, elem: Int => String, offset: Int = 0): String =
+    (0 until bits).map(i => s"(CASE WHEN ${elem(offset + i + 1)} > 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  private[graft] def sparkBucket(bits: Int) = bucketExpr(bits, i => s"element_at(embedding, $i)")
-  private[graft] def duckBucket(bits: Int)  = bucketExpr(bits, i => s"embedding[$i]")
+  private[graft] def sparkBucket(bits: Int, offset: Int = 0) =
+    bucketExpr(bits, i => s"element_at(embedding, $i)", offset)
+  private[graft] def duckBucket(bits: Int, offset: Int = 0) =
+    bucketExpr(bits, i => s"embedding[$i]", offset)
 
   /** log(N) sizing for the LSH bit count: 2^bits ≈ N / targetBucket,
     * clamped to [4, dim]. At N=500 → 4–10 bits; at N=10⁹ (a 100 TB
@@ -169,6 +171,94 @@ object Similarity {
        |            ORDER BY cosine DESC, c_id) AS rn FROM probe)
        |WHERE rn = 1 ORDER BY q_id""".stripMargin
 
+  /** Recall@k of a sign-LSH index against the brute-force baseline —
+    * the number an ANN operator actually tunes at 100 TB. Two knobs,
+    * two directions: more hyperplane `bits` → smaller buckets, cheaper
+    * probes, lower recall; more hash `tables` (disjoint coordinate
+    * blocks as the hyperplane sets, candidates = union of per-table
+    * bucket matches) → more scored pairs, higher recall. The brute
+    * top-k is the ground truth (broadcast queries, one candidate pass);
+    * the LSH top-k ranks the distinct union of per-table bucket-join
+    * candidates; matched = |brute ∩ lsh| per query, folded to one
+    * summary row: recall = matched / |brute top-k|, plus the distinct
+    * candidate-pair count the index actually scored (the probe cost
+    * the recall was bought at). All-integer counts + one final
+    * division — deterministic. Requires bits·tables ≤ dim (64).
+    */
+  def annRecall(s: org.apache.spark.sql.SparkSession, d: String, bits: Int,
+                tables: Int = 1, k: Int = 5, queryLimit: Int = 100)
+      : org.apache.spark.sql.DataFrame = {
+    val n = withNorm(s, d)
+    val tblStructs = (0 until tables).map(t =>
+      s"struct($t AS tbl, ${sparkBucket(bits, t * bits)} AS bucket)")
+    val bkt = n.selectExpr("vec_id", s"explode(array(${tblStructs.mkString(", ")})) AS bk")
+      .select(col("vec_id"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+    val candIds = bkt.as("x").join(bkt.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") =!= col("y.vec_id"))
+      .filter(col("x.vec_id") < queryLimit)
+      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
+      .distinct()
+    val qn = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cn = n.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    val brute = cn.join(broadcast(qn.filter(col("q_id") < queryLimit)), col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id")
+    val cand = candIds.join(qn, "q_id").join(cn, "c_id")
+      .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+    val approx = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id")
+    brute.agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_brute"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(brute.join(approx, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_matched")))
+      .selectExpr(s"$bits AS bits", s"$tables AS tables", "n_queries", "n_cand", "n_matched",
+        "CAST(n_matched AS DOUBLE) / n_brute AS recall_at_k")
+  }
+
+  /** DuckDB twin of [[annRecall]]: per-setting CTEs (names suffixed
+    * `_<bits>_<tables>`) + one shared brute CTE the caller emits once. */
+  def recallOracleBruteCte(k: Int = 5, queryLimit: Int = 100): String =
+    s"""brute AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+       |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |               ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |        WHERE q.vec_id < $queryLimit)) WHERE rnk <= $k)""".stripMargin
+
+  def recallOracleCtes(bits: Int, tables: Int = 1, k: Int = 5,
+                       queryLimit: Int = 100): (String, String) = {
+    val sfx = s"_${bits}_$tables"
+    val tableSelects = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${duckBucket(bits, t * bits)} AS bucket FROM n")
+    val ctes =
+      s"""bkt$sfx AS (${tableSelects.mkString("\n  UNION ALL ")}),
+         |ids$sfx AS (SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS c_id
+         |  FROM bkt$sfx x JOIN bkt$sfx y
+         |  ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |  WHERE x.vec_id < $queryLimit),
+         |cand$sfx AS (
+         |  SELECT q_id, c_id,
+         |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM ids$sfx JOIN n q ON q.vec_id = q_id JOIN n c ON c.vec_id = c_id),
+         |approx$sfx AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM cand$sfx) WHERE rnk <= $k)""".stripMargin
+    val select =
+      s"""SELECT $bits AS bits, $tables AS tables,
+         |  (SELECT COUNT(DISTINCT q_id) FROM brute) AS n_queries,
+         |  (SELECT COUNT(*) FROM cand$sfx) AS n_cand,
+         |  COUNT(*) AS n_matched,
+         |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM brute) AS recall_at_k
+         |FROM brute JOIN approx$sfx USING (q_id, c_id)""".stripMargin
+    (ctes, select)
+  }
+
   /** DuckDB twin of [[lshAnn]], generated from the same parameters. */
   def lshOracle(bits: Int, queryLimit: Int = 100): String =
     s"""WITH $duckNormCte,
@@ -260,6 +350,27 @@ object Similarity {
     // ([[ivfCellsFor]]) — two settings oracle-checked to pin the knob.
     QueryDef("q_sim_ivf", (s, d) => ivfAnn(s, d, cells = 8), Some(ivfOracle(cells = 8))),
     QueryDef("q_sim_ivf_scaled", (s, d) => ivfAnn(s, d, cells = 22), Some(ivfOracle(cells = 22))),
+
+    // Recall@5 across three index settings — the recall/cost surface
+    // the bucketing specs only imply: 8→10 bits must show fewer scored
+    // candidates and no higher recall; 1→4 tables must show more
+    // candidates and higher recall. Single-probe single-table sign-LSH
+    // recalls poorly by construction (the honest number is the point);
+    // tables are the production lever that buys it back.
+    QueryDef(
+      "q_sim_recall",
+      (s, d) => annRecall(s, d, bits = 8, tables = 1)
+        .unionAll(annRecall(s, d, bits = 10, tables = 1))
+        .unionAll(annRecall(s, d, bits = 8, tables = 4))
+        .orderBy("bits", "tables"), {
+        val settings = Seq((8, 1), (10, 1), (8, 4))
+        val parts = settings.map { case (b, t) => recallOracleCtes(b, t) }
+        Some(s"""WITH $duckNormCte,
+                |${recallOracleBruteCte()},
+                |${parts.map(_._1).mkString(",\n")}
+                |${parts.map(_._2).mkString("\nUNION ALL\n")}
+                |ORDER BY bits, tables""".stripMargin)
+      }),
 
     // Embedding-cosine near-dup pairs, brute force (verify-scale
     // baseline; the LSH bucket join above is the 100 TB shape).

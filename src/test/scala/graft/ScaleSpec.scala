@@ -103,6 +103,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(Similarity.ivfCellsFor(1000000) === 1000)   // √N cells
   }
 
+  test("ANN recall/cost surface moves the right way with bits and tables") {
+    import operators.Similarity
+    def row(bits: Int, tables: Int): (Long, Double) = {
+      val r = Similarity.annRecall(spark, sf, bits, tables).head
+      (r.getAs[Long]("n_cand"), r.getAs[Double]("recall_at_k"))
+    }
+    val (cand8x1, rec8x1) = row(8, 1)
+    val (cand10x1, rec10x1) = row(10, 1)
+    val (cand8x4, rec8x4) = row(8, 4)
+    // more hyperplane bits → fewer scored candidates, no recall gain
+    assert(cand10x1 < cand8x1, s"bits=10 scored $cand10x1 !< bits=8 $cand8x1")
+    assert(rec10x1 <= rec8x1)
+    // more hash tables → more scored candidates, recall strictly up
+    assert(cand8x4 > cand8x1, s"tables=4 scored $cand8x4 !> tables=1 $cand8x1")
+    assert(rec8x4 > rec8x1, s"tables=4 recall $rec8x4 !> tables=1 $rec8x1")
+  }
+
   test("distributed ntile matches the built-in global-window ntile exactly") {
     import org.apache.spark.sql.expressions.Window
     val builtin = Tables.orders(spark, sf)
