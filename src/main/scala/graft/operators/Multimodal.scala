@@ -1,8 +1,11 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** A media payload row: opaque bytes + typed metadata — the multimodal
   * column pattern (binary payload, mime tag, string-map metadata). */
@@ -12,7 +15,12 @@ final case class MediaRow(
     mime: String,
     meta: Map[String, String])
 
-/** Features the (stubbed) decoder extracts per payload. */
+/** Projection of the documents table feeding [[Multimodal.toMedia]]
+  * (top-level: Encoder codegen must be able to construct it). */
+final case class DocRow(doc_id: Long, text: String, source: String, lang: String)
+
+/** Features the decoder extracts per payload. `sample_rate` is audio-only
+  * (0 elsewhere); `width`/`height` are image/video-only. */
 final case class MediaFeatures(
     doc_id: Long,
     mime: String,
@@ -20,19 +28,29 @@ final case class MediaFeatures(
     checksum: Long,
     width: Int,
     height: Int,
+    sample_rate: Int,
     n_frames: Int)
 
 /** Multimodal-column plumbing (builder prompt: image/audio/video as
-  * opaque binary + typed metadata; decode behind a stub).
+  * opaque binary + typed metadata).
   *
-  * The real decode step would link an image/audio codec, which this
-  * container does not ship — [[Multimodal.fakeDecode]] is the
-  * clearly-marked deterministic STUB standing in for it. What IS real
-  * and tested is everything Spark-side: the binary+metadata schema, the
-  * typed `Dataset[MediaRow]` encoding, and the batched `mapPartitions`
-  * execution shape (fixed-size batches, exactly how a vectorized decode
-  * UDF consumes record batches). At 100 TB the payloads stay in
-  * executors end-to-end: no collect, no shuffle — a pure map stage whose
+  * The PNG and WAV paths are REAL header codecs, no libraries involved:
+  * [[Multimodal.buildPng]] emits the 8-byte PNG signature plus
+  * CRC32-correct IHDR/IDAT/IEND chunks (the IDAT body is raw, not zlib —
+  * chunk-structure-valid, which is exactly what a header parse consumes)
+  * and [[Multimodal.pngDims]] reads width/height back from the IHDR;
+  * [[Multimodal.buildWav]] emits a RIFF/WAVE container with a PCM
+  * `fmt ` chunk and [[Multimodal.wavFmt]] walks the chunk list to
+  * recover sample-rate/channels/frame-count. Only the video branch
+  * remains the clearly-marked deterministic STUB (an mp4 box parser
+  * buys nothing the PNG/WAV paths don't already prove). Malformed
+  * payloads fall back to the stub features — decode is total.
+  *
+  * The Spark side is the part that matters at 100 TB and is fully real:
+  * binary+metadata schema, typed `Dataset[MediaRow]` encoding, batched
+  * `mapPartitions` execution (fixed-size batches, how a vectorized
+  * decode UDF consumes record batches). Payloads stay in executors
+  * end-to-end: no collect, no shuffle — a pure map stage whose
   * parallelism is the scan's.
   */
 object Multimodal {
@@ -41,39 +59,170 @@ object Multimodal {
     * vectorized UDF would see. */
   val DecodeBatchSize = 64
 
-  /** Wrap documents as media rows: payload = utf-8 bytes (deterministic
-    * stand-in for real media bytes), mime fanned out over three
-    * modalities by doc_id, metadata as a typed map. */
-  def toMedia(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
-    import spark.implicits._
-    documents.selectExpr(
-      "doc_id",
-      "CAST(text AS BINARY) AS payload",
-      "CASE WHEN doc_id % 3 = 0 THEN 'image/png' " +
-        "WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime",
-      "map('source', source, 'lang', lang) AS meta")
-      .as[MediaRow]
+  // ---- PNG: signature + CRC32-correct chunks -------------------------
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(data.length)
+    val typeBytes = ctype.getBytes(UTF_8)
+    buf.put(typeBytes).put(data)
+    val crc = new CRC32
+    crc.update(typeBytes); crc.update(data)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
   }
 
-  /** STUB DECODER — deterministic fake. A real implementation would call
-    * an image/audio library here (not available in this container); the
-    * fake derives "decoded" dimensions from the payload bytes so tests
-    * have stable expectations.
-    */
-  def fakeDecode(row: MediaRow): MediaFeatures = {
-    val bytes = row.payload
-    val checksum = bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+  /** Structurally valid PNG byte stream: signature, IHDR (8-bit RGB),
+    * one IDAT chunk carrying `body` verbatim (raw, not zlib — valid
+    * chunk layout, not a decodable pixel stream), IEND. */
+  def buildPng(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    PngSignature ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", body) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Parse (width, height) from a PNG's IHDR; None unless the signature
+    * and leading IHDR chunk are present and sane. */
+  def pngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 24) return None
+    if (!bytes.take(8).sameElements(PngSignature)) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val len = buf.getInt(8)
+    val ctype = new String(bytes, 12, 4, UTF_8)
+    if (ctype != "IHDR" || len != 13) return None
+    val w = buf.getInt(16); val h = buf.getInt(20)
+    if (w <= 0 || h <= 0) None else Some((w, h))
+  }
+
+  // ---- WAV: RIFF container with PCM fmt chunk ------------------------
+
+  /** Valid RIFF/WAVE container: PCM `fmt ` chunk (16-bit samples) + a
+    * `data` chunk carrying `body` truncated to whole frames. */
+  def buildWav(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = math.max(blockAlign, body.length / blockAlign * blockAlign)
+    val data = java.util.Arrays.copyOf(body, dataLen)
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(UTF_8)).putInt(36 + dataLen).put("WAVE".getBytes(UTF_8))
+    buf.put("fmt ".getBytes(UTF_8)).putInt(16)
+      .putShort(1.toShort)                    // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)        // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16.toShort)                   // bits per sample
+    buf.put("data".getBytes(UTF_8)).putInt(dataLen).put(data)
+    buf.array()
+  }
+
+  /** Walk the RIFF chunk list for `fmt ` and `data`; returns
+    * (sampleRate, channels, nFrames). Tolerates unknown chunks and
+    * truncation — None on anything that isn't a WAVE container. */
+  def wavFmt(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 12) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (new String(bytes, 0, 4, UTF_8) != "RIFF" ||
+        new String(bytes, 8, 4, UTF_8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // rate, channels, blockAlign
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val ctype = new String(bytes, off, 4, UTF_8)
+      val clen = buf.getInt(off + 4)
+      if (clen < 0 || off + 8 + clen > bytes.length) return None
+      if (ctype == "fmt " && clen >= 16) {
+        val channels = buf.getShort(off + 10).toInt
+        val rate = buf.getInt(off + 12)
+        val blockAlign = buf.getShort(off + 20).toInt
+        if (channels <= 0 || rate <= 0 || blockAlign <= 0) return None
+        fmt = Some((rate, channels, blockAlign))
+      } else if (ctype == "data") dataLen = clen
+      off += 8 + clen + (clen & 1) // RIFF chunks are word-aligned
+    }
+    fmt.flatMap { case (rate, ch, ba) =>
+      if (dataLen < 0) None else Some((rate, ch, dataLen / ba))
+    }
+  }
+
+  // ---- corpus wrapping + decode --------------------------------------
+
+  private def mimeOf(docId: Long): String =
+    if (docId % 3 == 0) "image/png" else if (docId % 3 == 1) "audio/wav" else "video/mp4"
+
+  /** Deterministic per-doc media parameters, so specs can assert the
+    * parsed features against closed forms. */
+  private[graft] def expectedPngDims(docId: Long): (Int, Int) =
+    (16 + (docId % 500).toInt, 16 + (docId % 300).toInt)
+  private[graft] def expectedWavRate(docId: Long): Int =
+    Seq(8000, 16000, 44100)((docId / 3 % 3).toInt)
+  private[graft] def expectedWavChannels(docId: Long): Int =
+    1 + (docId % 2).toInt
+
+  /** Wrap documents as media rows: image docs get a real PNG stream
+    * (text bytes as the IDAT body), audio docs a real WAV container
+    * (text bytes as PCM data), video docs raw bytes (stub modality);
+    * metadata as a typed map. */
+  def toMedia(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select("doc_id", "text", "source", "lang").as[DocRow].map { r =>
+      val body = r.text.getBytes(UTF_8)
+      val payload = mimeOf(r.doc_id) match {
+        case "image/png" =>
+          val (w, h) = expectedPngDims(r.doc_id)
+          buildPng(w, h, body)
+        case "audio/wav" =>
+          buildWav(expectedWavRate(r.doc_id), expectedWavChannels(r.doc_id), body)
+        case _ => body
+      }
+      MediaRow(r.doc_id, payload, mimeOf(r.doc_id),
+        Map("source" -> r.source, "lang" -> r.lang))
+    }
+  }
+
+  /** STUB features — deterministic fallback for the video modality (no
+    * mp4 box parser) and for malformed image/audio payloads, derived
+    * from the payload bytes so tests have stable expectations. */
+  private def stubFeatures(row: MediaRow, checksum: Long): MediaFeatures = {
     val dim = (checksum % 1024).toInt + 1
     MediaFeatures(
       doc_id = row.doc_id,
       mime = row.mime,
-      n_bytes = bytes.length,
+      n_bytes = row.payload.length,
       checksum = checksum,
       width = if (row.mime.startsWith("image") || row.mime.startsWith("video")) dim else 0,
       height = if (row.mime.startsWith("image") || row.mime.startsWith("video")) dim / 2 + 1 else 0,
+      sample_rate = 0,
       n_frames = if (row.mime.startsWith("video")) (checksum % 240).toInt + 1
                  else if (row.mime.startsWith("audio")) (checksum % 48000).toInt + 1
                  else 1)
+  }
+
+  /** Total per-row decode: real header parse for PNG/WAV, stub for
+    * video and for payloads that fail to parse. */
+  def decode(row: MediaRow): MediaFeatures = {
+    val bytes = row.payload
+    val checksum = bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+    val parsed = row.mime match {
+      case "image/png" =>
+        pngDims(bytes).map { case (w, h) =>
+          stubFeatures(row, checksum).copy(width = w, height = h, n_frames = 1)
+        }
+      case "audio/wav" =>
+        wavFmt(bytes).map { case (rate, _, frames) =>
+          stubFeatures(row, checksum).copy(
+            width = 0, height = 0, sample_rate = rate, n_frames = frames)
+        }
+      case _ => None
+    }
+    parsed.getOrElse(stubFeatures(row, checksum))
   }
 
   /** Distributed decode: batched mapPartitions over the typed dataset —
@@ -82,7 +231,7 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      it.grouped(DecodeBatchSize).flatMap { batch => batch.map(fakeDecode) }
+      it.grouped(DecodeBatchSize).flatMap { batch => batch.map(decode) }
     }
   }
 
@@ -104,6 +253,18 @@ object Multimodal {
              |  md5(text) AS digest,
              |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
              |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // The decoded-feature frame itself (typed mapPartitions path): not
+    // SQL-expressible (binary container construction + header parse),
+    // so no oracle — the driver records the rows-only check and
+    // MultimodalSpec pins parsed dims/rates against their closed forms.
+    QueryDef(
+      "q_media_decode",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        decodeFeatures(toMedia(Tables.documents(s, d))).toDF().orderBy("doc_id")
+      },
+      None)
   )
 }
