@@ -200,7 +200,105 @@ object Clustering {
        |${assign(KmIters + 1, s"c$KmIters")}""".stripMargin
   }
 
+  // ---- product quantization over the embedding table -----------------
+  //
+  // The compression step behind every large-scale ANN index (IVF-PQ):
+  // split each vector into M subvectors, fit an independent k-means
+  // codebook per subspace, and store M small codes instead of the
+  // vector — memory drops from d floats to M bytes per vector while
+  // distances remain approximable from code-to-centroid tables. Built
+  // by composing the Lloyd machinery above per subspace; deterministic
+  // for the same reasons (quantized dots, fixed seeds/tie-breaks), so
+  // the DuckDB oracle replays the whole fit as unrolled CTEs.
+  //
+  // Scale shape: each subspace fit is the k-means loop (broadcast
+  // centroids, stateless scans); the final code assignment is M
+  // broadcast-argmin passes joined on vec_id — all map work over the
+  // cached points, no shuffle beyond the tiny per-fit updates.
+
+  private val PqM = 4      // subspaces
+  private val PqSub = 16   // dims per subspace (4 × 16 = 64)
+  private val PqK = 4      // codewords per subspace
+  private val PqIters = 2
+
+  /** Codes + reconstruction error per vector: (vec_id, c0..c3, sq_err)
+    * where c_m is the argmin codeword of subspace m and sq_err sums the
+    * per-subspace squared distances in fixed order. */
+  def pqAssign(s: SparkSession, d: String): DataFrame = {
+    val all = cachedPoints(s, d)
+    val perSub = (0 until PqM).map { m =>
+      val pts = all.selectExpr(
+        "vec_id", s"slice(embedding, ${m * PqSub + 1}, $PqSub) AS embedding")
+      var cents = pts.filter(col("vec_id") < PqK)
+        .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
+      for (_ <- 1 to PqIters) {
+        val ck = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint(true)
+        cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      }
+      pts.crossJoin(broadcast(
+          cents.selectExpr("cid", "cent", s"${sparkDot("cent", "cent")} AS cc")))
+        .selectExpr("vec_id", "cid",
+          s"${sparkDot("embedding", "embedding")} + cc - 2 * ${sparkDot("embedding", "cent")} AS dist")
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .selectExpr("vec_id", s"m.cid AS c$m", s"m.dist AS d$m")
+    }
+    perSub.reduce(_.join(_, "vec_id"))
+      .selectExpr("vec_id", "c0", "c1", "c2", "c3",
+        "d0 + d1 + d2 + d3 AS sq_err")
+      .orderBy("vec_id")
+  }
+
+  /** The PQ fit unrolled as DuckDB CTEs, one chain per subspace. */
+  private def duckPqCtes: String = {
+    def chain(m: Int): String = {
+      val lo = m * PqSub + 1
+      val hi = m * PqSub + PqSub
+      def assign(i: Int, cents: String) =
+        s"""s${m}_$i AS (SELECT p.vec_id, c.cid,
+           |  ${duckDot("c.cent", "c.cent")} - 2 * ${duckDot("p.sub", "c.cent")} AS d
+           |  FROM pts$m p CROSS JOIN $cents c),
+           |a${m}_$i AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           |  FROM s${m}_$i) WHERE rk = 1)""".stripMargin
+      def update(i: Int) =
+        s"""e${m}_$i AS (SELECT a.cid, g.i AS pos,
+           |  CAST(floor(CAST(p.sub[g.i] AS DOUBLE) * 100000000) AS BIGINT) AS q
+           |  FROM a${m}_$i a JOIN pts$m p USING (vec_id) CROSS JOIN generate_series(1, $PqSub) AS g(i)),
+           |d${m}_$i AS (SELECT cid, pos, CAST(SUM(q) AS DOUBLE) / 100000000 / COUNT(*) AS coord
+           |  FROM e${m}_$i GROUP BY cid, pos),
+           |c${m}_$i AS (SELECT cid, list(coord ORDER BY pos) AS cent FROM d${m}_$i GROUP BY cid)""".stripMargin
+      val rounds = (1 to PqIters).map(i =>
+        s"${assign(i, s"c${m}_${i - 1}")},\n${update(i)}").mkString(",\n")
+      s"""pts$m AS (SELECT vec_id, embedding[$lo:$hi] AS sub FROM embeddings),
+         |c${m}_0 AS (SELECT vec_id AS cid,
+         |  list_transform(embedding[$lo:$hi], v -> CAST(v AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < $PqK),
+         |$rounds,
+         |f$m AS (SELECT p.vec_id, c.cid,
+         |  ${duckDot("p.sub", "p.sub")} + ${duckDot("c.cent", "c.cent")}
+         |    - 2 * ${duckDot("p.sub", "c.cent")} AS dist
+         |  FROM pts$m p CROSS JOIN c${m}_$PqIters c),
+         |fa$m AS (SELECT vec_id, cid AS c$m, dist AS d$m FROM (
+         |  SELECT vec_id, cid, dist,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |  FROM f$m) WHERE rk = 1)""".stripMargin
+    }
+    (0 until PqM).map(chain).mkString(",\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Product-quantization codebook fit + code assignment, pinned
+    // per-vector: the 4 subspace codes and the summed reconstruction
+    // error (fixed addition order — IEEE-deterministic both sides).
+    QueryDef(
+      "q_pq_assign",
+      (s, d) => pqAssign(s, d),
+      Some(s"""WITH $duckPqCtes
+              |SELECT vec_id, c0, c1, c2, c3, d0 + d1 + d2 + d3 AS sq_err
+              |FROM fa0 JOIN fa1 USING (vec_id) JOIN fa2 USING (vec_id) JOIN fa3 USING (vec_id)
+              |ORDER BY vec_id""".stripMargin)),
 
     // k-means fit + final assignment, pinned per cluster: exact member
     // set (count + checksum) and the fitted centroid's quantized norm.

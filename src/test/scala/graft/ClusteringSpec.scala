@@ -66,6 +66,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(s1 < s0, s"3 Lloyd rounds should strictly improve on random seeds ($s0 -> $s1)")
   }
 
+  test("product quantization: total assignment, valid codes, and PQ beats whole-vector k-means SSE") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Clustering.pqAssign(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() === n)
+    val agg = out.agg(
+      min(least(col("c0"), col("c1"), col("c2"), col("c3"))),
+      max(greatest(col("c0"), col("c1"), col("c2"), col("c3"))),
+      min(col("sq_err")), sum(col("sq_err"))).head()
+    assert(agg.getLong(0) >= 0L && agg.getLong(1) < 4L, "codes outside [0, k)")
+    assert(agg.getDouble(2) >= -1e-9, "negative reconstruction error")
+    // 4 independent 16-dim codebooks give 4^4 effective centroids vs the
+    // whole-vector fit's 4 — PQ must reconstruct strictly better in
+    // total SSE (that's the entire point of the decomposition).
+    val km = operators.Clustering.kmeansAssign(spark, sf)
+      .join(Tables.embeddings(spark, sf).select("vec_id", "embedding"), "vec_id")
+      .selectExpr(
+        s"${operators.Similarity.sparkDot("embedding", "embedding")} " +
+          s"- 2 * ${operators.Similarity.sparkDot("embedding", "cent")} " +
+          s"+ ${operators.Similarity.sparkDot("cent", "cent")} AS d2")
+      .agg(sum(col("d2"))).head().getDouble(0)
+    assert(agg.getDouble(3) < km,
+      s"PQ total SSE ${agg.getDouble(3)} !< whole-vector k-means SSE $km")
+  }
+
   test("pagerank mass stays near |V| and ranks are in (0, |V|)") {
     val pr = SparkEntry.queries("q_graph_pagerank")(spark, sf)
     val rows = pr.collect()
