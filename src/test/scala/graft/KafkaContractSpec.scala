@@ -10,6 +10,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * pinned is that a user pointing [[graft.reference.KafkaTransport]] at
   * real MSK sends exactly the options the reference pipelines send.
   *
+  * Embedded-broker probe (so the gap stays documented, not assumed):
+  * `find ~/.cache/coursier ~/.ivy2 -iname '*kafka*'` and
+  * `ls /opt/spark/jars | grep -i kafka` both return nothing in this
+  * container — neither kafka-clients, kafka server test-jars, nor
+  * spark-sql-kafka resolve from the offline cache, so an embedded
+  * KafkaServer round-trip cannot be built here. The rate-source replay
+  * test in StreamingSpec covers the throttled-producer envelope
+  * end-to-end instead; the wire options above stay golden-pinned.
+  *
   * Sources of truth (key-for-key, value-for-value):
   *  - batch read:  `temReadFromTopic.py:36-59`
   *  - stream read: `03_temStreamEveryMin.py:41-57`

@@ -219,6 +219,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchTwin.exceptAll(streamed).count() === 0L)
   }
 
+  test("rate-limited replay: the reference's 2 msg/s producer envelope through streamConsume") {
+    // The reference's incremental producer emits ~2 msg/s
+    // (04_temincrementaltem.py:19, 500 ms sleep). Twin it as a rate
+    // source — the unbounded analogue of the throttled driver loop —
+    // shaped to the sensor wire format and fed through the real
+    // streamConsume pipeline (parse → Tem(Avg) → coalesce(1) → append
+    // sink) with a 1 s trigger standing in for the reference's 1 min.
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "2").load()
+      .selectExpr("CAST(value AS STRING) AS key",
+        "to_json(named_struct('id', CAST(value AS INT))) AS value")
+    val q = graft.reference.TemPipelines.streamConsume(
+      rate,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      format = "memory",
+      queryName = "t_rate_replay",
+      options = Map.empty)
+    try {
+      val deadline = System.currentTimeMillis() + 8000
+      while (System.currentTimeMillis() < deadline &&
+             spark.table("t_rate_replay").count() < 8L) Thread.sleep(250)
+      val rows = spark.table("t_rate_replay")
+      // ids survive the wire round-trip in order 0,1,2,...
+      val got = rows.select("id").collect().map(_.getInt(0)).sorted
+      assert(got.length >= 8, s"only ${got.length} rows after 8s at 2 msg/s")
+      assert(got.toSeq === (0 until got.length), "replay lost or reordered ids")
+      // per-micro-batch envelope: at 2 rows/s and a 1 s trigger no
+      // steady-state batch may carry more than ~2 rows (slack for the
+      // first backlog batch and timer jitter: allow 6)
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.nonEmpty)
+      assert(batches.drop(1).forall(_ <= 6L),
+        s"micro-batch exceeded the rate envelope: ${batches.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join and holds no stream state") {
     val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
     val streamed = runStream("t_enrich", EventStreams.enrichWithDim(_, dim))
