@@ -221,24 +221,41 @@ object Clustering {
   private val PqK = 4      // codewords per subspace
   private val PqIters = 2
 
-  /** Codes + reconstruction error per vector: (vec_id, c0..c3, sq_err)
-    * where c_m is the argmin codeword of subspace m and sq_err sums the
-    * per-subspace squared distances in fixed order. */
-  def pqAssign(s: SparkSession, d: String): DataFrame = {
-    val all = cachedPoints(s, d)
-    val perSub = (0 until PqM).map { m =>
-      val pts = all.selectExpr(
-        "vec_id", s"slice(embedding, ${m * PqSub + 1}, $PqSub) AS embedding")
+  /** Subspace m's (vec_id, embedding) slice. */
+  private def pqSub(all: DataFrame, m: Int): DataFrame =
+    all.selectExpr("vec_id", s"slice(embedding, ${m * PqSub + 1}, $PqSub) AS embedding")
+
+  /** Exact squared distance of every row in `frame` to every centroid:
+    * (vec_id, cid, dist) with the centroid self-dot hoisted to the
+    * broadcast side and all dots floor-quantized. */
+  private def pqDist(frame: DataFrame, cents: DataFrame): DataFrame =
+    frame.crossJoin(broadcast(
+        cents.selectExpr("cid", "cent", s"${sparkDot("cent", "cent")} AS cc")))
+      .selectExpr("vec_id", "cid",
+        s"${sparkDot("embedding", "embedding")} + cc - 2 * ${sparkDot("embedding", "cent")} AS dist")
+
+  /** Fit one deterministic codebook per subspace (Lloyd's over the
+    * cached points, eager k-row checkpoints per round); returns the M
+    * final centroid frames. */
+  private[graft] def pqFit(s: SparkSession, d: String): Seq[DataFrame] =
+    (0 until PqM).map { m =>
+      val pts = pqSub(cachedPoints(s, d), m)
       var cents = pts.filter(col("vec_id") < PqK)
         .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
       for (_ <- 1 to PqIters) {
         val ck = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint(true)
         cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
       }
-      pts.crossJoin(broadcast(
-          cents.selectExpr("cid", "cent", s"${sparkDot("cent", "cent")} AS cc")))
-        .selectExpr("vec_id", "cid",
-          s"${sparkDot("embedding", "embedding")} + cc - 2 * ${sparkDot("embedding", "cent")} AS dist")
+      cents
+    }
+
+  /** Codes + reconstruction error per vector: (vec_id, c0..c3, sq_err)
+    * where c_m is the argmin codeword of subspace m and sq_err sums the
+    * per-subspace squared distances in fixed order. */
+  def pqAssign(s: SparkSession, d: String): DataFrame = {
+    val all = cachedPoints(s, d)
+    val perSub = pqFit(s, d).zipWithIndex.map { case (cents, m) =>
+      pqDist(pqSub(all, m), cents)
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .selectExpr("vec_id", s"m.cid AS c$m", s"m.dist AS d$m")
@@ -247,6 +264,47 @@ object Clustering {
       .selectExpr("vec_id", "c0", "c1", "c2", "c3",
         "d0 + d1 + d2 + d3 AS sq_err")
       .orderBy("vec_id")
+  }
+
+  /** Asymmetric-distance PQ search (the query side of an IVF-PQ index):
+    * database vectors are represented ONLY by their M codes; each query
+    * precomputes an M × k distance table against the codebooks (tiny —
+    * broadcast), and a vector's approximate distance is the sum of M
+    * table lookups keyed by its codes. Here the lookup is M broadcast
+    * equi-joins on (q_id, code) — the N·|Q| scored frame IS the
+    * exhaustive ADC scan (PQ's fast linear scan; composing with the IVF
+    * cell filter of [[Similarity.ivfAnn]] bounds it to a cell at scale).
+    * Returns the approximate nearest neighbor per query with its ADC
+    * distance; fixed-order additions keep it deterministic. */
+  def pqSearch(s: SparkSession, d: String, queryLimit: Int = 12): DataFrame = {
+    val all = cachedPoints(s, d)
+    val fitted = pqFit(s, d)
+    val codes = fitted.zipWithIndex.map { case (cents, m) =>
+      pqDist(pqSub(all, m), cents)
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .selectExpr("vec_id", s"m.cid AS c$m")
+    }.reduce(_.join(_, "vec_id"))
+    var acc = codes
+    for ((cents, m) <- fitted.zipWithIndex) {
+      val dtab = pqDist(pqSub(all, m).filter(col("vec_id") < queryLimit), cents)
+        .selectExpr(s"vec_id AS q_id_$m", s"cid AS qc$m", s"dist AS qd$m")
+      val cond =
+        if (m == 0) col("c0") === col("qc0")
+        else col("q_id_0") === col(s"q_id_$m") && col(s"c$m") === col(s"qc$m")
+      acc = acc.join(broadcast(dtab), cond)
+      if (m > 0) acc = acc.drop(s"q_id_$m")
+    }
+    val scored = acc
+      .withColumnRenamed("q_id_0", "q_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .selectExpr("q_id", "vec_id", "qd0 + qd1 + qd2 + qd3 AS adist")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .selectExpr("q_id", "vec_id AS nn_id", "adist")
+      .orderBy("q_id")
   }
 
   /** The PQ fit unrolled as DuckDB CTEs, one chain per subspace. */
@@ -299,6 +357,36 @@ object Clustering {
               |SELECT vec_id, c0, c1, c2, c3, d0 + d1 + d2 + d3 AS sq_err
               |FROM fa0 JOIN fa1 USING (vec_id) JOIN fa2 USING (vec_id) JOIN fa3 USING (vec_id)
               |ORDER BY vec_id""".stripMargin)),
+
+    // ADC search over the PQ codes: per-query nearest neighbor where
+    // the database side is ONLY codes + a broadcast distance table.
+    QueryDef(
+      "q_pq_search",
+      (s, d) => pqSearch(s, d), {
+        val qLimit = 12
+        val dtabs = (0 until PqM).map { m =>
+          s"""dt$m AS (SELECT p.vec_id AS q_id, c.cid AS qc$m,
+             |  ${duckDot("p.sub", "p.sub")} + ${duckDot("c.cent", "c.cent")}
+             |    - 2 * ${duckDot("p.sub", "c.cent")} AS qd$m
+             |  FROM pts$m p CROSS JOIN c${m}_$PqIters c WHERE p.vec_id < $qLimit)""".stripMargin
+        }.mkString(",\n")
+        Some(s"""WITH $duckPqCtes,
+                |codes AS (SELECT vec_id, c0, c1, c2, c3
+                |  FROM fa0 JOIN fa1 USING (vec_id) JOIN fa2 USING (vec_id) JOIN fa3 USING (vec_id)),
+                |$dtabs,
+                |scored AS (
+                |  SELECT dt0.q_id, codes.vec_id, qd0 + qd1 + qd2 + qd3 AS adist
+                |  FROM codes
+                |  JOIN dt0 ON c0 = qc0
+                |  JOIN dt1 ON dt1.q_id = dt0.q_id AND c1 = qc1
+                |  JOIN dt2 ON dt2.q_id = dt0.q_id AND c2 = qc2
+                |  JOIN dt3 ON dt3.q_id = dt0.q_id AND c3 = qc3
+                |  WHERE dt0.q_id <> codes.vec_id)
+                |SELECT q_id, vec_id AS nn_id, adist FROM (
+                |  SELECT q_id, vec_id, adist,
+                |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+                |  FROM scored) WHERE rk = 1 ORDER BY q_id""".stripMargin)
+      }),
 
     // k-means fit + final assignment, pinned per cluster: exact member
     // set (count + checksum) and the fitted centroid's quantized norm.
