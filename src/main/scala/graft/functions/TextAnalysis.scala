@@ -337,6 +337,41 @@ object TextAnalysis {
               |    list_prepend(CAST(0 AS BIGINT),
               |      list_transform(string_split(text, ' '), w -> ${duckTokHash("w")})),
               |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
-              |FROM documents ORDER BY doc_id""".stripMargin))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Repetition ratio — the corpus-filtering signal that catches
+    // boilerplate and degenerate generations (a doc whose mass sits in
+    // a few repeated bigrams): duplicate-bigram fraction and the top
+    // bigram's share of all bigrams. Two hash aggregates over the
+    // exploded pairs — map-side combinable, no per-doc state beyond
+    // counts, the same guarded sequence as q_bpe_pairs.
+    QueryDef(
+      "q_text_repetition",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          "explode(transform(CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1) " +
+            "ELSE CAST(array() AS ARRAY<INT>) END, " +
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS p")
+        .selectExpr("doc_id", "p.w1 AS w1", "p.w2 AS w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("n")).as("top_n"))
+        .selectExpr("doc_id", "n_bigrams", "n_distinct",
+          "CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_bigrams AS dup_frac",
+          "CAST(top_n AS DOUBLE) / n_bigrams AS top_frac")
+        .orderBy("doc_id"),
+      Some("""WITH pairs AS (
+             |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 1),
+             |           i -> struct_pack(w1 := t[i], w2 := t[i + 1])), recursive := true)
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+             |per AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM pairs GROUP BY doc_id, w1, w2)
+             |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, COUNT(*) AS n_distinct,
+             |  CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) / SUM(n) AS dup_frac,
+             |  CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_frac
+             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -132,6 +132,23 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), s"expected a bin equi-join:\n$p")
   }
 
+  test("ANN recall scoring joins candidates on the bucket key — no cartesian anywhere") {
+    val p = plan("q_sim_recall")
+    // the brute-force ground truth is a deliberate broadcast loop over
+    // the 100-query set; what must NEVER appear is an unbroadcast
+    // cartesian, and the LSH candidate path must be a hash equi-join
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"expected bucket equi-join:\n$p")
+  }
+
+  test("PQ ADC search looks distances up via broadcast hash joins on the codes") {
+    val p = plan("q_pq_search")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // the M distance tables are broadcast and joined on (q_id, code)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast code-table joins:\n$p")
+  }
+
   test("unpivot plans as a per-row Expand, not a union of re-scans") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand"), s"expected Expand node:\n$p")
