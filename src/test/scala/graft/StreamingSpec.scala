@@ -219,6 +219,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchTwin.exceptAll(streamed).count() === 0L)
   }
 
+  test("foreachBatch streaming merge converges to the batch latest-per-key state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The streaming MERGE pattern: each micro-batch reconciles the
+    // incoming changes against the previous state version and writes
+    // the next — versioned paths, no read-modify-write on one dir (a
+    // lazy read over the path being overwritten would corrupt it).
+    // After the stream drains, the maintained state must equal the
+    // batch latest-row-per-key selection over the same events.
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_state").toString
+    @volatile var version = -1L
+    val mem = MemoryStream[EventRow]
+    val q = mem.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val incoming = batch.select(cols.map(col): _*)
+        val prev =
+          if (version < 0) incoming.limit(0)
+          else spark.read.parquet(s"$base/v$version").select(cols.map(col): _*)
+        incoming.unionByName(prev)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+          .write.mode("overwrite").parquet(s"$base/v$batchId")
+        version = batchId
+        ()
+      }
+      .start()
+    try {
+      orderedEvents.grouped(math.max(1, orderedEvents.size / 4)).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(version >= 0)
+    val streamed = spark.read.parquet(s"$base/v$version")
+    val batchTruth = Tables.events(spark, sf).select(cols.map(col): _*)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+    assert(streamed.count() === batchTruth.count())
+    assert(streamed.exceptAll(batchTruth).count() === 0L)
+    assert(batchTruth.exceptAll(streamed).count() === 0L)
+  }
+
   test("rate-limited replay: the reference's 2 msg/s producer envelope through streamConsume") {
     // The reference's incremental producer emits ~2 msg/s
     // (04_temincrementaltem.py:19, 500 ms sleep). Twin it as a rate
