@@ -218,7 +218,7 @@ object Clustering {
 
   private val PqM = 4      // subspaces
   private val PqSub = 16   // dims per subspace (4 × 16 = 64)
-  private val PqK = 4      // codewords per subspace
+  private[graft] val PqK = 16 // codewords per subspace (16⁴ effective cells)
   private val PqIters = 2
 
   /** Subspace m's (vec_id, embedding) slice. */
@@ -274,9 +274,8 @@ object Clustering {
     * equi-joins on (q_id, code) — the N·|Q| scored frame IS the
     * exhaustive ADC scan (PQ's fast linear scan; composing with the IVF
     * cell filter of [[Similarity.ivfAnn]] bounds it to a cell at scale).
-    * Returns the approximate nearest neighbor per query with its ADC
-    * distance; fixed-order additions keep it deterministic. */
-  def pqSearch(s: SparkSession, d: String, queryLimit: Int = 12): DataFrame = {
+    * Fixed-order additions keep it deterministic. */
+  private def pqScores(s: SparkSession, d: String, queryLimit: Int): DataFrame = {
     val all = cachedPoints(s, d)
     val fitted = pqFit(s, d)
     val codes = fitted.zipWithIndex.map { case (cents, m) =>
@@ -295,13 +294,17 @@ object Clustering {
       acc = acc.join(broadcast(dtab), cond)
       if (m > 0) acc = acc.drop(s"q_id_$m")
     }
-    val scored = acc
+    acc
       .withColumnRenamed("q_id_0", "q_id")
       .filter(col("q_id") =!= col("vec_id"))
       .selectExpr("q_id", "vec_id", "qd0 + qd1 + qd2 + qd3 AS adist")
+  }
+
+  /** The ADC nearest neighbor per query (rank-1 of [[pqScores]]). */
+  def pqSearch(s: SparkSession, d: String, queryLimit: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
+    pqScores(s, d, queryLimit).withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .selectExpr("q_id", "vec_id AS nn_id", "adist")
       .orderBy("q_id")
@@ -345,6 +348,33 @@ object Clustering {
     (0 until PqM).map(chain).mkString(",\n")
   }
 
+  /** ADC-search CTEs over [[duckPqCtes]]'s outputs: per-query distance
+    * tables, the code-lookup scoring join, and the ranked `adc` frame
+    * (filter `rk = 1` for the nearest neighbor). */
+  private def duckPqSearchCtes(qLimit: Int = 12): String = {
+    val dtabs = (0 until PqM).map { m =>
+      s"""dt$m AS (SELECT p.vec_id AS q_id, c.cid AS qc$m,
+         |  ${duckDot("p.sub", "p.sub")} + ${duckDot("c.cent", "c.cent")}
+         |    - 2 * ${duckDot("p.sub", "c.cent")} AS qd$m
+         |  FROM pts$m p CROSS JOIN c${m}_$PqIters c WHERE p.vec_id < $qLimit)""".stripMargin
+    }.mkString(",\n")
+    s"""codes AS (SELECT vec_id, c0, c1, c2, c3
+       |  FROM fa0 JOIN fa1 USING (vec_id) JOIN fa2 USING (vec_id) JOIN fa3 USING (vec_id)),
+       |$dtabs,
+       |scored AS (
+       |  SELECT dt0.q_id, codes.vec_id, qd0 + qd1 + qd2 + qd3 AS adist
+       |  FROM codes
+       |  JOIN dt0 ON c0 = qc0
+       |  JOIN dt1 ON dt1.q_id = dt0.q_id AND c1 = qc1
+       |  JOIN dt2 ON dt2.q_id = dt0.q_id AND c2 = qc2
+       |  JOIN dt3 ON dt3.q_id = dt0.q_id AND c3 = qc3
+       |  WHERE dt0.q_id <> codes.vec_id),
+       |adc AS (
+       |  SELECT q_id, vec_id, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM scored)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Product-quantization codebook fit + code assignment, pinned
@@ -362,31 +392,66 @@ object Clustering {
     // the database side is ONLY codes + a broadcast distance table.
     QueryDef(
       "q_pq_search",
-      (s, d) => pqSearch(s, d), {
-        val qLimit = 12
-        val dtabs = (0 until PqM).map { m =>
-          s"""dt$m AS (SELECT p.vec_id AS q_id, c.cid AS qc$m,
-             |  ${duckDot("p.sub", "p.sub")} + ${duckDot("c.cent", "c.cent")}
-             |    - 2 * ${duckDot("p.sub", "c.cent")} AS qd$m
-             |  FROM pts$m p CROSS JOIN c${m}_$PqIters c WHERE p.vec_id < $qLimit)""".stripMargin
-        }.mkString(",\n")
-        Some(s"""WITH $duckPqCtes,
-                |codes AS (SELECT vec_id, c0, c1, c2, c3
-                |  FROM fa0 JOIN fa1 USING (vec_id) JOIN fa2 USING (vec_id) JOIN fa3 USING (vec_id)),
-                |$dtabs,
-                |scored AS (
-                |  SELECT dt0.q_id, codes.vec_id, qd0 + qd1 + qd2 + qd3 AS adist
-                |  FROM codes
-                |  JOIN dt0 ON c0 = qc0
-                |  JOIN dt1 ON dt1.q_id = dt0.q_id AND c1 = qc1
-                |  JOIN dt2 ON dt2.q_id = dt0.q_id AND c2 = qc2
-                |  JOIN dt3 ON dt3.q_id = dt0.q_id AND c3 = qc3
-                |  WHERE dt0.q_id <> codes.vec_id)
-                |SELECT q_id, vec_id AS nn_id, adist FROM (
-                |  SELECT q_id, vec_id, adist,
-                |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
-                |  FROM scored) WHERE rk = 1 ORDER BY q_id""".stripMargin)
-      }),
+      (s, d) => pqSearch(s, d),
+      Some(s"""WITH $duckPqCtes,
+              |${duckPqSearchCtes()}
+              |SELECT q_id, vec_id AS nn_id, adist FROM adc WHERE rk = 1 ORDER BY q_id""".stripMargin)),
+
+    // What the code compression costs, measured the way PQ is used: as
+    // a CANDIDATE GENERATOR whose ADC top-R a reranker then rescores
+    // exactly. One summary row: the true (full-vector) nearest
+    // neighbor's mean rank in each query's ADC ordering, and how many
+    // queries keep it inside the top-10/top-50 candidate set. Random
+    // ordering would put the mean near N/2 (~250 here); the codes pull
+    // it to the top — that concentration, not recall@1 (hopeless for
+    // 256-byte-ish codes over near-random vectors), is the operative
+    // quality knob.
+    QueryDef(
+      "q_pq_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = cachedPoints(s, d)
+        val q = all.filter(col("vec_id") < 12)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = all.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val wb = Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))
+        val brute = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+          .selectExpr("q_id", "c_id",
+            s"${sparkDot("q_emb", "q_emb")} + ${sparkDot("c_emb", "c_emb")} " +
+              s"- 2 * ${sparkDot("q_emb", "c_emb")} AS dist")
+          .withColumn("rk", row_number().over(wb))
+          .filter(col("rk") === 1)
+          .select(col("q_id"), col("c_id").as("true_nn"))
+        val wa = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+        val ranked = pqScores(s, d, queryLimit = 12)
+          .withColumn("adc_rank", row_number().over(wa))
+        brute.join(ranked,
+            brute("q_id") === ranked("q_id") && col("true_nn") === col("vec_id"))
+          .drop(ranked("q_id"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("adc_rank")).cast("bigint").as("rank_sum"),
+            sum(when(col("adc_rank") <= 10, 1L).otherwise(0L)).cast("bigint").as("n_top10"),
+            sum(when(col("adc_rank") <= 50, 1L).otherwise(0L)).cast("bigint").as("n_top50"))
+          .selectExpr("n_queries",
+            "CAST(rank_sum AS DOUBLE) / n_queries AS mean_true_rank",
+            "n_top10", "n_top50",
+            "CAST(n_top50 AS DOUBLE) / n_queries AS recall_at_50")
+      },
+      Some(s"""WITH $duckPqCtes,
+              |${duckPqSearchCtes()},
+              |brute AS (SELECT q_id, c_id AS true_nn FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              |      ${duckDot("q.embedding", "q.embedding")} + ${duckDot("c.embedding", "c.embedding")}
+              |        - 2 * ${duckDot("q.embedding", "c.embedding")}, c.vec_id) AS rk
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 12) WHERE rk = 1)
+              |SELECT COUNT(*) AS n_queries,
+              |  CAST(CAST(SUM(adc.rk) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_true_rank,
+              |  CAST(SUM(CASE WHEN adc.rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_top10,
+              |  CAST(SUM(CASE WHEN adc.rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_top50,
+              |  CAST(SUM(CASE WHEN adc.rk <= 50 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall_at_50
+              |FROM brute JOIN adc ON adc.q_id = brute.q_id AND adc.vec_id = brute.true_nn""".stripMargin)),
 
     // k-means fit + final assignment, pinned per cluster: exact member
     // set (count + checksum) and the fitted centroid's quantized norm.

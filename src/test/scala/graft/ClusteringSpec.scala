@@ -75,7 +75,8 @@ class ClusteringSpec extends AnyFunSuite {
       min(least(col("c0"), col("c1"), col("c2"), col("c3"))),
       max(greatest(col("c0"), col("c1"), col("c2"), col("c3"))),
       min(col("sq_err")), sum(col("sq_err"))).head()
-    assert(agg.getLong(0) >= 0L && agg.getLong(1) < 4L, "codes outside [0, k)")
+    assert(agg.getLong(0) >= 0L &&
+      agg.getLong(1) < operators.Clustering.PqK.toLong, "codes outside [0, k)")
     assert(agg.getDouble(2) >= -1e-9, "negative reconstruction error")
     // 4 independent 16-dim codebooks give 4^4 effective centroids vs the
     // whole-vector fit's 4 — PQ must reconstruct strictly better in
