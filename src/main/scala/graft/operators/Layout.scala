@@ -42,6 +42,30 @@ object Layout {
   private[graft] def q8(x: String, xmax: String): String =
     s"CAST(floor($x * 256.0 / ($xmax + 1)) AS BIGINT)"
 
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * or micro-batch ingest needs: a sink that commits per trigger leaves
+    * thousands of KB-sized files, and at 100 TB the resulting
+    * task-per-file scan overhead (plus NameNode/listing pressure)
+    * dominates query time. Rewrites `srcDir` into `dstDir` as
+    * ⌈totalBytes / targetBytes⌉ files via `coalesce` — a shuffle-free
+    * narrow rewrite (each output task concatenates whole input splits;
+    * `repartition` would balance sizes exactly but pays a full shuffle,
+    * the wrong default for maintenance I/O). Returns the data-file
+    * count actually written (an empty coalesce partition emits no
+    * file, so this can be below the ⌈total/target⌉ ask). */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+              dstDir: String, targetBytes: Long): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val totalBytes = src.getFileSystem(conf).getContentSummary(src).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcDir).coalesce(nFiles)
+      .write.mode("overwrite").parquet(dstDir)
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    dst.getFileSystem(conf).listStatus(dst)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Z-cluster lineitem on (l_partkey, l_suppkey), cut the curve into

@@ -69,4 +69,26 @@ class LayoutSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("compaction rewrites a fragmented table into size-targeted files, content intact") {
+    import java.nio.file.Files
+    val frag = Files.createTempDirectory("graft_frag").toString
+    val compacted = Files.createTempDirectory("graft_compacted").toString
+    // simulate a per-trigger streaming sink: 64 tiny files
+    val src = Tables.lineitem(spark, sf)
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag).length === 64)
+    val totalBytes = parquetFiles(frag).map(_.length()).sum
+    val n = operators.Layout.compact(spark, frag, compacted, targetBytes = totalBytes / 4)
+    val out = parquetFiles(compacted)
+    assert(out.length === n, s"returned $n but ${out.length} on disk")
+    assert(n >= 3 && n <= 6, s"expected ~total/target (~4-5) files, got $n")
+    // lossless: same rows, same content
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(compacted)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
 }

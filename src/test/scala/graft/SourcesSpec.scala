@@ -31,6 +31,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(events.exceptAll(back).count() === 0L)
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: two columns; generation 2 adds a third — the shape a
+    // long-lived ingest dir takes when the producer gains a field
+    val docs = Tables.documents(spark, sf)
+    docs.select("doc_id", "lang").limit(100)
+      .write.mode("overwrite").parquet(dir)
+    docs.select("doc_id", "lang", "n_chars")
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 100).limit(100)
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "lang", "n_chars"))
+    assert(merged.count() === 200)
+    // pre-evolution rows surface the new column as NULL, not an error
+    assert(merged.filter("n_chars IS NULL").count() === 100)
+    assert(merged.filter("n_chars IS NOT NULL").count() === 100)
+  }
+
   test("ORC source round-trips the lineitem slice losslessly") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val slice = Tables.lineitem(spark, sf)
