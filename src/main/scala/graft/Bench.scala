@@ -91,7 +91,10 @@ object Bench {
     "q_zorder",
     "q_fuzzy_jw",
     "q_incremental_agg",
-    "q_chi2")
+    "q_chi2",
+    // round 3: PQ codebook family + repetition quality signal
+    "q_pq_assign",
+    "q_text_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -236,18 +236,31 @@ object Clustering {
 
   /** Fit one deterministic codebook per subspace (Lloyd's over the
     * cached points, eager k-row checkpoints per round); returns the M
-    * final centroid frames. */
-  private[graft] def pqFit(s: SparkSession, d: String): Seq[DataFrame] =
-    (0 until PqM).map { m =>
-      val pts = pqSub(cachedPoints(s, d), m)
-      var cents = pts.filter(col("vec_id") < PqK)
-        .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
-      for (_ <- 1 to PqIters) {
-        val ck = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint(true)
-        cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    * final centroid frames. The M fits are independent, so they submit
+    * concurrently from driver threads — their per-round checkpoint
+    * actions interleave in the scheduler instead of serializing
+    * 2·M small jobs (each fit alone can't fill the cluster; together
+    * they do). Determinism is untouched: each fit's dataflow is
+    * self-contained and quantized. */
+  private[graft] def pqFit(s: SparkSession, d: String): Seq[DataFrame] = {
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val all = cachedPoints(s, d)
+    val fits = (0 until PqM).map { m =>
+      Future {
+        val pts = pqSub(all, m)
+        var cents = pts.filter(col("vec_id") < PqK)
+          .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
+        for (_ <- 1 to PqIters) {
+          val ck = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint(true)
+          cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+        }
+        cents
       }
-      cents
     }
+    Await.result(Future.sequence(fits), Duration.Inf)
+  }
 
   /** Codes + reconstruction error per vector: (vec_id, c0..c3, sq_err)
     * where c_m is the argmin codeword of subspace m and sq_err sums the
