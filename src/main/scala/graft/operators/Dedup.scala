@@ -94,10 +94,16 @@ object Dedup {
 
   /** Verified near-dup pairs (a < b, shingle Jaccard ≥ 0.5) from the
     * MinHash+LSH candidate path — the production near-dup relation.
-    * Factored out because it feeds two operators: the pair listing
-    * (q_dedup_minhash) and the connected-components clustering that
-    * turns pairs into dedup groups ([[Clustering]]). */
-  def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    * Factored out because it feeds five operators (the pair listing,
+    * connected components, survivors, PageRank, triangles), and
+    * memoized per session like the shingle frame: the band self-join
+    * is the family's expensive stage, and a pipeline computes the pair
+    * relation once, not once per consumer. The cached frame is tiny
+    * (pairs, not documents). */
+  def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.FrameCache.memo(s, s"mhpairs:$d")(minhashPairsUncached(s, d))
+
+  private def minhashPairsUncached(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val hs = shingleFrame(s, d).select("doc_id", "hs")
     val sigExprs = MinhashPerms.map { case (a, b) =>
       s"array_min(transform(hs, s -> ($a * s + $b) % $MinhashP))"
