@@ -149,6 +149,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast code-table joins:\n$p")
   }
 
+  test("approx profile is one scan with NO Expand; exact profile pays the documented 5× Expand") {
+    val approx = plan("q_profile_approx")
+    assert(!approx.contains("Expand"),
+      s"approx profile must not multiply the scan:\n$approx")
+    assert("FileScan parquet".r.findAllIn(approx).size === 1,
+      s"approx profile must be a single pass:\n$approx")
+    val exact = plan("q_profile_table")
+    assert(exact.contains("Expand"),
+      s"exact distinct profile is expected to Expand (its documented cost):\n$exact")
+  }
+
   test("unpivot plans as a per-row Expand, not a union of re-scans") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand"), s"expected Expand node:\n$p")

@@ -68,6 +68,30 @@ class RobustnessSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("FrameCache eviction is per-session: releasing one session leaves a sibling's frames live") {
+    val sibling = spark.newSession()
+    val mine = FrameCache.memo(spark, "rs:test")(
+      Tables.documents(spark, sf).select("doc_id"))
+    val theirs = FrameCache.memo(sibling, "rs:test")(
+      Tables.documents(sibling, sf).select("doc_id"))
+    assert(mine.count() === 500L && theirs.count() === 500L)
+    // releasing the sibling must not touch this session's entry: the
+    // memoized frame must come back identical (same cached instance)
+    FrameCache.release(sibling)
+    val again = FrameCache.memo(spark, "rs:test")(
+      sys.error("cache miss after sibling release"): org.apache.spark.sql.DataFrame)
+    assert(again.count() === 500L)
+    // sibling's entry is gone: next memo rebuilds rather than reusing
+    var rebuilt = false
+    FrameCache.memo(sibling, "rs:test") {
+      rebuilt = true
+      Tables.documents(sibling, sf).select("doc_id")
+    }
+    assert(rebuilt, "sibling entry should have been evicted")
+    FrameCache.release(sibling)
+    FrameCache.release(spark) // leave no test residue for other suites
+  }
+
   test("percentile groups whose value column is all-NULL surface with NULL values") {
     import spark.implicits._
     // group "b" has no non-null values: quantile_cont semantics (and the
