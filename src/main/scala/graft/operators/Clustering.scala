@@ -288,29 +288,72 @@ object Clustering {
     * exhaustive ADC scan (PQ's fast linear scan; composing with the IVF
     * cell filter of [[Similarity.ivfAnn]] bounds it to a cell at scale).
     * Fixed-order additions keep it deterministic. */
-  private def pqScores(s: SparkSession, d: String, queryLimit: Int): DataFrame = {
-    val all = cachedPoints(s, d)
-    val fitted = pqFit(s, d)
-    val codes = fitted.zipWithIndex.map { case (cents, m) =>
+  private def pqCodes(all: DataFrame, fitted: Seq[DataFrame]): DataFrame =
+    fitted.zipWithIndex.map { case (cents, m) =>
       pqDist(pqSub(all, m), cents)
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .selectExpr("vec_id", s"m.cid AS c$m")
     }.reduce(_.join(_, "vec_id"))
-    var acc = codes
+
+  /** Attach the M distance-table lookups for the query set selected by
+    * `queryPred` to a frame that carries (vec_id, c0..cM) code columns
+    * (and possibly more); yields the input columns + q_id + qd0..qdM. */
+  private def pqAdcJoin(acc0: DataFrame, all: DataFrame, fitted: Seq[DataFrame],
+                        queryPred: org.apache.spark.sql.Column,
+                        joinQId: Boolean): DataFrame = {
+    var acc = acc0
     for ((cents, m) <- fitted.zipWithIndex) {
-      val dtab = pqDist(pqSub(all, m).filter(col("vec_id") < queryLimit), cents)
+      val dtab = pqDist(pqSub(all, m).filter(queryPred), cents)
         .selectExpr(s"vec_id AS q_id_$m", s"cid AS qc$m", s"dist AS qd$m")
+      val codeEq = col(s"c$m") === col(s"qc$m")
       val cond =
-        if (m == 0) col("c0") === col("qc0")
-        else col("q_id_0") === col(s"q_id_$m") && col(s"c$m") === col(s"qc$m")
+        if (m == 0 && !joinQId) codeEq
+        else if (m == 0) col("q_id") === col("q_id_0") && codeEq
+        else (if (joinQId) col("q_id") else col("q_id_0")) === col(s"q_id_$m") && codeEq
       acc = acc.join(broadcast(dtab), cond)
-      if (m > 0) acc = acc.drop(s"q_id_$m")
+      if (m > 0 || joinQId) acc = acc.drop(s"q_id_$m")
     }
-    acc
-      .withColumnRenamed("q_id_0", "q_id")
+    if (joinQId) acc else acc.withColumnRenamed("q_id_0", "q_id")
+  }
+
+  private def pqScores(s: SparkSession, d: String, queryLimit: Int): DataFrame = {
+    val all = cachedPoints(s, d)
+    val fitted = pqFit(s, d)
+    pqAdcJoin(pqCodes(all, fitted), all, fitted,
+        col("vec_id") < queryLimit, joinQId = false)
       .filter(col("q_id") =!= col("vec_id"))
       .selectExpr("q_id", "vec_id", "qd0 + qd1 + qd2 + qd3 AS adist")
+  }
+
+  /** The full IVF×PQ index shape: queries probe ONLY their coarse-
+    * quantizer cell ([[Similarity.cellAssign]] — candidates bounded to
+    * |cell| ≈ N/cells BEFORE any scoring) and rank the cell's members
+    * by ADC over the PQ codes. This is the composition a production
+    * vector index runs at 100 TB: broadcast cell assignment, equi-join
+    * candidate generation, broadcast code-table lookups — no stage
+    * touches more than the probed cells' rows, and the database side
+    * needs only codes + cell ids, not vectors. */
+  def ivfPqSearch(s: SparkSession, d: String, cells: Int = 8,
+                  qLo: Int = 100, qHi: Int = 119): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = cachedPoints(s, d)
+    val fitted = pqFit(s, d)
+    val cellsF = Similarity.cellAssign(s, d, cells).select("vec_id", "cell")
+    val q = cellsF.filter(col("vec_id").between(qLo, qHi))
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = q.join(
+        cellsF.select(col("vec_id"), col("cell").as("c_cell")),
+        col("cell") === col("c_cell") && col("q_id") =!= col("vec_id"))
+      .select("q_id", "cell", "vec_id")
+    val scored = pqAdcJoin(cand.join(pqCodes(all, fitted), "vec_id"), all, fitted,
+        col("vec_id").between(qLo, qHi), joinQId = true)
+      .selectExpr("q_id", "cell", "vec_id", "qd0 + qd1 + qd2 + qd3 AS adist")
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .selectExpr("q_id", "cell", "vec_id AS nn_id", "adist")
+      .orderBy("q_id")
   }
 
   /** The ADC nearest neighbor per query (rank-1 of [[pqScores]]). */
@@ -361,19 +404,27 @@ object Clustering {
     (0 until PqM).map(chain).mkString(",\n")
   }
 
-  /** ADC-search CTEs over [[duckPqCtes]]'s outputs: per-query distance
-    * tables, the code-lookup scoring join, and the ranked `adc` frame
-    * (filter `rk = 1` for the nearest neighbor). */
-  private def duckPqSearchCtes(qLimit: Int = 12): String = {
-    val dtabs = (0 until PqM).map { m =>
+  /** `codes(vec_id, c0..c3)` over [[duckPqCtes]]'s assignments. */
+  private def duckPqCodesCte: String =
+    """codes AS (SELECT vec_id, c0, c1, c2, c3
+      |  FROM fa0 JOIN fa1 USING (vec_id) JOIN fa2 USING (vec_id) JOIN fa3 USING (vec_id))""".stripMargin
+
+  /** Per-query ADC distance tables dt0..dt3 for the query rows selected
+    * by `queryPred` (a predicate over `p.vec_id`). */
+  private def duckPqDtabCtes(queryPred: String): String =
+    (0 until PqM).map { m =>
       s"""dt$m AS (SELECT p.vec_id AS q_id, c.cid AS qc$m,
          |  ${duckDot("p.sub", "p.sub")} + ${duckDot("c.cent", "c.cent")}
          |    - 2 * ${duckDot("p.sub", "c.cent")} AS qd$m
-         |  FROM pts$m p CROSS JOIN c${m}_$PqIters c WHERE p.vec_id < $qLimit)""".stripMargin
+         |  FROM pts$m p CROSS JOIN c${m}_$PqIters c WHERE $queryPred)""".stripMargin
     }.mkString(",\n")
-    s"""codes AS (SELECT vec_id, c0, c1, c2, c3
-       |  FROM fa0 JOIN fa1 USING (vec_id) JOIN fa2 USING (vec_id) JOIN fa3 USING (vec_id)),
-       |$dtabs,
+
+  /** ADC-search CTEs over [[duckPqCtes]]'s outputs: codes, per-query
+    * distance tables, the code-lookup scoring join, and the ranked
+    * `adc` frame (filter `rk = 1` for the nearest neighbor). */
+  private def duckPqSearchCtes(queryPred: String = "p.vec_id < 12"): String =
+    s"""$duckPqCodesCte,
+       |${duckPqDtabCtes(queryPred)},
        |scored AS (
        |  SELECT dt0.q_id, codes.vec_id, qd0 + qd1 + qd2 + qd3 AS adist
        |  FROM codes
@@ -386,7 +437,6 @@ object Clustering {
        |  SELECT q_id, vec_id, adist,
        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
        |  FROM scored)""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -409,6 +459,33 @@ object Clustering {
       Some(s"""WITH $duckPqCtes,
               |${duckPqSearchCtes()}
               |SELECT q_id, vec_id AS nn_id, adist FROM adc WHERE rk = 1 ORDER BY q_id""".stripMargin)),
+
+    // The composed IVF×PQ index: probe only your coarse cell, rank its
+    // members by ADC over the codes — bounded candidates AND compressed
+    // storage, the production vector-index shape.
+    QueryDef(
+      "q_ivfpq",
+      (s, d) => ivfPqSearch(s, d),
+      Some(s"""WITH $duckPqCtes,
+              |$duckPqCodesCte,
+              |${duckPqDtabCtes("p.vec_id BETWEEN 100 AND 119")},
+              |${Similarity.duckCellCtes(8)},
+              |ipq_cand AS (
+              |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS vec_id
+              |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id BETWEEN 100 AND 119),
+              |ipq_scored AS (
+              |  SELECT cand.q_id, cand.cell, cand.vec_id, qd0 + qd1 + qd2 + qd3 AS adist
+              |  FROM ipq_cand cand
+              |  JOIN codes USING (vec_id)
+              |  JOIN dt0 ON dt0.q_id = cand.q_id AND c0 = qc0
+              |  JOIN dt1 ON dt1.q_id = cand.q_id AND c1 = qc1
+              |  JOIN dt2 ON dt2.q_id = cand.q_id AND c2 = qc2
+              |  JOIN dt3 ON dt3.q_id = cand.q_id AND c3 = qc3)
+              |SELECT q_id, cell, vec_id AS nn_id, adist FROM (
+              |  SELECT q_id, cell, vec_id, adist,
+              |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+              |  FROM ipq_scored) WHERE rk = 1 ORDER BY q_id""".stripMargin)),
 
     // What the code compression costs, measured the way PQ is used: as
     // a CANDIDATE GENERATOR whose ADC top-R a reranker then rescores

@@ -114,23 +114,49 @@ object Similarity {
       .orderBy("q_id")
   }
 
-  /** IVF ANN at a given coarse-quantizer size: centroids are the first
-    * `cells` vectors (deterministic, no trained state), broadcast to
-    * assign every vector its nearest cell; probes equi-join on the cell.
-    * Complements sign-LSH (hash-bucketed vs centroid-bucketed recall). */
-  def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String, cells: Int)
-      : org.apache.spark.sql.DataFrame = {
+  /** Every vector's nearest coarse-quantizer cell (centroids = the
+    * first `cells` vectors — deterministic, no trained state; one
+    * broadcast + stateless per-row argmax). Shared by the IVF probe
+    * and the IVF×PQ composition. */
+  private[graft] def cellAssign(s: org.apache.spark.sql.SparkSession, d: String,
+                                cells: Int): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.ensureCosine(s)
     val e = Tables.embeddings(s, d)
     val cent = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("c_cos").desc, col("cent_id"))
-    val cellFrame = e.join(broadcast(cent))
+    e.join(broadcast(cent))
       .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** DuckDB twin of [[cellAssign]], ending in `cells(vec_id, embedding,
+    * cell)`. */
+  private[graft] def duckCellCtes(cells: Int): String =
+    s"""cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |             FROM embeddings WHERE vec_id < $cells),
+       |assign AS (
+       |  SELECT vec_id, embedding, cent_id,
+       |    ${duckDot("embedding", "cent_emb")}
+       |      / (sqrt(${duckDot("embedding", "embedding")})
+       |         * sqrt(${duckDot("cent_emb", "cent_emb")})) AS c_cos
+       |  FROM embeddings CROSS JOIN cent),
+       |cells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |              ORDER BY c_cos DESC, cent_id) AS rn FROM assign)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** IVF ANN at a given coarse-quantizer size: centroids are the first
+    * `cells` vectors (deterministic, no trained state), broadcast to
+    * assign every vector its nearest cell; probes equi-join on the cell.
+    * Complements sign-LSH (hash-bucketed vs centroid-bucketed recall). */
+  def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String, cells: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val cellFrame = cellAssign(s, d, cells)
     val q = cellFrame.filter(col("vec_id").between(100, 119))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
     val c = cellFrame.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -146,19 +172,7 @@ object Similarity {
 
   /** DuckDB twin of [[ivfAnn]], generated from the same parameters. */
   def ivfOracle(cells: Int): String =
-    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-       |             FROM embeddings WHERE vec_id < $cells),
-       |assign AS (
-       |  SELECT vec_id, embedding, cent_id,
-       |    ${duckDot("embedding", "cent_emb")}
-       |      / (sqrt(${duckDot("embedding", "embedding")})
-       |         * sqrt(${duckDot("cent_emb", "cent_emb")})) AS c_cos
-       |  FROM embeddings CROSS JOIN cent),
-       |cells AS (
-       |  SELECT vec_id, embedding, cent_id AS cell FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |              ORDER BY c_cos DESC, cent_id) AS rn FROM assign)
-       |  WHERE rn = 1),
+    s"""WITH ${duckCellCtes(cells)},
        |probe AS (
        |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id,
        |    ${duckDot("q.embedding", "c.embedding")}
