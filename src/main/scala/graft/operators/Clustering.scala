@@ -247,16 +247,20 @@ object Clustering {
     import scala.concurrent.{Await, ExecutionContext, Future}
     implicit val ec: ExecutionContext = ExecutionContext.global
     val all = cachedPoints(s, d)
+    // memoized per (session, dir, subspace): four PQ queries consume
+    // the same deterministic fit — one fit per session, not per query
     val fits = (0 until PqM).map { m =>
       Future {
-        val pts = pqSub(all, m)
-        var cents = pts.filter(col("vec_id") < PqK)
-          .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
-        for (_ <- 1 to PqIters) {
-          val ck = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint(true)
-          cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+        graft.FrameCache.memo(s, s"pqfit:$d:$m") {
+          val pts = pqSub(all, m)
+          var cents = pts.filter(col("vec_id") < PqK)
+            .selectExpr("vec_id AS cid", "transform(embedding, v -> CAST(v AS DOUBLE)) AS cent")
+          for (_ <- 1 to PqIters) {
+            val ck = kmUpdate(kmAssign(pts, cents), pts).localCheckpoint(true)
+            cents = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+          }
+          cents
         }
-        cents
       }
     }
     Await.result(Future.sequence(fits), Duration.Inf)
@@ -288,40 +292,43 @@ object Clustering {
     * exhaustive ADC scan (PQ's fast linear scan; composing with the IVF
     * cell filter of [[Similarity.ivfAnn]] bounds it to a cell at scale).
     * Fixed-order additions keep it deterministic. */
-  private def pqCodes(all: DataFrame, fitted: Seq[DataFrame]): DataFrame =
-    fitted.zipWithIndex.map { case (cents, m) =>
-      pqDist(pqSub(all, m), cents)
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .selectExpr("vec_id", s"m.cid AS c$m")
-    }.reduce(_.join(_, "vec_id"))
+  private def pqCodes(s: SparkSession, d: String, fitted: Seq[DataFrame]): DataFrame =
+    graft.FrameCache.memo(s, s"pqcodes:$d") {
+      val all = cachedPoints(s, d)
+      fitted.zipWithIndex.map { case (cents, m) =>
+        pqDist(pqSub(all, m), cents)
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .selectExpr("vec_id", s"m.cid AS c$m")
+      }.reduce(_.join(_, "vec_id"))
+    }
 
   /** Attach the M distance-table lookups for the query set selected by
     * `queryPred` to a frame that carries (vec_id, c0..cM) code columns
-    * (and possibly more); yields the input columns + q_id + qd0..qdM. */
+    * (and possibly more). If the input has no `q_id` column yet, the
+    * first table's query id becomes it; every subsequent table joins on
+    * (q_id, code). Yields the input columns + q_id + qd0..qdM. */
   private def pqAdcJoin(acc0: DataFrame, all: DataFrame, fitted: Seq[DataFrame],
-                        queryPred: org.apache.spark.sql.Column,
-                        joinQId: Boolean): DataFrame = {
+                        queryPred: org.apache.spark.sql.Column): DataFrame = {
+    val hasQId = acc0.columns.contains("q_id")
     var acc = acc0
     for ((cents, m) <- fitted.zipWithIndex) {
       val dtab = pqDist(pqSub(all, m).filter(queryPred), cents)
         .selectExpr(s"vec_id AS q_id_$m", s"cid AS qc$m", s"dist AS qd$m")
       val codeEq = col(s"c$m") === col(s"qc$m")
-      val cond =
-        if (m == 0 && !joinQId) codeEq
-        else if (m == 0) col("q_id") === col("q_id_0") && codeEq
-        else (if (joinQId) col("q_id") else col("q_id_0")) === col(s"q_id_$m") && codeEq
-      acc = acc.join(broadcast(dtab), cond)
-      if (m > 0 || joinQId) acc = acc.drop(s"q_id_$m")
+      if (m == 0 && !hasQId)
+        acc = acc.join(broadcast(dtab), codeEq).withColumnRenamed("q_id_0", "q_id")
+      else
+        acc = acc.join(broadcast(dtab), col("q_id") === col(s"q_id_$m") && codeEq)
+          .drop(s"q_id_$m")
     }
-    if (joinQId) acc else acc.withColumnRenamed("q_id_0", "q_id")
+    acc
   }
 
   private def pqScores(s: SparkSession, d: String, queryLimit: Int): DataFrame = {
     val all = cachedPoints(s, d)
     val fitted = pqFit(s, d)
-    pqAdcJoin(pqCodes(all, fitted), all, fitted,
-        col("vec_id") < queryLimit, joinQId = false)
+    pqAdcJoin(pqCodes(s, d, fitted), all, fitted, col("vec_id") < queryLimit)
       .filter(col("q_id") =!= col("vec_id"))
       .selectExpr("q_id", "vec_id", "qd0 + qd1 + qd2 + qd3 AS adist")
   }
@@ -346,8 +353,8 @@ object Clustering {
         cellsF.select(col("vec_id"), col("cell").as("c_cell")),
         col("cell") === col("c_cell") && col("q_id") =!= col("vec_id"))
       .select("q_id", "cell", "vec_id")
-    val scored = pqAdcJoin(cand.join(pqCodes(all, fitted), "vec_id"), all, fitted,
-        col("vec_id").between(qLo, qHi), joinQId = true)
+    val scored = pqAdcJoin(cand.join(pqCodes(s, d, fitted), "vec_id"), all, fitted,
+        col("vec_id").between(qLo, qHi))
       .selectExpr("q_id", "cell", "vec_id", "qd0 + qd1 + qd2 + qd3 AS adist")
     val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w))

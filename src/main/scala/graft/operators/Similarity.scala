@@ -202,6 +202,10 @@ object Similarity {
   def annRecall(s: org.apache.spark.sql.SparkSession, d: String, bits: Int,
                 tables: Int = 1, k: Int = 5, queryLimit: Int = 100)
       : org.apache.spark.sql.DataFrame = {
+    // beyond dim, element_at returns NULL and the high bits silently
+    // zero on BOTH engines — degenerate buckets with no error anywhere
+    require(bits * tables <= 64,
+      s"bits*tables = ${bits * tables} exceeds the embedding dim (64)")
     val n = withNorm(s, d)
     val tblStructs = (0 until tables).map(t =>
       s"struct($t AS tbl, ${sparkBucket(bits, t * bits)} AS bucket)")
