@@ -104,6 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) => JaroWinkler(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+      (children: Seq[Expression]) => QuantizedDot(children.head, children(1))))
   }
 }
 
@@ -112,6 +116,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * back to a Scala UDF with the same quantized semantics — slower (no
   * codegen, boxed Seq inputs) but identical results. */
 object GraftFunctions {
+
+  /** [[QuantizedDot]] fallback for extension-less sessions: same
+    * floor-quantized sum over boxed doubles (Spark casts float arrays
+    * to double arrays for the UDF — exact widening, identical result). */
+  def ensureDot(spark: SparkSession): Unit = {
+    if (!spark.catalog.functionExists("quantized_dot")) {
+      spark.udf.register("quantized_dot", (x: Seq[Double], y: Seq[Double]) => {
+        if (x == null || y == null || x.length != y.length) null
+        else {
+          var d = 0L
+          var i = 0
+          while (i < x.length) {
+            d += math.floor(x(i) * y(i) * 1.0e14).toLong
+            i += 1
+          }
+          java.lang.Double.valueOf(d / 1.0e14)
+        }
+      }: java.lang.Double)
+    }
+  }
+
   def ensureCosine(spark: SparkSession): Unit = {
     if (!spark.catalog.functionExists("cosine_sim")) {
       spark.udf.register("cosine_sim", (x: Seq[Float], y: Seq[Float]) => {

@@ -129,7 +129,8 @@ object Clustering {
     * computing it inside the cross join would redo a 64-element fold per
     * (point, centroid) pair for a value that only depends on the
     * centroid. */
-  private[graft] def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureDot(pts.sparkSession)
     pts.crossJoin(broadcast(
         cents.selectExpr("cid", "cent", s"${sparkDot("cent", "cent")} AS cc")))
       .selectExpr("vec_id", "cid",
@@ -137,6 +138,7 @@ object Clustering {
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
+  }
 
   /** Lloyd update: exact per-(cid, dim) quantized means, re-collected to
     * ordered centroid arrays. */
@@ -228,11 +230,13 @@ object Clustering {
   /** Exact squared distance of every row in `frame` to every centroid:
     * (vec_id, cid, dist) with the centroid self-dot hoisted to the
     * broadcast side and all dots floor-quantized. */
-  private def pqDist(frame: DataFrame, cents: DataFrame): DataFrame =
+  private def pqDist(frame: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureDot(frame.sparkSession)
     frame.crossJoin(broadcast(
         cents.selectExpr("cid", "cent", s"${sparkDot("cent", "cent")} AS cc")))
       .selectExpr("vec_id", "cid",
         s"${sparkDot("embedding", "embedding")} + cc - 2 * ${sparkDot("embedding", "cent")} AS dist")
+  }
 
   /** Fit one deterministic codebook per subspace (Lloyd's over the
     * cached points, eager k-row checkpoints per round); returns the M
@@ -507,6 +511,7 @@ object Clustering {
       "q_pq_recall",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.ensureDot(s)
         val all = cachedPoints(s, d)
         val q = all.filter(col("vec_id") < 12)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Quantized-exact dot product of two float-array columns (Spark SQL).
+  /** Quantized-exact dot product of two float/double-array columns
+    * (Spark SQL).
     *
     * Each float×float product is exact in double (48-bit significand);
     * `floor(p * 1e14)` maps it to an integer deterministically — unlike a
@@ -40,8 +41,21 @@ object Similarity {
     * sum is exact and order-independent; one final division returns to
     * double. Quantization error ≤ 64e-14 on a defined grid — the
     * operator computes this quantized dot *by definition*.
-    */
+    *
+    * Emits the native codegen expression [[graft.functions.QuantizedDot]]
+    * (registered by GraftExtensions; [[graft.functions.GraftFunctions
+    * .ensureDot]] installs a same-numerics UDF in foreign sessions —
+    * the dot-consuming entry points call it). The equivalent HOF
+    * formulation it replaced — kept for reference and pinned equal in
+    * NativeFunctionsSpec — is [[sparkDotHof]]: higher-order functions
+    * stay outside whole-stage codegen, so the fused loop wins on every
+    * scan. */
   def sparkDot(x: String, y: String): String =
+    s"quantized_dot($x, $y)"
+
+  /** The HOF formulation of [[sparkDot]] — identical numerics, no
+    * native function dependency. */
+  def sparkDotHof(x: String, y: String): String =
     s"(CAST(aggregate(zip_with($x, $y, (p, q) -> floor(CAST(p AS DOUBLE) * CAST(q AS DOUBLE) * 100000000000000)), " +
       s"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 100000000000000)"
 
@@ -81,9 +95,11 @@ object Similarity {
     math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
 
   /** vec_id, embedding, nrm (L2 norm as double) — Spark side. */
-  private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.GraftFunctions.ensureDot(s)
     Tables.embeddings(s, d).selectExpr(
       "vec_id", "embedding", s"sqrt(${sparkDot("embedding", "embedding")}) AS nrm")
+  }
 
   private val duckNormCte =
     s"n AS (SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)"

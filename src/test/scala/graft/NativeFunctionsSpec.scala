@@ -20,10 +20,57 @@ class NativeFunctionsSpec extends AnyFunSuite {
     val pairs = x.join(y, col("a") < col("b"))
     val native = pairs.selectExpr("a", "b", "cosine_sim(ea, eb) AS c")
     val hof = pairs.selectExpr("a", "b",
-      s"${Similarity.sparkDot("ea", "eb")} / (sqrt(${Similarity.sparkDot("ea", "ea")}) " +
-        s"* sqrt(${Similarity.sparkDot("eb", "eb")})) AS c")
+      s"${Similarity.sparkDotHof("ea", "eb")} / (sqrt(${Similarity.sparkDotHof("ea", "ea")}) " +
+        s"* sqrt(${Similarity.sparkDotHof("eb", "eb")})) AS c")
     assert(native.exceptAll(hof).count() === 0L)
     assert(hof.exceptAll(native).count() === 0L)
+  }
+
+  test("native quantized_dot equals the HOF formula, on float and mixed float/double arrays") {
+    val e = Tables.embeddings(spark, sf).limit(60)
+    val x = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val y = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    // float × float
+    val pairs = x.join(y, col("a") < col("b"))
+    val nat = pairs.selectExpr("a", "b", s"${Similarity.sparkDot("ea", "eb")} AS d")
+    val hof = pairs.selectExpr("a", "b", s"${Similarity.sparkDotHof("ea", "eb")} AS d")
+    assert(nat.exceptAll(hof).count() === 0L && hof.exceptAll(nat).count() === 0L)
+    // float × double (the centroid shape: points stay float, fitted
+    // centroids are double arrays)
+    val mixed = pairs.selectExpr("a", "b", "ea",
+      "transform(eb, v -> CAST(v AS DOUBLE)) AS ed")
+    val natM = mixed.selectExpr("a", "b", s"${Similarity.sparkDot("ea", "ed")} AS d")
+    val hofM = mixed.selectExpr("a", "b", s"${Similarity.sparkDotHof("ea", "ed")} AS d")
+    assert(natM.exceptAll(hofM).count() === 0L && hofM.exceptAll(natM).count() === 0L)
+    // null safety: mismatched lengths and null input yield null
+    import spark.implicits._
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)),
+      (null.asInstanceOf[Array[Float]], Array(1.0f))
+    ).toDF("x", "y").selectExpr("quantized_dot(x, y) AS d")
+    assert(edge.collect().forall(_.isNullAt(0)))
+    // and the plan actually uses the native expression
+    val p = nat.queryExecution.executedPlan.toString
+    assert(p.contains("quantized_dot"), p)
+  }
+
+  test("quantized_dot UDF fallback in an extension-less session matches the native path") {
+    val vanilla = spark.newSession()
+    vanilla.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("quantized_dot"))
+    assert(!vanilla.catalog.functionExists("quantized_dot"))
+    GraftFunctions.ensureDot(vanilla)
+    assert(vanilla.catalog.functionExists("quantized_dot"))
+    def dots(s: org.apache.spark.sql.SparkSession) = {
+      val e = Tables.embeddings(s, sf).limit(40)
+      val x = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val y = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      x.join(y, col("a") < col("b"))
+        .selectExpr("a", "b", s"${Similarity.sparkDot("ea", "eb")} AS d")
+        .orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    assert(dots(vanilla).toSeq === dots(spark).toSeq)
   }
 
   test("cosine_sim resolves through the session extension and codegen compiles it") {
