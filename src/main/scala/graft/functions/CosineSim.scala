@@ -108,6 +108,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
       (children: Seq[Expression]) => QuantizedDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSigs(children.head)))
   }
 }
 
@@ -134,6 +138,31 @@ object GraftFunctions {
           java.lang.Double.valueOf(d / 1.0e14)
         }
       }: java.lang.Double)
+    }
+  }
+
+  /** [[MinHashSigs]] fallback for extension-less sessions: same fused
+    * signature over a boxed Seq. */
+  def ensureMinhashSigs(spark: SparkSession): Unit = {
+    if (!spark.catalog.functionExists("minhash_sigs")) {
+      val as = graft.operators.Dedup.MinhashPerms.map(_._1).toArray
+      val bs = graft.operators.Dedup.MinhashPerms.map(_._2).toArray
+      val p = graft.operators.Dedup.MinhashP
+      spark.udf.register("minhash_sigs", (hs: Seq[Long]) => {
+        if (hs == null || hs.isEmpty) null
+        else {
+          val mins = Array.fill(as.length)(Long.MaxValue)
+          hs.foreach { s =>
+            var k = 0
+            while (k < mins.length) {
+              val h = (as(k) * s + bs(k)) % p
+              if (h < mins(k)) mins(k) = h
+              k += 1
+            }
+          }
+          mins.toSeq
+        }
+      }: Seq[Long])
     }
   }
 

@@ -104,11 +104,13 @@ object Dedup {
     graft.FrameCache.memo(s, s"mhpairs:$d")(minhashPairsUncached(s, d))
 
   private def minhashPairsUncached(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    // one fused native pass for all 16 permutations
+    // ([[graft.functions.MinHashSigs]]) — the HOF alternative is 16
+    // array_min(transform(...)) scans per row, pinned equal in
+    // NativeFunctionsSpec
+    graft.functions.GraftFunctions.ensureMinhashSigs(s)
     val hs = shingleFrame(s, d).select("doc_id", "hs")
-    val sigExprs = MinhashPerms.map { case (a, b) =>
-      s"array_min(transform(hs, s -> ($a * s + $b) % $MinhashP))"
-    }
-    val sig = hs.selectExpr("doc_id", s"array(${sigExprs.mkString(", ")}) AS sig")
+    val sig = hs.selectExpr("doc_id", "minhash_sigs(hs) AS sig")
     val bandStructs = (0 until 4).map { b =>
       val elems = (0 until 4).map(r => s"sig[${4 * b + r}]").mkString(", ")
       s"struct($b AS band, concat_ws(',', $elems) AS bsig)"

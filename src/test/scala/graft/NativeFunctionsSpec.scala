@@ -124,6 +124,21 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(vanilla).count() > 0)
   }
 
+  test("native minhash_sigs equals the 16-pass HOF signatures on the live corpus") {
+    val sigExprs = Dedup.MinhashPerms.map { case (a, b) =>
+      s"array_min(transform(hs, s -> ($a * s + $b) % ${Dedup.MinhashP}))"
+    }
+    val hof = Dedup.shingleFrame(spark, sf)
+      .selectExpr("doc_id", s"array(${sigExprs.mkString(", ")}) AS sig")
+    val native = Dedup.shingleFrame(spark, sf)
+      .selectExpr("doc_id", "minhash_sigs(hs) AS sig")
+    assert(native.count() === 500L)
+    assert(native.exceptAll(hof).count() === 0L)
+    assert(hof.exceptAll(native).count() === 0L)
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("minhash_sigs"), p)
+  }
+
   test("MinHashSignature Aggregator reproduces the HOF signatures per document") {
     MinHashSignature.ensureRegistered(spark)
     val agg = Dedup.shingleFrame(spark, sf)
