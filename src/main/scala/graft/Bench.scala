@@ -123,17 +123,38 @@ object Bench {
     try force(graft.operators.Dedup.shingleFrame(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // A query that throws must NOT be recorded as a ~0 s timing (it
+    // would *improve* the total): failures go to a separate `errors`
+    // map, are excluded from `queries` and the total, and fail the run
+    // with a non-zero exit so a broken query is loud, not fast.
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try force(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { force(SparkEntry.queries(name)(spark, sfDir)); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     graft.FrameCache.release(spark)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val failed = results.collect { case (k, _, Some(m)) => k -> m }
+    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      failed.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }
+      sys.exit(1)
+    }
   }
 }

@@ -42,14 +42,21 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
   private val bs = Dedup.MinhashPerms.map(_._2).toArray
   private val p = Dedup.MinhashP
 
+  // Null ELEMENTS are skipped, matching the HOF twin: `transform` maps a
+  // null shingle hash to a null permuted hash and `array_min` skips null
+  // elements — so the minimum ranges over the non-null members only, and
+  // the signature is null exactly when no non-null member exists (the
+  // all-null array_min). Reading getLong past isNullAt would instead
+  // fold a phantom 0 hash into every permutation.
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n == 0) null
-    else {
-      val mins = Array.fill(as.length)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
+    val mins = Array.fill(as.length)(Long.MaxValue)
+    var seen = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        seen += 1
         val s = x.getLong(i)
         var k = 0
         while (k < mins.length) {
@@ -57,10 +64,10 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
           if (h < mins(k)) mins(k) = h
           k += 1
         }
-        i += 1
       }
-      new GenericArrayData(mins)
+      i += 1
     }
+    if (seen == 0) null else new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,21 +76,25 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val m = ctx.freshName("m")
+      val seen = ctx.freshName("seen")
       val updates = as.indices.map { k =>
         s"""{ long h = (${as(k)}L * $s + ${bs(k)}L) % ${p}L;
            |  if (h < $m[$k]) $m[$k] = h; }""".stripMargin
       }.mkString("\n")
       s"""
          |int $n = $x.numElements();
-         |if ($n == 0) {
+         |long[] $m = new long[${as.length}];
+         |java.util.Arrays.fill($m, Long.MAX_VALUE);
+         |int $seen = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) continue;
+         |  $seen++;
+         |  long $s = $x.getLong($i);
+         |  $updates
+         |}
+         |if ($seen == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] $m = new long[${as.length}];
-         |  java.util.Arrays.fill($m, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $s = $x.getLong($i);
-         |    $updates
-         |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($m);
          |}
        """.stripMargin

@@ -50,6 +50,10 @@ case class QuantizedDot(left: Expression, right: Expression)
   private def rightIsFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // A null ELEMENT nullifies the whole result, matching the HOF twin
+  // ([[graft.operators.Similarity.sparkDotHof]]): `floor(null * q)` is a
+  // null zip element and `acc + null` poisons the aggregate — reading
+  // ArrayData.getDouble past isNullAt would silently yield 0.0 instead.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -60,6 +64,7 @@ case class QuantizedDot(left: Expression, right: Expression)
       var i = 0
       val n = x.numElements()
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
         val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
         d += math.floor(xv * yv * 1.0e14).toLong
@@ -74,6 +79,7 @@ case class QuantizedDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
+      val hasNull = ctx.freshName("hasNull")
       def get(arr: String, isFloat: Boolean, idx: String) =
         if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
@@ -82,10 +88,16 @@ case class QuantizedDot(left: Expression, right: Expression)
          |} else {
          |  long $d = 0L;
          |  int $n = $x.numElements();
+         |  boolean $hasNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $hasNull = true; break; }
          |    $d += (long) Math.floor(${get(x, leftIsFloat, i)} * ${get(y, rightIsFloat, i)} * 1.0E14);
          |  }
-         |  ${ev.value} = $d / 1.0E14;
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $d / 1.0E14;
+         |  }
          |}
        """.stripMargin
     })

@@ -34,18 +34,25 @@ object Aggregates {
     *     n/accuracy) makes [lo, hi] a certain bracket of the target
     *     order statistics — whatever partial-merge order produced the
     *     sketch, so the final result stays run-deterministic;
-    *  2. one combinable scan counts values below the bracket
-    *     (the global rank offset);
-    *  3. the ONLY per-row machinery beyond scans runs on the ≤ 6n/accuracy
-    *     candidate rows inside the bracket: a row_number window ranks
-    *     them, global rank = below-count + local rank picks the floor-
-    *     and ceil-rank values, and `lo + frac * (hi - lo)` interpolates.
+    *  2. one FUSED combinable scan computes, per (group, spec), both the
+    *     global rank offset (count of values strictly below the bracket)
+    *     and the sorted in-bracket candidate values
+    *     (`sort_array(collect_list(...))` — bounded by the bracket width,
+    *     ≤ 6n/accuracy values). Selection is then pure per-group-row
+    *     expression math: candidate index = target rank − below-count
+    *     picks the floor- and ceil-rank values out of the sorted array,
+    *     and `lo + frac * (hi - lo)` interpolates. (Earlier rounds ran
+    *     the offset count and an explode + row_number window as two
+    *     separate scans; the fusion halves the post-sketch work and
+    *     drops the window entirely.)
     *
-    * At 100 TB: three scans are map-side-combinable aggregates at scan
-    * speed; sketch state is O(accuracy·log n) per group; the window sees
-    * ~6n/accuracy rows per (group, percentile) — pick accuracy ≈ √n to
-    * bound both ends (the default 1e4 holds candidates to ~600 rows per
-    * group at sf0.1 and ~600k at n=1e9·groups).
+    * At 100 TB: two scans are map-side-combinable aggregates at scan
+    * speed; sketch state is O(accuracy·log n) per group; the collect
+    * buffer holds ~6n/accuracy values per (group, percentile) — pick
+    * accuracy ≈ √n to bound both ends (accuracy 800 holds candidates to
+    * ~450 values per group·spec at sf0.1; ~6√n ≈ 190k doubles ≈ 1.5 MB
+    * at n=1e9 — the same order the window partition held before, now as
+    * a mergeable agg buffer).
     */
   private[graft] def sortPercentiles(
       df: org.apache.spark.sql.DataFrame, group: String,
@@ -79,52 +86,36 @@ object Aggregates {
     }
     val specFrame = sketch.select(col(group) +: specCols: _*)
     val joined = df.join(broadcast(specFrame), Seq(group))
-    // Pass 2: global rank offsets — values below each bracket, every
-    // spec summed in the same combinable scan.
-    val aggs2 = flat.map { case (c, _, name) =>
-      sum(when(col(c).cast("double") < col(s"__lo_$name"), 1L).otherwise(0L))
-        .as(s"__below_$name")
+    // Pass 2 (fused): rank offset + sorted in-bracket candidates for
+    // every spec in ONE combinable scan. The collect_list sees only
+    // in-bracket values (nulls — out-of-bracket rows — are dropped by
+    // collect_list), so agg state stays bounded by the bracket width.
+    val aggs2 = flat.flatMap { case (c, _, name) =>
+      Seq(
+        sum(when(col(c).cast("double") < col(s"__lo_$name"), 1L).otherwise(0L))
+          .as(s"__below_$name"),
+        sort_array(collect_list(
+          when(col(c).cast("double") >= col(s"__lo_$name")
+            && col(c).cast("double") <= col(s"__hi_$name"), col(c).cast("double"))))
+          .as(s"__cand_$name"))
     }
-    val below = joined.groupBy(group).agg(aggs2.head, aggs2.tail: _*)
-    // Pass 3: explode ONLY the in-bracket candidates (≤ 6n/accuracy rows
-    // per spec — the filter sits inside the array so out-of-bracket rows
-    // emit nothing), rank them, and pick the floor/ceil-rank values by
-    // exact global rank = below-count + local rank.
-    val candStructs = flat.map { case (c, _, name) =>
-      s"CASE WHEN CAST($c AS DOUBLE) >= __lo_$name AND CAST($c AS DOUBLE) <= __hi_$name " +
-        s"THEN struct('$name' AS n, CAST($c AS DOUBLE) AS v) END"
-    }
-    val cands = joined
-      .selectExpr(group, s"explode(filter(array(${candStructs.mkString(", ")}), x -> x IS NOT NULL)) AS s")
-      .selectExpr(group, "s.n AS __name", "s.v AS __v")
-    def byName(prefix: String, cast: String) = expr(
-      s"CASE __name ${flat.map { case (_, _, n) => s"WHEN '$n' THEN ${prefix}_$n" }.mkString(" ")} END")
-      .cast(cast)
-    val wCand = Window.partitionBy(col(group), col("__name")).orderBy("__v")
-    val picked = cands
-      .withColumn("__lr", row_number().over(wCand))
-      .join(broadcast(below), Seq(group))
-      .join(broadcast(specFrame), Seq(group))
-      .withColumn("__gr", byName("__below", "bigint") + col("__lr"))
-      .withColumn("__rf", byName("__rf", "bigint"))
-      .withColumn("__rc", byName("__rc", "bigint"))
-      .withColumn("__frac", byName("__frac", "double"))
-      .filter(col("__gr") === col("__rf") || col("__gr") === col("__rc"))
-      .groupBy(group, "__name")
-      .agg(
-        max(when(col("__gr") === col("__rf"), col("__v"))).as("__vlo"),
-        max(when(col("__gr") === col("__rc"), col("__v"))).as("__vhi"),
-        first(col("__frac")).as("__f"))
-      .withColumn("__val", col("__vlo") + col("__f") * (col("__vhi") - col("__vlo")))
+    // Selection: GK's rank guarantee puts target ranks rf/rc inside the
+    // bracket, so 1 ≤ rank − below ≤ size(cands) whenever the group has
+    // any non-null value; index into the sorted candidates and
+    // interpolate. An all-NULL group (n = 0 → rf = 0) yields NULL.
     val outCols = flat.map { case (_, _, name) =>
-      max(when(col("__name") === name, col("__val"))).as(name)
+      val vlo = s"element_at(__cand_$name, CAST(__rf_$name - __below_$name AS INT))"
+      val vhi = s"element_at(__cand_$name, CAST(__rc_$name - __below_$name AS INT))"
+      expr(s"CASE WHEN __rf_$name >= 1 THEN $vlo + __frac_$name * ($vhi - $vlo) END")
+        .as(name)
     }
+    val picked = joined.groupBy(group).agg(aggs2.head, aggs2.tail: _*)
+      .join(broadcast(specFrame), Seq(group))
+      .select(col(group) +: outCols: _*)
     // Left-join back to the sketch's group list: a group whose value
-    // column is all-NULL yields no candidate rows in pass 3 and would
-    // vanish entirely, while quantile_cont semantics (and the DuckDB
-    // oracle) emit the group with a NULL percentile.
-    sketch.select(col(group))
-      .join(picked.groupBy(group).agg(outCols.head, outCols.tail: _*), Seq(group), "left")
+    // column is all-NULL still surfaces (with NULL percentiles), matching
+    // quantile_cont semantics and the DuckDB oracle.
+    sketch.select(col(group)).join(picked, Seq(group), "left")
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -139,6 +139,64 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(p.contains("minhash_sigs"), p)
   }
 
+  test("quantized_dot matches HOF null-propagation on null-bearing array elements") {
+    // A null ELEMENT (not a null array) poisons the HOF aggregate
+    // (`acc + null` = null); the native loop must yield null too, not
+    // silently read 0.0 past isNullAt.
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(3.0 AS FLOAT)),
+        |       array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))),
+        |  (2L, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |       array(CAST(NULL AS FLOAT), CAST(NULL AS FLOAT))),
+        |  (3L, array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |       array(CAST(0.5 AS FLOAT), CAST(4.0 AS FLOAT)))
+        |AS t(id, x, y)""".stripMargin)
+    val nat = rows.selectExpr("id", s"${Similarity.sparkDot("x", "y")} AS d")
+      .orderBy("id").collect()
+    val hof = rows.selectExpr("id", s"${Similarity.sparkDotHof("x", "y")} AS d")
+      .orderBy("id").collect()
+    nat.zip(hof).foreach { case (n, h) =>
+      assert(n.isNullAt(1) === h.isNullAt(1), s"null mismatch at id=${n.getLong(0)}")
+      if (!n.isNullAt(1)) assert(n.getDouble(1) === h.getDouble(1))
+    }
+    assert(nat(0).isNullAt(1) && nat(1).isNullAt(1) && !nat(2).isNullAt(1))
+  }
+
+  test("minhash_sigs matches HOF null semantics: null elements skipped, all-null nulls out") {
+    // array_min SKIPS null elements, so the HOF signature minimizes over
+    // the non-null members only; the native pass must do the same. For
+    // all-null/empty input the documented divergence is sig-level only
+    // (HOF: 16 null elements; native: null array) — the derived band
+    // strings coincide, which is what the LSH join consumes.
+    val sigExprs = Dedup.MinhashPerms.map { case (a, b) =>
+      s"array_min(transform(hs, s -> ($a * s + $b) % ${Dedup.MinhashP}))"
+    }
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(NULL AS BIGINT), 42L, 7L, 1234567L)),
+        |  (2L, array(42L, 7L, 99L)),
+        |  (3L, array(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))),
+        |  (4L, CAST(array() AS ARRAY<BIGINT>))
+        |AS t(id, hs)""".stripMargin)
+    val nat = rows.selectExpr("id", "minhash_sigs(hs) AS sig").orderBy("id").collect()
+    val hof = rows.selectExpr("id", s"array(${sigExprs.mkString(", ")}) AS sig")
+      .orderBy("id").collect()
+    // non-degenerate rows (some non-null element): exact signature equality
+    Seq(0, 1).foreach { i =>
+      assert(nat(i).getSeq[Any](1) === hof(i).getSeq[Any](1), s"row $i")
+    }
+    // degenerate rows: native nulls the array; HOF yields all-null elements
+    assert(nat(2).isNullAt(1) && nat(3).isNullAt(1))
+    assert(hof(2).getSeq[Any](1).forall(_ == null))
+    // the consumed artifact (band strings) coincides either way
+    def bands(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("id", "concat_ws(',', sig[0], sig[1], sig[2], sig[3]) AS b0")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(bands(rows.selectExpr("id", "minhash_sigs(hs) AS sig")).toSeq ===
+      bands(rows.selectExpr("id", s"array(${sigExprs.mkString(", ")}) AS sig")).toSeq)
+  }
+
   test("MinHashSignature Aggregator reproduces the HOF signatures per document") {
     MinHashSignature.ensureRegistered(spark)
     val agg = Dedup.shingleFrame(spark, sf)
