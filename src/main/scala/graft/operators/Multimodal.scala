@@ -41,10 +41,12 @@ final case class MediaFeatures(
   * and [[Multimodal.pngDims]] reads width/height back from the IHDR;
   * [[Multimodal.buildWav]] emits a RIFF/WAVE container with a PCM
   * `fmt ` chunk and [[Multimodal.wavFmt]] walks the chunk list to
-  * recover sample-rate/channels/frame-count. Only the video branch
-  * remains the clearly-marked deterministic STUB (an mp4 box parser
-  * buys nothing the PNG/WAV paths don't already prove). Malformed
-  * payloads fall back to the stub features — decode is total.
+  * recover sample-rate/channels/frame-count; [[Multimodal.buildMp4]]
+  * emits a minimal ISO-BMFF box tree (ftyp, moov with mvhd + trak/tkhd,
+  * mdat) and [[Multimodal.mp4Meta]] walks the boxes to recover the
+  * mvhd duration/timescale and the tkhd 16.16 fixed-point dimensions —
+  * all three modalities are real header codecs now. Malformed payloads
+  * fall back to the deterministic stub features — decode is total.
   *
   * The Spark side is the part that matters at 100 TB and is fully real:
   * binary+metadata schema, typed `Dataset[MediaRow]` encoding, batched
@@ -152,6 +154,108 @@ object Multimodal {
     }
   }
 
+  // ---- MP4: minimal ISO-BMFF box tree --------------------------------
+
+  /** mvhd timescale, chosen as the frame rate so duration-in-ticks IS
+    * the frame count — the builder convention [[mp4Meta]] decodes. */
+  val Mp4Timescale = 24
+
+  private def mp4Box(btype: String, payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(8 + payload.length).put(btype.getBytes(UTF_8)).put(payload)
+    buf.array()
+  }
+
+  /** Minimal valid ISO-BMFF (mp4) stream: `ftyp` (isom), `moov` holding
+    * a version-0 `mvhd` (timescale = [[Mp4Timescale]], duration =
+    * `nFrames` ticks) and one `trak`/`tkhd` (16.16 fixed-point
+    * width/height, unity matrix), and an `mdat` carrying `body`
+    * verbatim. Box sizes are fixed: 20 + 216 + (8 + body.length). */
+  def buildMp4(width: Int, height: Int, nFrames: Int, body: Array[Byte]): Array[Byte] = {
+    val ftyp = mp4Box("ftyp", ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+      .put("isom".getBytes(UTF_8)).putInt(0x200).put("isom".getBytes(UTF_8)).array())
+    val unityMatrix: ByteBuffer => ByteBuffer = b =>
+      b.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+    val mvhd = {
+      val b = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)                 // version 0 + flags
+        .putInt(0).putInt(0)      // creation / modification time
+        .putInt(Mp4Timescale)
+        .putInt(nFrames)          // duration in ticks (= frames)
+        .putInt(0x00010000)       // rate 1.0
+        .putShort(0x0100.toShort) // volume 1.0
+      b.position(b.position() + 10) // reserved
+      unityMatrix(b)
+      b.position(b.position() + 24) // pre_defined
+      b.putInt(2)                 // next_track_ID
+      mp4Box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0x000007)          // version 0, flags: enabled | in-movie | in-preview
+        .putInt(0).putInt(0)      // creation / modification time
+        .putInt(1)                // track_ID
+        .putInt(0)                // reserved
+        .putInt(nFrames)          // duration (movie-timescale ticks)
+      b.position(b.position() + 8) // reserved
+      b.putShort(0).putShort(0)   // layer, alternate_group
+        .putShort(0).putShort(0)  // volume (0 for video), reserved
+      unityMatrix(b)
+      b.putInt(width << 16)       // 16.16 fixed point
+        .putInt(height << 16)
+      mp4Box("tkhd", b.array())
+    }
+    ftyp ++ mp4Box("moov", mvhd ++ mp4Box("trak", tkhd)) ++ mp4Box("mdat", body)
+  }
+
+  /** Box-list walk over `[start, end)`: (type, payload offset, payload
+    * length) per box, None on any malformed size (undersized, or
+    * overrunning the range) — a truncated stream rejects as a whole. */
+  private def walkBoxes(bytes: Array[Byte], start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = start
+    while (off + 8 <= end) {
+      val size = buf.getInt(off)
+      if (size < 8 || off + size > end) return None
+      out += ((new String(bytes, off + 4, 4, UTF_8), off + 8, size - 8))
+      off += size
+    }
+    if (off == end) Some(out.result()) else None
+  }
+
+  /** Parse (width, height, nFrames) from an mp4's headers: the stream
+    * must lead with `ftyp`; dims come from the first trak's tkhd
+    * (16.16 → integer part), the frame count from the mvhd duration
+    * (ticks; the builder's timescale-=-frame-rate convention). None on
+    * anything that isn't a version-0 ISO-BMFF stream. */
+  def mp4Meta(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    for {
+      top <- walkBoxes(bytes, 0, bytes.length)
+      if top.headOption.exists(_._1 == "ftyp")
+      moov <- top.find(_._1 == "moov")
+      kids <- walkBoxes(bytes, moov._2, moov._2 + moov._3)
+      mvhd <- kids.find(_._1 == "mvhd")
+      trak <- kids.find(_._1 == "trak")
+      tkids <- walkBoxes(bytes, trak._2, trak._2 + trak._3)
+      tkhd <- tkids.find(_._1 == "tkhd")
+      meta <- {
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+        if (mvhd._3 < 100 || tkhd._3 < 84) None
+        else if (buf.get(mvhd._2) != 0 || buf.get(tkhd._2) != 0) None // version 0 only
+        else {
+          val timescale = buf.getInt(mvhd._2 + 12)
+          val duration = buf.getInt(mvhd._2 + 16)
+          val w = buf.getInt(tkhd._2 + 76) >>> 16
+          val h = buf.getInt(tkhd._2 + 80) >>> 16
+          if (timescale <= 0 || duration < 0 || w <= 0 || h <= 0) None
+          else Some((w, h, duration))
+        }
+      }
+    } yield meta
+
   // ---- corpus wrapping + decode --------------------------------------
 
   private def mimeOf(docId: Long): String =
@@ -165,11 +269,15 @@ object Multimodal {
     Seq(8000, 16000, 44100)((docId / 3 % 3).toInt)
   private[graft] def expectedWavChannels(docId: Long): Int =
     1 + (docId % 2).toInt
+  private[graft] def expectedMp4Dims(docId: Long): (Int, Int) =
+    (320 + (docId % 320).toInt, 180 + (docId % 180).toInt)
+  private[graft] def expectedMp4Frames(docId: Long): Int =
+    24 + (docId % 240).toInt
 
   /** Wrap documents as media rows: image docs get a real PNG stream
     * (text bytes as the IDAT body), audio docs a real WAV container
-    * (text bytes as PCM data), video docs raw bytes (stub modality);
-    * metadata as a typed map. */
+    * (text bytes as PCM data), video docs a real mp4 box tree (text
+    * bytes as the mdat body); metadata as a typed map. */
   def toMedia(documents: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     documents.select("doc_id", "text", "source", "lang").as[DocRow].map { r =>
@@ -180,16 +288,18 @@ object Multimodal {
           buildPng(w, h, body)
         case "audio/wav" =>
           buildWav(expectedWavRate(r.doc_id), expectedWavChannels(r.doc_id), body)
-        case _ => body
+        case _ =>
+          val (w, h) = expectedMp4Dims(r.doc_id)
+          buildMp4(w, h, expectedMp4Frames(r.doc_id), body)
       }
       MediaRow(r.doc_id, payload, mimeOf(r.doc_id),
         Map("source" -> r.source, "lang" -> r.lang))
     }
   }
 
-  /** STUB features — deterministic fallback for the video modality (no
-    * mp4 box parser) and for malformed image/audio payloads, derived
-    * from the payload bytes so tests have stable expectations. */
+  /** STUB features — deterministic fallback for malformed payloads only
+    * (all three modalities have real header codecs), derived from the
+    * payload bytes so tests have stable expectations. */
   private def stubFeatures(row: MediaRow, checksum: Long): MediaFeatures = {
     val dim = (checksum % 1024).toInt + 1
     MediaFeatures(
@@ -205,8 +315,8 @@ object Multimodal {
                  else 1)
   }
 
-  /** Total per-row decode: real header parse for PNG/WAV, stub for
-    * video and for payloads that fail to parse. */
+  /** Total per-row decode: real header parse for PNG/WAV/mp4, stub for
+    * payloads that fail to parse. */
   def decode(row: MediaRow): MediaFeatures = {
     val bytes = row.payload
     val checksum = bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
@@ -219,6 +329,11 @@ object Multimodal {
         wavFmt(bytes).map { case (rate, _, frames) =>
           stubFeatures(row, checksum).copy(
             width = 0, height = 0, sample_rate = rate, n_frames = frames)
+        }
+      case "video/mp4" =>
+        mp4Meta(bytes).map { case (w, h, frames) =>
+          stubFeatures(row, checksum).copy(
+            width = w, height = h, sample_rate = 0, n_frames = frames)
         }
       case _ => None
     }
@@ -255,16 +370,46 @@ object Multimodal {
              |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // The decoded-feature frame itself (typed mapPartitions path): not
-    // SQL-expressible (binary container construction + header parse),
-    // so no oracle — the driver records the rows-only check and
-    // MultimodalSpec pins parsed dims/rates against their closed forms.
+    // The decoded-feature frame itself (typed mapPartitions path). The
+    // decode runs the REAL codecs — build container, parse header — but
+    // every parsed feature has a closed form in (doc_id, text byte
+    // length): container overheads are fixed (PNG 57 B, WAV 44 B + frame
+    // truncation, mp4 244 B), dims/rates/frame-counts are the builder
+    // parameters. The oracle recomputes those closed forms in SQL, so a
+    // parser that misread any header field hash-mismatches. The payload
+    // checksum (not SQL-expressible — DuckDB never sees the container
+    // bytes) stays spec-pinned in MultimodalSpec instead.
     QueryDef(
       "q_media_decode",
       (s, d) => {
         implicit val sp: SparkSession = s
-        decodeFeatures(toMedia(Tables.documents(s, d))).toDF().orderBy("doc_id")
+        decodeFeatures(toMedia(Tables.documents(s, d))).toDF()
+          .select("doc_id", "mime", "n_bytes", "width", "height", "sample_rate", "n_frames")
+          .orderBy("doc_id")
       },
-      None)
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'image/png'
+             |       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+             |  CAST(CASE doc_id % 3
+             |       WHEN 0 THEN 57 + len
+             |       WHEN 1 THEN 44 + GREATEST(ba, (len // ba) * ba)
+             |       ELSE 244 + len END AS INT) AS n_bytes,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 500
+             |       WHEN 1 THEN 0 ELSE 320 + doc_id % 320 END AS INT) AS width,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 300
+             |       WHEN 1 THEN 0 ELSE 180 + doc_id % 180 END AS INT) AS height,
+             |  CAST(CASE doc_id % 3 WHEN 1 THEN
+             |         CASE (doc_id // 3) % 3 WHEN 0 THEN 8000
+             |              WHEN 1 THEN 16000 ELSE 44100 END
+             |       ELSE 0 END AS INT) AS sample_rate,
+             |  CAST(CASE doc_id % 3
+             |       WHEN 0 THEN 1
+             |       WHEN 1 THEN GREATEST(ba, (len // ba) * ba) // ba
+             |       ELSE 24 + doc_id % 240 END AS INT) AS n_frames
+             |FROM (SELECT doc_id,
+             |        octet_length(CAST(text AS BLOB)) AS len,
+             |        2 * (1 + doc_id % 2) AS ba
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -56,13 +56,25 @@ object Profiling {
     // approx_count_distinct (HLL++) replacing the exact distincts — the
     // 4 exact COUNT(DISTINCT) above force a 5× Expand of the scan, the
     // documented price of exactness that a routine profile doesn't need
-    // (±2% on cardinality is diagnostic noise). No oracle SQL: Spark's
-    // HLL estimate is deterministic but not reproducible in DuckDB SQL,
-    // so the driver records the rows-only check; ProfilingSpec pins the
-    // estimates within 5% of the exact counts at two SFs instead.
+    // (±2% on cardinality is diagnostic noise). Oracle-checked through
+    // the HLL *contract* (the q_agg_hll pattern): the sketch estimate
+    // itself is engine-specific, so each engine checks its own estimate
+    // against its own exact count and the BOOLEAN is the compared
+    // output. The exact reference avoids the Expand too: one two-level
+    // aggregation per column (distinct values shuffle with map-side
+    // partial dedup, then a count) — the scalable exact-cardinality
+    // shape; the four single-column branches are independent stages
+    // that run concurrently under one union. ProfilingSpec additionally
+    // pins the estimates within 5% at two SFs.
     QueryDef(
       "q_profile_approx",
       (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val exacts = profCols.map { c =>
+          li.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)))
+            .agg(count(lit(1)).as("n_distinct"))
+            .select(lit(c).as("col_name"), col("n_distinct"))
+        }.reduce(_ unionAll _)
         val aggs = profCols.flatMap { c =>
           Seq(count(col(c)).as(s"__n_$c"),
             approx_count_distinct(col(c), 0.02).as(s"__d_$c"),
@@ -74,13 +86,27 @@ object Profiling {
           s"struct('$c' AS col_name, __n_$c AS n_nonnull, __d_$c AS approx_distinct, " +
             s"__min_$c AS min_v, __max_$c AS max_v, __avg_$c AS mean_v)"
         }.mkString(", ")
-        Tables.lineitem(s, d)
-          .agg(aggs.head, aggs.tail: _*)
+        li.agg(aggs.head, aggs.tail: _*)
           .selectExpr(s"explode(array($stacked)) AS p")
           .select("p.*")
+          .join(broadcast(exacts), "col_name")
+          .select(col("col_name"), col("n_nonnull"), col("n_distinct"),
+            col("min_v"), col("max_v"), col("mean_v"),
+            (abs(col("approx_distinct") - col("n_distinct"))
+              <= col("n_distinct") * 0.05).as("approx_ok"))
           .orderBy("col_name")
       },
-      None),
+      Some(profCols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n_nonnull,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  approx_count_distinct($c) AS approx_distinct,
+           |  MIN($c) AS min_v, MAX($c) AS max_v,
+           |  ${Parity.sqlDavg(c, 2)} AS mean_v FROM lineitem""".stripMargin
+      }.mkString(
+        "SELECT col_name, n_nonnull, n_distinct, min_v, max_v, mean_v,\n" +
+          "  ABS(approx_distinct - n_distinct) <= n_distinct * 0.05 AS approx_ok\nFROM (\n",
+        "\nUNION ALL\n",
+        ")\nORDER BY col_name"))),
 
     // Quantile binning: per-group quartile boundaries → per-row bucket
     // assignment → bucket histogram. The boundary values are the exact

@@ -4,9 +4,10 @@ import graft.operators.{MediaRow, Multimodal}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal-column plumbing: typed binary payloads through the batched
-  * mapPartitions decode path. PNG and WAV decodes are REAL header
-  * parses (signature + IHDR; RIFF chunk walk) over synthesized valid
-  * containers; only video remains the documented stub. */
+  * mapPartitions decode path. PNG, WAV and MP4 decodes are REAL header
+  * parses (signature + IHDR; RIFF chunk walk; ISO-BMFF box walk) over
+  * synthesized valid containers; the stub survives only as the
+  * malformed-payload fallback. */
 class MultimodalSpec extends AnyFunSuite {
   private implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -30,7 +31,8 @@ class MultimodalSpec extends AnyFunSuite {
     // payload bytes survived intact: the container wraps the ascii text,
     // so n_bytes is the text length plus the fixed container overhead
     // (PNG: 8 sig + 3 chunks × 12 framing + 13 IHDR; WAV: 44-byte
-    // header, data truncated to whole frames; video: raw bytes).
+    // header, data truncated to whole frames; MP4: 20 ftyp + 216 moov
+    // + 8 mdat framing).
     val nchars = Tables.documents(spark, sf).select("doc_id", "n_chars")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     feats1.foreach { f =>
@@ -40,12 +42,12 @@ class MultimodalSpec extends AnyFunSuite {
         case "audio/wav" =>
           val ba = Multimodal.expectedWavChannels(f.doc_id) * 2
           assert(f.n_bytes.toLong === 44 + math.max(ba, n / ba * ba))
-        case _ => assert(f.n_bytes.toLong === n)
+        case _ => assert(f.n_bytes.toLong === n + 244)
       }
     }
   }
 
-  test("PNG decode reads real IHDR dimensions; WAV decode reads real fmt-chunk rates") {
+  test("PNG/WAV/MP4 decodes read real header fields back from the containers") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.toMedia(Tables.documents(spark, sf))).collect()
     feats.foreach { f =>
@@ -58,7 +60,11 @@ class MultimodalSpec extends AnyFunSuite {
           assert(f.sample_rate === Multimodal.expectedWavRate(f.doc_id), s"doc ${f.doc_id}")
           val ba = Multimodal.expectedWavChannels(f.doc_id) * 2
           assert(f.n_frames === (f.n_bytes - 44) / ba, s"doc ${f.doc_id}")
-        case _ => ()
+        case _ =>
+          val (w, h) = Multimodal.expectedMp4Dims(f.doc_id)
+          assert((f.width, f.height) === (w, h), s"doc ${f.doc_id}")
+          assert(f.n_frames === Multimodal.expectedMp4Frames(f.doc_id), s"doc ${f.doc_id}")
+          assert(f.sample_rate === 0)
       }
     }
   }
@@ -69,15 +75,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.pngDims(png) === Some((640, 480)))
     val wav = Multimodal.buildWav(44100, 2, Array.fill[Byte](400)(7))
     assert(Multimodal.wavFmt(wav) === Some((44100, 2, 100)))
+    val mp4 = Multimodal.buildMp4(1280, 720, 300, "framedata".getBytes("UTF-8"))
+    assert(Multimodal.mp4Meta(mp4) === Some((1280, 720, 300)))
+    assert(mp4.length === 244 + 9) // the documented fixed overhead
     // malformed: wrong magic, truncation, garbage — None, never a throw
     assert(Multimodal.pngDims("not a png at all".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.pngDims(png.take(10)).isEmpty)
     assert(Multimodal.wavFmt(png).isEmpty)
     assert(Multimodal.wavFmt(wav.take(11)).isEmpty)
+    assert(Multimodal.mp4Meta(wav).isEmpty)      // RIFF is not a box tree
+    assert(Multimodal.mp4Meta(mp4.take(30)).isEmpty) // truncated moov
+    assert(Multimodal.mp4Meta(mp4.drop(20)).isEmpty) // no leading ftyp
     // a declared-png row with garbage bytes falls back to stub features
     val junk = MediaRow(9L, "garbage".getBytes("UTF-8"), "image/png", Map.empty)
     val f = Multimodal.decode(junk)
     assert(f.width > 0 && f.n_frames === 1) // stub path, still total
+    // same for a declared-mp4 row: stub fallback keeps decode total
+    val junkV = Multimodal.decode(
+      MediaRow(8L, "garbage".getBytes("UTF-8"), "video/mp4", Map.empty))
+    assert(junkV.width > 0 && junkV.n_frames > 0)
   }
 
   test("modalities fan out by doc_id and get modality-specific features") {

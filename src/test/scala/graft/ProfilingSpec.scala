@@ -2,12 +2,12 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the approx-distinct profile's estimation contract: the headline
-  * q_profile_approx has no DuckDB oracle (Spark's HLL++ estimate is not
-  * reproducible in DuckDB SQL), so this spec is its correctness gate —
-  * every per-column estimate must land within the configured 2%-rsd
-  * sketch's practical error (≤ 5%) of the exact q_profile_table counts,
-  * at two scale factors.
+/** Pins the approx-distinct profile's estimation contract from the
+  * Scala side (the DuckDB oracle checks the same contract per engine):
+  * the query's own `approx_ok` boolean must hold for every column, its
+  * exact `n_distinct` (computed by the Expand-free two-level
+  * aggregation) must agree with q_profile_table's countDistinct, at two
+  * scale factors.
   */
 class ProfilingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -16,14 +16,14 @@ class ProfilingSpec extends AnyFunSuite {
     val exact = SparkEntry.queries("q_profile_table")(spark, sf)
       .select("col_name", "n_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("q_profile_approx")(spark, sf)
-      .select("col_name", "approx_distinct").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
+    val rows = SparkEntry.queries("q_profile_approx")(spark, sf)
+      .select("col_name", "n_distinct", "approx_ok").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows.keySet === exact.keySet)
     exact.foreach { case (c, n) =>
-      val est = approx(c)
-      assert(math.abs(est - n) <= math.max(1L, (0.05 * n).toLong),
-        s"$sf/$c: approx $est vs exact $n")
+      val (nd, ok) = rows(c)
+      assert(nd === n, s"$sf/$c: two-level exact $nd vs countDistinct $n")
+      assert(ok, s"$sf/$c: HLL estimate outside 5% of exact $n")
     }
   }
 
