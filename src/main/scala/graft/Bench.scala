@@ -98,7 +98,15 @@ object Bench {
     // serve probes), so the fit cost is charged once, to the fit entry.
     "q_pq_assign",
     "q_ivfpq",
-    "q_text_repetition")
+    "q_text_repetition",
+    // round 4: the COUNT-driven sized index variants — timed at every
+    // scale point so the lshBitsFor/ivfCellsFor rules are exercised
+    // (and their cost observed) as N grows, not just documented
+    "q_sim_lsh_scaled",
+    "q_sim_ivf_scaled",
+    // wide-band SimHash: the sub-quadratic twin of q_dedup_simhash
+    // whose 8-bit bands saturate near N ≈ 1e5 (the sf3 finding)
+    "q_dedup_simhash_wide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

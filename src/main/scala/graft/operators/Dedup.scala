@@ -155,15 +155,94 @@ object Dedup {
        |  WHERE jaccard >= 0.5)""".stripMargin
   }
 
-  /** 32-bit SimHash over a bigint-list column named `hs` (DuckDB oracle
-    * form): bit j is set when more member hashes have bit j set than
-    * clear. The Spark side computes the same majority via explode +
-    * partial-sum aggregation — see q_dedup_simhash. */
-  private def duckSimhash: String =
-    (0 until 32).map { j =>
+  /** Distinct shingle hashes at `bits` width (Spark dialect, over the
+    * staged `g` column): the md5 prefix is `bits/4` hex digits — the
+    * 32-bit [[graft.functions.TextAnalysis.tokHash]] generalized. A
+    * SimHash signature is only as wide as its input hashes: majority
+    * bits above the hash width are constant 0, which silently turns the
+    * top band into a single all-docs bucket (measured: the 60-bit
+    * variant over 32-bit hashes ran the full N² cross product through
+    * band 3 — 234 s at sf3 vs 4 s with true 60-bit hashes). */
+  private def sparkShingleHashesW(bits: Int): String =
+    s"array_distinct(transform(g, x -> CAST(conv(substr(md5(x), 1, ${bits / 4}), 16, 10) AS BIGINT)))"
+
+  /** DuckDB twin of [[sparkShingleHashesW]]. */
+  private def duckShingleHashesW(bits: Int): String =
+    s"list_distinct(list_transform($duckShingles, x -> " +
+      s"CAST(('0x' || substr(md5(x), 1, ${bits / 4})) AS BIGINT)))"
+
+  /** `bits`-wide SimHash over a bigint-list column named `hs` (DuckDB
+    * oracle form): bit j is set when more member hashes have bit j set
+    * than clear. The Spark side computes the same majority via explode +
+    * partial-sum aggregation — see [[simhashPairs]]. */
+  private def duckSimhash(bits: Int): String =
+    (0 until bits).map { j =>
       s"(CASE WHEN list_sum(list_transform(hs, x -> " +
         s"CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** SimHash near-dup pairs at a given signature/band width.
+    *
+    * Bit-majority signature via explode + ONE partial-sum aggregate
+    * (bit j set iff 2·count_set > n — map-side combinable, not
+    * `bits` aggregate() scans per row), then pigeonhole banding: a pair
+    * within Hamming distance 3 must agree exactly on at least one of 4
+    * bands, so 4 equi-joins produce a strict candidate superset and the
+    * exact Hamming trim finishes. 32-bit/8-bit bands is the classic
+    * small-N setting; the WIDE 60-bit/15-bit variant is the scale knob
+    * the sf3 bench point exposed: band values live in 2^15 instead of
+    * 2^8, so expected random band collisions — the N²/2^(bandBits+1)
+    * term that starts dominating the 8-bit variant near N ≈ 10⁵ — fall
+    * 128×. The wide cut is tighter by construction (Hamming ≤ 3 of 60
+    * meaningful bits ≈ the Manku-et-al production setting): it keeps
+    * the 14 tightest of the 25 planted near-dup pairs at sf0.01, with
+    * the measured distribution showing a clean gap (planted pairs at
+    * Hamming 1–7, background from 15) — MinHash stays the high-recall
+    * path. 60 bits, not 64: bit 63 would make the band literal the
+    * BIGINT sign bit, which the two engines shift differently. The
+    * shingle hashes must be ≥ `bits` wide ([[sparkShingleHashesW]]). */
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession, d: String,
+                           bits: Int, bandBits: Int): org.apache.spark.sql.DataFrame = {
+    require(4 * bandBits == bits, s"4 bands of $bandBits bits must cover $bits")
+    val hs = if (bits == 32) col("hs") else expr(sparkShingleHashesW(bits))
+    val bitSums = shingleFrame(s, d)
+      .select(col("doc_id"), explode(hs).as("x"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until bits).map(j => sum(expr(s"shiftright(x, $j) & 1")).as(s"b$j")): _*)
+    val simExpr = (0 until bits)
+      .map(j => s"(CASE WHEN 2 * b$j > n THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val sims = bitSums.selectExpr("doc_id", s"$simExpr AS sim")
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until 4).map(k =>
+      s"struct($k AS k, (shiftright(sim, ${bandBits * k}) & $mask) AS byte)")
+    val bands = sims
+      .selectExpr("doc_id", "sim", s"explode(array(${bandStructs.mkString(", ")})) AS bk")
+      .select(col("doc_id"), col("sim"), col("bk.k").as("k"), col("bk.byte").as("byte"))
+    bands.as("x").join(bands.as("y"),
+        col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .selectExpr("a", "b", "bit_count(sim_a ^ sim_b) AS hamming")
+      .filter(col("hamming") <= 3)
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB brute-force twin of [[simhashPairs]] (all pairs + Hamming
+    * filter — same answer from a different join strategy). */
+  private def duckSimhashPairs(bits: Int): String =
+    s"""WITH hs AS (SELECT doc_id, ${
+         if (bits == 32) duckShingleHashes else duckShingleHashesW(bits)
+       } AS hs FROM documents),
+       |sims AS (SELECT doc_id, ${duckSimhash(bits)} AS sim FROM hs)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+       |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+       |ORDER BY a, b""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -202,45 +281,19 @@ object Dedup {
               |SELECT a, b, jaccard FROM verified ORDER BY a, b""".stripMargin)),
 
     // SimHash near-dup: banded equi-join in Spark, brute force in the
-    // oracle — same result set.
+    // oracle — same result set. Classic 32-bit/8-bit-band setting.
     QueryDef(
       "q_dedup_simhash",
-      (s, d) => {
-        // Bit-majority via explode + hash aggregation: one pass over the
-        // shingles with map-side partial sums (bit j is set iff
-        // 2*count_set > n), instead of 32 aggregate() scans per row —
-        // the same partial-aggregation layout that scales out.
-        val bitSums = shingleFrame(s, d)
-          .select(col("doc_id"), explode(col("hs")).as("x"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n"),
-            (0 until 32).map(j => sum(expr(s"shiftright(x, $j) & 1")).as(s"b$j")): _*)
-        val simExpr = (0 until 32)
-          .map(j => s"(CASE WHEN 2 * b$j > n THEN ${1L << j} ELSE 0 END)")
-          .mkString("(", " + ", ")")
-        val sims = bitSums.selectExpr("doc_id", s"$simExpr AS sim")
-        val byteStructs = (0 until 4).map(k =>
-          s"struct($k AS k, (shiftright(sim, ${8 * k}) & 255) AS byte)")
-        val bands = sims
-          .selectExpr("doc_id", "sim", s"explode(array(${byteStructs.mkString(", ")})) AS bk")
-          .select(col("doc_id"), col("sim"), col("bk.k").as("k"), col("bk.byte").as("byte"))
-        bands.as("x").join(bands.as("y"),
-            col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-            col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
-          .distinct()
-          .selectExpr("a", "b", "bit_count(sim_a ^ sim_b) AS hamming")
-          .filter(col("hamming") <= 3)
-          .orderBy("a", "b")
-      },
-      Some(s"""WITH hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents),
-              |sims AS (SELECT doc_id, $duckSimhash AS sim FROM hs)
-              |SELECT x.doc_id AS a, y.doc_id AS b,
-              |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
-              |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
-              |WHERE bit_count(xor(x.sim, y.sim)) <= 3
-              |ORDER BY a, b""".stripMargin)),
+      (s, d) => simhashPairs(s, d, bits = 32, bandBits = 8),
+      Some(duckSimhashPairs(32))),
+
+    // The WIDE scale variant: 60-bit signature, 15-bit bands — the
+    // band-width knob that keeps the candidate join sub-quadratic as N
+    // grows (see [[simhashPairs]]; the sf3 bench point is the evidence).
+    QueryDef(
+      "q_dedup_simhash_wide",
+      (s, d) => simhashPairs(s, d, bits = 60, bandBits = 15),
+      Some(duckSimhashPairs(60))),
 
     // MinHash signatures via the typed Aggregator UDAF
     // ([[graft.functions.MinHashSignature]]): explode the shingle

@@ -82,17 +82,47 @@ object Similarity {
   private[graft] def duckBucket(bits: Int, offset: Int = 0) =
     bucketExpr(bits, i => s"embedding[$i]", offset)
 
-  /** log(N) sizing for the LSH bit count: 2^bits ≈ N / targetBucket,
-    * clamped to [4, dim]. At N=500 → 4–10 bits; at N=10⁹ (a 100 TB
-    * corpus) → ~25 bits, keeping expected bucket population constant. */
-  def lshBitsFor(n: Long, dim: Int = 64, targetBucket: Int = 32): Int =
-    math.min(dim, math.max(4,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt))
+  /** log₂(N) sizing for the LSH bit count — the smallest b in [4, dim]
+    * with 2^b ≥ ⌈N / targetBucket⌉, keeping expected bucket population
+    * ≤ targetBucket as N grows (N=500 → 4 bits; N=10⁹ → 25 bits). Pure
+    * integer arithmetic, deliberately no float log/ceil: the sized
+    * oracle ([[duckLshSizedCte]]) recomputes the same b in SQL, and a
+    * float log at an exact power-of-two boundary (`log(16)/log(2)` =
+    * 3.999…96 in the JVM) rounds differently per engine. */
+  def lshBitsFor(n: Long, dim: Int = 64, targetBucket: Int = 32): Int = {
+    val target = n / targetBucket + (if (n % targetBucket == 0) 0 else 1)
+    var b = 4
+    while (b < dim && (1L << b) < target && b < 62) b += 1
+    b
+  }
 
-  /** √N sizing for the IVF coarse-quantizer cell count: probe cost is
-    * N/cells per query and assignment cost is N·cells, balanced at √N. */
+  /** ⌊√N⌋ sizing for the IVF coarse-quantizer cell count: probe cost is
+    * N/cells per query and assignment cost is N·cells, balanced at √N.
+    * floor, not round: IEEE sqrt is correctly rounded (exact on perfect
+    * squares), so both engines floor the same double; round's halfway
+    * rule differs per engine. */
   def ivfCellsFor(n: Long): Int =
-    math.max(4, math.round(math.sqrt(n.toDouble)).toInt)
+    math.max(4, math.sqrt(n.toDouble).toLong.toInt)
+
+  /** SQL twin of [[lshBitsFor]] (DuckDB): a one-row CTE `sized(b)`
+    * computing the same smallest-power-of-two bound in integer
+    * arithmetic from the live row count. */
+  private def duckLshSizedCte(dim: Int = 64, targetBucket: Int = 32): String =
+    s"""sized AS (
+       |  SELECT COALESCE(MIN(b), $dim) AS b
+       |  FROM generate_series(4, LEAST($dim, 62)) t(b)
+       |  WHERE (CAST(1 AS BIGINT) << b) >=
+       |    (SELECT COUNT(*) // $targetBucket
+       |            + CASE WHEN COUNT(*) % $targetBucket = 0 THEN 0 ELSE 1 END
+       |     FROM embeddings))""".stripMargin
+
+  /** Sign-bucket over a RUNTIME bit count (column `b` from the sized
+    * CTE, cross-joined in): all `dim` terms emitted, masked by `i < b`
+    * — the static-text way to express a data-dependent bucket width. */
+  private def duckBucketSized(dim: Int = 64): String =
+    (0 until dim).map(i =>
+      s"(CASE WHEN $i < b AND embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   /** vec_id, embedding, nrm (L2 norm as double) — Spark side. */
   private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -153,6 +183,11 @@ object Similarity {
     * embedding, cell)`; `sfx` disambiguates CTE names when several cell
     * settings share one statement. */
   private[graft] def duckCellCtes(cells: Int, sfx: String = ""): String =
+    duckCellCtesExpr(cells.toString, sfx)
+
+  /** [[duckCellCtes]] over an arbitrary cell-count SQL expression (a
+    * scalar subquery for the sized variant). */
+  private[graft] def duckCellCtesExpr(cells: String, sfx: String = ""): String =
     s"""cent$sfx AS (SELECT vec_id AS cent_id, embedding AS cent_emb
        |             FROM embeddings WHERE vec_id < $cells),
        |assign$sfx AS (
@@ -357,6 +392,45 @@ object Similarity {
     (ctes, select)
   }
 
+  /** DuckDB twin of the SIZED [[lshAnn]]: the bit count comes from the
+    * live COUNT(*) through the same integer rule as [[lshBitsFor]], so
+    * the oracle follows the knob wherever the data scale puts it. */
+  def lshOracleSized(queryLimit: Int = 100): String =
+    s"""WITH $duckNormCte,
+       |${duckLshSizedCte()},
+       |b AS (SELECT vec_id, embedding, nrm, ${duckBucketSized()} AS bucket
+       |      FROM n CROSS JOIN sized),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS c_id,
+       |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $queryLimit),
+       |ranked AS (
+       |  SELECT q_id, bucket, c_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk,
+       |         COUNT(*) OVER (PARTITION BY q_id) AS n_cand
+       |  FROM scored)
+       |SELECT q_id, bucket, c_id AS nn_id, cosine, n_cand FROM ranked WHERE rnk = 1
+       |ORDER BY q_id""".stripMargin
+
+  /** DuckDB twin of the SIZED [[ivfAnn]]: cell count = ⌊√COUNT(*)⌋
+    * ([[ivfCellsFor]]) computed in the statement itself. */
+  def ivfOracleSized(): String =
+    s"""WITH sizedc AS (
+       |  SELECT GREATEST(4, CAST(floor(sqrt(COUNT(*))) AS INT)) AS c FROM embeddings),
+       |${duckCellCtesExpr("(SELECT c FROM sizedc)")},
+       |probe AS (
+       |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id,
+       |    ${duckDot("q.embedding", "c.embedding")}
+       |      / (sqrt(${duckDot("q.embedding", "q.embedding")})
+       |         * sqrt(${duckDot("c.embedding", "c.embedding")})) AS cosine
+       |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id BETWEEN 100 AND 119)
+       |SELECT q_id, cell, c_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |            ORDER BY cosine DESC, c_id) AS rn FROM probe)
+       |WHERE rn = 1 ORDER BY q_id""".stripMargin
+
   /** DuckDB twin of [[lshAnn]], generated from the same parameters. */
   def lshOracle(bits: Int, queryLimit: Int = 100): String =
     s"""WITH $duckNormCte,
@@ -407,10 +481,17 @@ object Similarity {
 
     // LSH-bucketed approximate nearest neighbor: equi-join on the sign
     // bucket, top-1 within bucket (queries whose bucket holds no other
-    // vector drop out — approximate by construction). Two settings are
-    // oracle-checked so the bit-count knob itself is under test.
+    // vector drop out — approximate by construction). Two variants are
+    // oracle-checked: a fixed 8-bit setting, and the SIZED one whose
+    // bit count comes from [[lshBitsFor]] over the live row count — the
+    // sizing rule is executed, not just documented, and the oracle
+    // recomputes the same count-driven b in SQL, so the knob tracks N
+    // wherever the verify scale puts it (ScaleSpec pins the growth).
     QueryDef("q_sim_lsh", (s, d) => lshAnn(s, d, bits = 8), Some(lshOracle(bits = 8))),
-    QueryDef("q_sim_lsh_scaled", (s, d) => lshAnn(s, d, bits = 10), Some(lshOracle(bits = 10))),
+    QueryDef(
+      "q_sim_lsh_scaled",
+      (s, d) => lshAnn(s, d, bits = lshBitsFor(Tables.embeddings(s, d).count())),
+      Some(lshOracleSized())),
 
     // Native-expression path: the same quantized cosine as a custom
     // Catalyst Expression with codegen ([[graft.functions.CosineSim]])
@@ -444,10 +525,15 @@ object Similarity {
     // vector to its nearest cell; queries probe ONLY their own cell. The
     // inverted structure is the point: at 100 TB the cell assignment is
     // one broadcast-join map pass, and each probe touches |cell| ≈
-    // N/cells candidates instead of N. `cells` must track √N
-    // ([[ivfCellsFor]]) — two settings oracle-checked to pin the knob.
+    // N/cells candidates instead of N. `cells` must track √N — the
+    // SIZED variant executes [[ivfCellsFor]] over the live count (and
+    // its oracle recomputes ⌊√COUNT(*)⌋ in SQL), so growing the table
+    // grows the quantizer without touching the query.
     QueryDef("q_sim_ivf", (s, d) => ivfAnn(s, d, cells = 8), Some(ivfOracle(cells = 8))),
-    QueryDef("q_sim_ivf_scaled", (s, d) => ivfAnn(s, d, cells = 22), Some(ivfOracle(cells = 22))),
+    QueryDef(
+      "q_sim_ivf_scaled",
+      (s, d) => ivfAnn(s, d, cells = ivfCellsFor(Tables.embeddings(s, d).count())),
+      Some(ivfOracleSized())),
 
     // Recall@5 across three index settings — the recall/cost surface
     // the bucketing specs only imply: 8→10 bits must show fewer scored

@@ -15,9 +15,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * `ls /opt/spark/jars | grep -i kafka` both return nothing in this
   * container — neither kafka-clients, kafka server test-jars, nor
   * spark-sql-kafka resolve from the offline cache, so an embedded
-  * KafkaServer round-trip cannot be built here. The rate-source replay
-  * test in StreamingSpec covers the throttled-producer envelope
-  * end-to-end instead; the wire options above stay golden-pinned.
+  * KafkaServer round-trip cannot be built here (re-probed each round;
+  * rounds 3 and 4 both came up empty). The rate-source replay test in
+  * StreamingSpec covers the throttled-producer envelope end-to-end
+  * instead; the wire options above stay golden-pinned.
   *
   * Sources of truth (key-for-key, value-for-value):
   *  - batch read:  `temReadFromTopic.py:36-59`

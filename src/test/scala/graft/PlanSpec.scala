@@ -149,12 +149,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast code-table joins:\n$p")
   }
 
-  test("approx profile is one scan with NO Expand; exact profile pays the documented 5× Expand") {
+  test("approx profile has NO Expand anywhere; exact profile pays the documented 5× Expand") {
+    // The contract oracle added exact n_distinct references, but they
+    // are two-level aggregations over single-column pruned scans — the
+    // row-multiplying Expand must never appear. (One profile scan + one
+    // pruned scan per profiled column; each branch reads ONE column.)
     val approx = plan("q_profile_approx")
     assert(!approx.contains("Expand"),
       s"approx profile must not multiply the scan:\n$approx")
-    assert("FileScan parquet".r.findAllIn(approx).size === 1,
-      s"approx profile must be a single pass:\n$approx")
+    assert("FileScan parquet".r.findAllIn(approx).size === 1 + 4,
+      s"approx profile: one stats pass + one pruned scan per column:\n$approx")
     val exact = plan("q_profile_table")
     assert(exact.contains("Expand"),
       s"exact distinct profile is expected to Expand (its documented cost):\n$exact")

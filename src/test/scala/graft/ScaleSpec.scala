@@ -103,6 +103,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(Similarity.ivfCellsFor(1000000) === 1000)   // √N cells
   }
 
+  test("sized LSH/IVF variants apply the count-driven rule as N grows") {
+    import operators.Similarity
+    // the integer rules at the two Ns under test
+    assert(Similarity.lshBitsFor(500) === 4 && Similarity.lshBitsFor(2000) === 6)
+    assert(Similarity.ivfCellsFor(500) === 22 && Similarity.ivfCellsFor(2000) === 44)
+    // 4× the embeddings with vec_id strides (copy 0 intact, so the
+    // fixed query/centroid id sets survive) → the SAME query must come
+    // back wider: 6-bit buckets instead of 4-bit, 44 cells instead of 22
+    val dir = Files.createTempDirectory("graft_sized").toString
+    val e = Tables.embeddings(spark, sf)
+    (0 until 4).map(i => e.withColumn("vec_id", col("vec_id") + lit(i * 100000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val maxSmall = SparkEntry.queries("q_sim_lsh_scaled")(spark, sf)
+      .agg(max(col("bucket")).cast("long")).head.getLong(0)
+    val maxBig = SparkEntry.queries("q_sim_lsh_scaled")(spark, dir)
+      .agg(max(col("bucket")).cast("long")).head.getLong(0)
+    assert(maxSmall < 16, s"N=500 must bucket in 4 bits, saw bucket $maxSmall")
+    assert(maxBig >= 16 && maxBig < 64,
+      s"N=2000 must bucket in 6 bits (some bucket ≥ 16), saw max $maxBig")
+    val cellSmall = SparkEntry.queries("q_sim_ivf_scaled")(spark, sf)
+      .agg(max(col("cell")).cast("long")).head.getLong(0)
+    val cellBig = SparkEntry.queries("q_sim_ivf_scaled")(spark, dir)
+      .agg(max(col("cell")).cast("long")).head.getLong(0)
+    assert(cellSmall < 22, s"N=500 cells live in [0,22), saw $cellSmall")
+    assert(cellBig < 44, s"N=2000 cells live in [0,44), saw $cellBig")
+  }
+
   test("ANN recall/cost surface moves the right way with bits and tables") {
     import operators.Similarity
     def row(bits: Int, tables: Int): (Long, Double) = {

@@ -300,6 +300,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming latency: micro-batch processing stays inside the reference's trigger envelope") {
+    // The reference's one published envelope is 2 msg/s into 60 s
+    // micro-batches ≈ 120 rows per trigger (04_temincrementaltem.py:19,
+    // 03_temStreamEveryMin.py:97); it never measured the processing
+    // side. This does: same ~120 rows/batch through the real
+    // streamConsume pipeline at a 60×-compressed 1 s trigger, reading
+    // per-batch triggerExecution from the progress log. Steady-state
+    // batches must complete inside the 1 s trigger — i.e. the engine
+    // keeps up with the envelope at 60× the reference's pressure; the
+    // measured numbers are committed to BASELINE.md (streaming-latency
+    // row).
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "120").load()
+      .selectExpr("CAST(value AS STRING) AS key",
+        "to_json(named_struct('id', CAST(value AS INT))) AS value")
+    val q = graft.reference.TemPipelines.streamConsume(
+      rate,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      format = "memory",
+      queryName = "t_latency",
+      options = Map.empty)
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline &&
+             q.recentProgress.count(_.numInputRows > 0) < 6) Thread.sleep(250)
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      assert(prog.length >= 4, s"only ${prog.length} non-empty batches in 20 s")
+      val durs = prog.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      // first batch pays plan compile + sink init; steady state is the claim
+      val steady = durs.drop(1)
+      assert(steady.nonEmpty)
+      val sorted = steady.sorted
+      val median = sorted(sorted.length / 2)
+      info(s"triggerExecution ms per batch: ${durs.mkString(",")} (median $median)")
+      assert(steady.forall(_ < 1000),
+        s"a steady-state micro-batch overran the 1 s trigger: ${durs.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join and holds no stream state") {
     val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
     val streamed = runStream("t_enrich", EventStreams.enrichWithDim(_, dim))
