@@ -61,7 +61,6 @@ object Bench {
     "q_text_fingerprint",
     "q_dedup_hash",
     "q_dedup_minhash",
-    "q_dedup_simhash",
     "q_sim_lsh",
     "q_sim_ivf",
     "q_sim_cosine",
@@ -106,7 +105,11 @@ object Bench {
     "q_sim_ivf_scaled",
     // wide-band SimHash: the sub-quadratic twin of q_dedup_simhash
     // whose 8-bit bands saturate near N ≈ 1e5 (the sf3 finding)
-    "q_dedup_simhash_wide")
+    "q_dedup_simhash_wide",
+    // round 5: the count-driven SimHash replaces the fixed 8-bit
+    // q_dedup_simhash in the headline (which stays as an oracle
+    // fixture) — no headline entry carries an N²/2⁹ candidate term
+    "q_dedup_simhash_sized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

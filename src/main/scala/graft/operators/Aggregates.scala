@@ -49,17 +49,26 @@ object Aggregates {
     * At 100 TB: two scans are map-side-combinable aggregates at scan
     * speed; sketch state is O(accuracy·log n) per group; the collect
     * buffer holds ~6n/accuracy values per (group, percentile) — pick
-    * accuracy ≈ √n to bound both ends (accuracy 800 holds candidates to
-    * ~450 values per group·spec at sf0.1; ~6√n ≈ 190k doubles ≈ 1.5 MB
-    * at n=1e9 — the same order the window partition held before, now as
-    * a mergeable agg buffer).
+    * accuracy ≈ √n to bound both ends (~6√n ≈ 190k doubles ≈ 1.5 MB at
+    * n=1e9 — the same order the window partition held before, now as a
+    * mergeable agg buffer). That rule is EXECUTED, not documented:
+    * `accuracy = 0` (the default) sizes from a count of the input via
+    * [[percentileAccuracyFor]], so the candidate buffer stays O(√n) at
+    * any scale instead of growing linearly past a fixed knob (a fixed
+    * 800 measured 12.9 s at sf3, ~6 GB of agg buffer at n=10¹¹).
     */
   private[graft] def sortPercentiles(
       df: org.apache.spark.sql.DataFrame, group: String,
       specs: Seq[(String, Seq[(Double, String)])],
-      accuracy: Int = 800): org.apache.spark.sql.DataFrame = {
+      accuracy: Int = 0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val eps = 3.0 / accuracy
+    // Auto-sizing needs N once per build. Parquet count(*) is a
+    // footer-metadata pass here; at 100 TB the count should come from
+    // table statistics (catalog rowCount) instead of any scan — either
+    // way it is one scalar, and over- or under-sizing only moves the
+    // state balance, never the (exact) result.
+    val acc = if (accuracy > 0) accuracy else percentileAccuracyFor(df.count())
+    val eps = 3.0 / acc
     val flat = specs.flatMap { case (c, ps) => ps.map { case (p, name) => (c, p, name) } }
     // Pass 1: one combinable scan — a non-null count and ONE GK sketch
     // per value column (queried at every bracket bound at once). No
@@ -69,7 +78,7 @@ object Aggregates {
         Seq(math.max(0.0, p - eps), math.min(1.0, p + eps))
       }.mkString(", ")
       Seq(count(col(c)).as(s"__n_$c"),
-        expr(s"approx_percentile(CAST($c AS DOUBLE), array($qs), $accuracy)").as(s"__q_$c"))
+        expr(s"approx_percentile(CAST($c AS DOUBLE), array($qs), $acc)").as(s"__q_$c"))
     }
     val sketch = df.groupBy(group).agg(aggs1.head, aggs1.tail: _*)
     // Wide per-group spec row: bracket bounds + floor/ceil target ranks
@@ -117,6 +126,17 @@ object Aggregates {
     // quantile_cont semantics and the DuckDB oracle.
     sketch.select(col(group)).join(picked, Seq(group), "left")
   }
+
+  /** ⌊√n⌋ sizing for the GK sketch accuracy in [[sortPercentiles]] —
+    * the balance point of its two state terms (sketch ∝ accuracy,
+    * in-bracket candidates ∝ 6n/accuracy; √n bounds both to ~6√n).
+    * Same integer-floor pattern as [[Similarity.ivfCellsFor]]: IEEE
+    * sqrt is correctly rounded so the floor is deterministic, and the
+    * selection result is EXACT regardless of accuracy, so the oracle
+    * needs no twin of this rule. Floor 100 keeps the sketch bracket
+    * within ±3 percentile points on tiny inputs. */
+  def percentileAccuracyFor(n: Long): Int =
+    math.max(100L, math.sqrt(n.toDouble).toLong).toInt
 
   val defs: Seq[QueryDef] = Seq(
 

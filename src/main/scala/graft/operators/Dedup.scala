@@ -231,6 +231,59 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** log₂(N) sizing for the SimHash band width — the smallest b in
+    * [8, 15] with 2^b ≥ ⌈N / targetBucket⌉, so expected random band
+    * collisions (the N²/2^(b+1) quadratic term that saturated the fixed
+    * 8-bit setting near N ≈ 10⁵ — 19.4 s at sf3) stay bounded as N
+    * grows. Same integer-only pattern as [[Similarity.lshBitsFor]]: no
+    * float log, because the sized oracle recomputes the same b from
+    * COUNT(*) in SQL. Cap 15: the signature is 4 bands × b bits and 60
+    * is the widest safe width (bit 63 is the BIGINT sign bit, shifted
+    * differently per engine); floor 8 is the classic small-N setting.
+    * The signature width 4·b must equal the shingle-hash width
+    * ([[sparkShingleHashesW]]) — majority bits above the hash width are
+    * constant 0 and would turn the top band into one all-docs bucket. */
+  def simhashBandBitsFor(n: Long, targetBucket: Int = 32): Int = {
+    val target = n / targetBucket + (if (n % targetBucket == 0) 0 else 1)
+    var b = 8
+    while (b < 15 && (1L << b) < target) b += 1
+    b
+  }
+
+  /** COUNT-driven [[simhashPairs]]: executes [[simhashBandBitsFor]] per
+    * run (parquet count is footer-metadata work; at 100 TB the N should
+    * come from table statistics, not any scan). */
+  private def simhashPairsSized(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val bb = simhashBandBitsFor(Tables.documents(s, d).count())
+    simhashPairs(s, d, bits = 4 * bb, bandBits = bb)
+  }
+
+  /** Oracle twin of [[simhashPairsSized]] — the brute-force pair scan
+    * over a RUNTIME signature width: a one-row `sized(b)` CTE recomputes
+    * [[simhashBandBitsFor]] from COUNT(*), the shingle hashes take their
+    * width from it (`substr(md5(x), 1, b)`: b hex digits = 4·b bits, the
+    * signature width), and the 60 statically-emitted majority terms need
+    * no mask — bits above the hash width are constant 0 in every member
+    * hash, so their majority is never set. */
+  private def duckSimhashPairsSized(targetBucket: Int = 32): String =
+    s"""WITH sized AS (
+       |  SELECT COALESCE(MIN(b), 15) AS b
+       |  FROM generate_series(8, 15) t(b)
+       |  WHERE (CAST(1 AS BIGINT) << b) >=
+       |    (SELECT COUNT(*) // $targetBucket
+       |            + CASE WHEN COUNT(*) % $targetBucket = 0 THEN 0 ELSE 1 END
+       |     FROM documents)),
+       |hs AS (SELECT doc_id, list_distinct(list_transform($duckShingles, x ->
+       |         CAST(('0x' || substr(md5(x), 1, b)) AS BIGINT))) AS hs
+       |       FROM documents CROSS JOIN sized),
+       |sims AS (SELECT doc_id, ${duckSimhash(60)} AS sim FROM hs)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+       |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+       |ORDER BY a, b""".stripMargin
+
   /** DuckDB brute-force twin of [[simhashPairs]] (all pairs + Hamming
     * filter — same answer from a different join strategy). */
   private def duckSimhashPairs(bits: Int): String =
@@ -294,6 +347,16 @@ object Dedup {
       "q_dedup_simhash_wide",
       (s, d) => simhashPairs(s, d, bits = 60, bandBits = 15),
       Some(duckSimhashPairs(60))),
+
+    // The SIZED variant — the headline dedup entry: band width EXECUTES
+    // simhashBandBitsFor(COUNT) per run, so the candidate join's
+    // N²/2^(b+1) term is held flat as N grows instead of saturating at a
+    // fixed width (8-bit: 19.4 s at sf3; the oracle recomputes b from
+    // COUNT(*) in integer SQL).
+    QueryDef(
+      "q_dedup_simhash_sized",
+      (s, d) => simhashPairsSized(s, d),
+      Some(duckSimhashPairsSized())),
 
     // MinHash signatures via the typed Aggregator UDAF
     // ([[graft.functions.MinHashSignature]]): explode the shingle

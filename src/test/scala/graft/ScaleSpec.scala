@@ -131,6 +131,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(cellBig < 44, s"N=2000 cells live in [0,44), saw $cellBig")
   }
 
+  test("percentile accuracy tracks √n and auto-sizing never moves the (exact) result") {
+    import operators.Aggregates
+    // the integer rule: ⌊√n⌋ with floor 100 — sketch state ∝ accuracy,
+    // candidate buffer ∝ 6n/accuracy, both ~6√n at the balance point
+    assert(Aggregates.percentileAccuracyFor(500) === 100) // floor
+    assert(Aggregates.percentileAccuracyFor(640000) === 800) // ≈ the old fixed knob at sf0.1
+    assert(Aggregates.percentileAccuracyFor(64000000) === 8000) // 100× rows → 10× accuracy
+    Seq(1L << 20, 1L << 30, 1L << 40).foreach { n =>
+      val a = Aggregates.percentileAccuracyFor(n).toLong
+      assert(a * a <= n && (a + 1) * (a + 1) > n, s"⌊√$n⌋ != $a")
+    }
+    // the selection is exact at ANY accuracy: the sized run must equal
+    // the fixed-knob run bit-for-bit (accuracy only moves state bounds)
+    val spec = Seq("l_extendedprice" -> Seq(0.5 -> "p50", 0.95 -> "p95"),
+      "l_quantity" -> Seq(0.25 -> "q25"))
+    val fixed = Aggregates.sortPercentiles(
+      Tables.lineitem(spark, sf), "l_returnflag", spec, accuracy = 800)
+    val sized = Aggregates.sortPercentiles(
+      Tables.lineitem(spark, sf), "l_returnflag", spec)
+    assert(sized.exceptAll(fixed).count() === 0 && fixed.exceptAll(sized).count() === 0)
+  }
+
+  test("SimHash band width tracks log(N) and the sized query equals the fixed one at small N") {
+    import operators.Dedup
+    // the integer rule: smallest b in [8,15] with 2^b ≥ ⌈N/32⌉
+    assert(Dedup.simhashBandBitsFor(500) === 8) // floor — the classic setting
+    assert(Dedup.simhashBandBitsFor(5000) === 8)
+    assert(Dedup.simhashBandBitsFor(150000) === 13) // the sf3 point that saturated 8-bit bands
+    assert(Dedup.simhashBandBitsFor(Long.MaxValue) === 15) // 60-bit signature cap (sign-bit trap)
+    // monotone, never past the cap
+    assert(Dedup.simhashBandBitsFor(1 << 20) >= Dedup.simhashBandBitsFor(1 << 16))
+    // at N=500 the rule lands on the classic 32/8 setting, so the sized
+    // query must reproduce the fixed fixture bit-for-bit
+    val fixed = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+    val sized = SparkEntry.queries("q_dedup_simhash_sized")(spark, sf)
+    assert(sized.exceptAll(fixed).count() === 0 && fixed.exceptAll(sized).count() === 0)
+  }
+
   test("ANN recall/cost surface moves the right way with bits and tables") {
     import operators.Similarity
     def row(bits: Int, tables: Int): (Long, Double) = {
