@@ -29,6 +29,87 @@ object Vocab {
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", "posexplode(toks) AS (pos, tok)")
 
+  /** Greedy BPE merge training: `k` rounds of (count adjacent pairs →
+    * pick argmax → rewrite the corpus merging that pair), returning the
+    * learned merge table — the loop [[q_bpe_pairs]] is one step of.
+    *
+    * The rewrite trick that makes a merge round ONE codegen'd string
+    * expression on both engines (no fold/UDF): each document is held as
+    * `' ' + join(toks, '  ') + ' '` — every token flanked by its own
+    * spaces — so `replace(t2, ' w1  w2 ', ' w1+w2 ')` merges exactly the
+    * greedy left-to-right non-overlapping occurrences (SQL replace scans
+    * left to right and resumes after the inserted text, so a run
+    * [a,a,a] merges to [a+a, a] — the BPE convention) and the output is
+    * back in the same representation for the next round. Merged tokens
+    * are `w1+w2` ('+' must not appear in the raw vocabulary — true for
+    * the generator corpus), so later rounds merge merged tokens like any
+    * other.
+    *
+    * Scale shape: the corpus never leaves the executors — each round
+    * collects ONE argmax row (the model row being trained, the k-means
+    * centroid analog), and the corpus state is a linear chain of
+    * projections over the scan (round r costs a scan + r string
+    * replaces; a long-k production run would persist every few rounds
+    * the way [[graft.operators.Clustering]] checkpoints centroids).
+    * Deterministic: integer counts, ties broken on (w1, w2) text. */
+  private[graft] def bpeMerges(s: org.apache.spark.sql.SparkSession, d: String,
+                               k: Int): org.apache.spark.sql.DataFrame =
+    bpeMergesFrame(s, Tables.documents(s, d), k)
+
+  /** [[bpeMerges]] over an arbitrary `text`-column frame (spec entry). */
+  private[graft] def bpeMergesFrame(s: org.apache.spark.sql.SparkSession,
+                                    docs: org.apache.spark.sql.DataFrame,
+                                    k: Int): org.apache.spark.sql.DataFrame = {
+    var txt = docs
+      .selectExpr("concat(' ', array_join(split(text, ' '), '  '), ' ') AS t2")
+    val rows = (1 to k).map { r =>
+      val best = txt
+        .selectExpr("split(substring(t2, 2, length(t2) - 2), '  ') AS toks")
+        .selectExpr("explode(transform(CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END, " +
+          "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS p")
+        .selectExpr("p.w1 AS w1", "p.w2 AS w2")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(1).head()
+      val (w1, w2, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      txt = txt.select(org.apache.spark.sql.functions.replace(col("t2"),
+        lit(s" $w1  $w2 "), lit(s" $w1+$w2 ")).as("t2"))
+      (r, w1, w2, n)
+    }
+    import s.implicits._
+    rows.toDF("merge_round", "w1", "w2", "n")
+      .selectExpr("merge_round", "w1", "w2", "concat(w1, '+', w2) AS merged", "n")
+      .orderBy("merge_round")
+  }
+
+  /** Oracle twin of [[bpeMerges]]: the k rounds unrolled as CTE chains
+    * (pair counts → 1-row argmax → replace-rewritten corpus), the same
+    * pattern q_kmeans uses for its Lloyd iterations. */
+  private def duckBpeMerges(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT w1, w2, COUNT(*) AS n FROM (
+         |  SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])), recursive := true)
+         |  FROM (SELECT string_split(substr(t2, 2, length(t2) - 2), '  ') AS toks
+         |        FROM t${r - 1}))
+         |  GROUP BY w1, w2),
+         |b$r AS (SELECT w1, w2, n FROM p$r ORDER BY n DESC, w1, w2 LIMIT 1),
+         |t$r AS (SELECT replace(t2,
+         |    ' ' || (SELECT w1 FROM b$r) || '  ' || (SELECT w2 FROM b$r) || ' ',
+         |    ' ' || (SELECT w1 FROM b$r) || '+' || (SELECT w2 FROM b$r) || ' ') AS t2
+         |  FROM t${r - 1})""".stripMargin
+    }
+    val union = (1 to k).map(r =>
+      s"SELECT $r AS merge_round, w1, w2, w1 || '+' || w2 AS merged, n FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (SELECT ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS t2
+       |           FROM documents),
+       |${rounds.mkString(",\n")}
+       |$union
+       |ORDER BY merge_round""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Frequency-ranked vocabulary head: top 50 tokens, rank keyed by
@@ -72,6 +153,14 @@ object Vocab {
              |          FROM toks)
              |SELECT w1, w2, COUNT(*) AS n FROM pairs
              |GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin)),
+
+    // The merge LOOP over those pair counts — k greedy rounds training
+    // an actual BPE merge table, with the corpus rewritten between
+    // rounds (round r's argmax depends on rounds 1..r-1's merges).
+    QueryDef(
+      "q_bpe_merges",
+      (s, d) => bpeMerges(s, d, 6),
+      Some(duckBpeMerges(6))),
 
     // Trigram LM conditionals: P(w3 | w1 w2) = c(w1w2w3)/c(w1w2) for the
     // 20 most frequent trigrams. Two count aggregates joined on the

@@ -50,6 +50,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- BPE merge loop: greedy-run and compounding semantics ----
+
+  test("BPE merges runs greedily left-to-right and compounds merged tokens") {
+    import spark.implicits._
+    // "a a a a": greedy non-overlap merges positions (1,2) and (3,4) —
+    // NOT the overlapping (2,3) — leaving [a+a, a+a]; round 2 must then
+    // merge the compound pair (a+a, a+a), proving later rounds see the
+    // rewritten corpus and merged tokens merge like any other.
+    val docs = Seq("a a a a", "a a b").toDF("text")
+    val out = functions.Vocab.bpeMergesFrame(spark, docs, 2)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(out(0) === ((1, "a+a", 4))) // 3 pairs in doc1 + 1 in doc2
+    assert(out(1) === ((2, "a+a+a+a", 1))) // one compound pair survives in doc1
+  }
+
   // ---- Spark, one frame for all cases: sensor JSON round trip ----
 
   private def sensorRow(id: Int, tVals: Seq[Option[Float]]): Row = {
