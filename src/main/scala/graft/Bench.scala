@@ -109,7 +109,13 @@ object Bench {
     // round 5: the count-driven SimHash replaces the fixed 8-bit
     // q_dedup_simhash in the headline (which stays as an oracle
     // fixture) — no headline entry carries an N²/2⁹ candidate term
-    "q_dedup_simhash_sized")
+    "q_dedup_simhash_sized",
+    // the composed corpus-prep DAG (pairs → CC → survivors → chunk →
+    // pack) — times the stage-REUSE story: its band join comes from the
+    // session FrameCache the standalone dedup entries already filled
+    "q_pipeline_corpus",
+    // BPE merge training loop (k argmax rounds over rewritten corpus)
+    "q_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

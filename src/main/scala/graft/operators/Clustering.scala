@@ -94,7 +94,7 @@ object Clustering {
 
   /** Shared oracle text: recursive min-reachability labeling over the
     * verified pair CTEs. Ends in `cc(v, cluster)`. */
-  private def duckCcCtes: String =
+  private[operators] def duckCcCtes: String =
     s"""${Dedup.duckVerifiedPairsCtes},
        |edges AS (SELECT a AS src, b AS dst FROM verified
        |          UNION ALL SELECT b, a FROM verified),
