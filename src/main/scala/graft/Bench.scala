@@ -115,7 +115,9 @@ object Bench {
     // session FrameCache the standalone dedup entries already filled
     "q_pipeline_corpus",
     // BPE merge training loop (k argmax rounds over rewritten corpus)
-    "q_bpe_merges")
+    "q_bpe_merges",
+    // two-level IVF: the N^1.25 build-cost twin of the flat sized IVF
+    "q_ivf_hier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -237,6 +237,105 @@ object Similarity {
        |            ORDER BY cosine DESC, c_id) AS rn FROM probe)
        |WHERE rn = 1 ORDER BY q_id""".stripMargin
 
+  /** ⌊√cells⌋ ≈ N^¼ sizing for the two-level quantizer's super-cell
+    * count — see [[hierCellAssign]]. Same deterministic floor(sqrt) as
+    * [[ivfCellsFor]]; the oracle recomputes both from COUNT(*). */
+  def ivfSuperCellsFor(cells: Int): Int =
+    math.max(2, math.sqrt(cells.toDouble).toLong.toInt)
+
+  /** Two-level coarse quantizer — the build-cost fix for the flat IVF's
+    * N·√N assignment (at 10⁹ vectors that is 3×10¹³ dot products; the
+    * honest number the flat sized variant's √N balance buys its probe
+    * cost with). Level 1: S = [[ivfSuperCellsFor]] ≈ N^¼ super-centroids
+    * (the first S vectors) assign every vector by broadcast argmax —
+    * N·S dots. Level 2: the sub-centroids (the first ⌊√N⌋ vectors,
+    * carrying their own level-1 assignment) are equi-joined on the
+    * super-cell, so each vector scores only its super-cell's ~N^¼
+    * sub-centroids — N·(S + cells/S) ≈ 2·N^1.25 total vs N^1.5 flat
+    * (84× fewer dots at N=10⁹). Every super-cell g is non-empty by
+    * construction: sub-centroid g < S assigns to itself (cosine 1 is
+    * the argmax). The assignment can differ from flat IVF's — a
+    * vector's globally-nearest sub-centroid may live in another
+    * super-cell — which is the standard two-level trade (same shape as
+    * FAISS's IVF-on-IVF coarse quantizers); recall is measured, not
+    * assumed, and the oracle replays the exact same two argmax levels. */
+  private[graft] def hierCellAssign(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.ensureCosine(s)
+    val e = Tables.embeddings(s, d)
+    val cells = ivfCellsFor(e.count()) // footer-metadata count; table stats at 100 TB
+    val supers = ivfSuperCellsFor(cells)
+    val scent = e.filter(col("vec_id") < supers)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
+    val wSup = Window.partitionBy("vec_id").orderBy(col("sc").desc, col("s_id"))
+    val pts = e.join(broadcast(scent))
+      .selectExpr("vec_id", "embedding", "s_id", "cosine_sim(embedding, s_emb) AS sc")
+      .withColumn("rn", row_number().over(wSup))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("s_id").as("sup"))
+    val subc = pts.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"), col("sup"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cent_id"))
+    pts.join(broadcast(subc), "sup")
+      .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** [[ivfAnn]]'s probe over the two-level assignment. */
+  def ivfHierAnn(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val cellFrame = hierCellAssign(s, d)
+    val q = cellFrame.filter(col("vec_id").between(100, 119))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val c = cellFrame.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("cell").as("c_cell"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    q.join(c, col("cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "cell", "c_id", "cosine_sim(q_emb, c_emb) AS cosine")
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select("q_id", "cell", "c_id", "cosine")
+      .orderBy("q_id")
+  }
+
+  /** DuckDB twin of [[ivfHierAnn]]: sizes from COUNT(*), replays both
+    * argmax levels, probes the final cell. */
+  def ivfHierOracle: String = {
+    def cos(x: String, y: String) =
+      s"${duckDot(x, y)} / (sqrt(${duckDot(x, x)}) * sqrt(${duckDot(y, y)}))"
+    s"""WITH sz AS (
+       |  SELECT cells, GREATEST(2, CAST(floor(sqrt(CAST(cells AS DOUBLE))) AS BIGINT)) AS supers
+       |  FROM (SELECT GREATEST(4, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS cells
+       |        FROM embeddings)),
+       |scent AS (SELECT vec_id AS s_id, embedding AS s_emb FROM embeddings
+       |          WHERE vec_id < (SELECT supers FROM sz)),
+       |pts AS (
+       |  SELECT vec_id, embedding, s_id AS sup FROM (
+       |    SELECT e.vec_id, e.embedding, s.s_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "s.s_emb")} DESC, s.s_id) AS rn
+       |    FROM embeddings e CROSS JOIN scent s) WHERE rn = 1),
+       |subc AS (SELECT vec_id AS cent_id, embedding AS cent_emb, sup FROM pts
+       |         WHERE vec_id < (SELECT cells FROM sz)),
+       |hcells AS (
+       |  SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT p.vec_id, p.embedding, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${cos("p.embedding", "c.cent_emb")} DESC, c.cent_id) AS rn
+       |    FROM pts p JOIN subc c ON c.sup = p.sup) WHERE rn = 1),
+       |probe AS (
+       |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id,
+       |    ${cos("q.embedding", "c.embedding")} AS cosine
+       |  FROM hcells q JOIN hcells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id BETWEEN 100 AND 119)
+       |SELECT q_id, cell, c_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |            ORDER BY cosine DESC, c_id) AS rn FROM probe)
+       |WHERE rn = 1 ORDER BY q_id""".stripMargin
+  }
+
   /** Recall@k of a sign-LSH index against the brute-force baseline —
     * the number an ANN operator actually tunes at 100 TB. Two knobs,
     * two directions: more hyperplane `bits` → smaller buckets, cheaper
@@ -534,6 +633,12 @@ object Similarity {
       "q_sim_ivf_scaled",
       (s, d) => ivfAnn(s, d, cells = ivfCellsFor(Tables.embeddings(s, d).count())),
       Some(ivfOracleSized())),
+
+    // Two-level coarse quantizer: N^¼ super-cells bound the INDEX BUILD
+    // to ~2·N^1.25 dots (flat √N assignment is N^1.5 — 3×10¹³ at 10⁹
+    // vectors); probes equi-join on the final sub-cell as before. See
+    // [[hierCellAssign]] for the construction and the trade.
+    QueryDef("q_ivf_hier", (s, d) => ivfHierAnn(s, d), Some(ivfHierOracle)),
 
     // Recall@5 across three index settings — the recall/cost surface
     // the bucketing specs only imply: 8→10 bits must show fewer scored
