@@ -96,6 +96,54 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_mktsegment").as("segment"))
 
+  /** Restart-idempotent streaming MERGE sink (a `foreachBatch` body):
+    * micro-batch `b` reconciles its rows against the latest COMMITTED
+    * state version strictly below `b` and overwrites `v<b>`.
+    *
+    * The restart discipline, all structural — no driver memory:
+    *  - batch ids are monotonic across checkpoint restarts, so the
+    *    latest committed version below the incoming id IS the pre-crash
+    *    state (an in-memory "current version" variable would reset to
+    *    nothing on restart and silently drop all accumulated state);
+    *  - a recovered query may REPLAY its last uncommitted batch
+    *    (at-least-once delivery): the replay reads the same prev
+    *    (versions < b are untouched by b's own write) and
+    *    deterministically overwrites its own output — duplicate effects
+    *    are impossible by construction, not by dedup bookkeeping;
+    *  - `_SUCCESS` gates committed versions, so a crash mid-write is
+    *    never read back as state.
+    *
+    * Merge rule: latest row per user_id by (ts, event_id). StreamingSpec
+    * kills and resumes the query mid-stream from the checkpoint and then
+    * replays a full duplicate batch; the state must equal the batch
+    * latest-per-key twin throughout.
+    */
+  def latestPerKeyMerge(base: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val incoming = batch.select(cols.map(col): _*)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val prevVersion =
+      if (!fs.exists(basePath)) None
+      else fs.listStatus(basePath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v")
+          && fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
+        .filter(_ < batchId)
+        .sorted.lastOption
+    val prev = prevVersion.fold(incoming.limit(0))(v =>
+      spark.read.parquet(s"$base/v$v").select(cols.map(col): _*))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    incoming.unionByName(prev)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+      .write.mode("overwrite").parquet(s"$base/v$batchId")
+    ()
+  }
+
   /** Arbitrary keyed state via flatMapGroupsWithState (SURVEY.md §2.2:
     * "arbitrary state — only if a declared op needs it"): per-user
     * running totals that survive across micro-batches. The monetary sum
