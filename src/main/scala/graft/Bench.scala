@@ -117,7 +117,17 @@ object Bench {
     // BPE merge training loop (k argmax rounds over rewritten corpus)
     "q_bpe_merges",
     // two-level IVF: the N^1.25 build-cost twin of the flat sized IVF
-    "q_ivf_hier")
+    "q_ivf_hier",
+    // round 5, second wave: benchmark decontamination (broadcast eval
+    // shingles against the corpus scan), semantic dedup (cell-bounded
+    // cosine pairs — N^1.5, not N²), containment verification riding
+    // the memoized LSH candidate relation, and language rebalancing
+    // (stateless hash-threshold scan). q_bpe_encode stays an oracle
+    // fixture: it re-runs the training loop q_bpe_merges already times.
+    "q_decontaminate",
+    "q_semdedup",
+    "q_contain_minhash",
+    "q_corpus_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -56,6 +56,23 @@ object Vocab {
                                k: Int): org.apache.spark.sql.DataFrame =
     bpeMergesFrame(s, Tables.documents(s, d), k)
 
+  /** One BPE training round's argmax over the flanked-token corpus
+    * column `t2`: the (w1, w2, count) of the most frequent adjacent
+    * pair, ties on pair text. ONE row leaves the executors — the model
+    * row being trained, the k-means-centroid analog. */
+  private def bpeBest(txt: org.apache.spark.sql.DataFrame): (String, String, Long) = {
+    val best = txt
+      .selectExpr("split(substring(t2, 2, length(t2) - 2), '  ') AS toks")
+      .selectExpr("explode(transform(CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1) " +
+        "ELSE CAST(array() AS ARRAY<INT>) END, " +
+        "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS p")
+      .selectExpr("p.w1 AS w1", "p.w2 AS w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(1).head()
+    (best.getString(0), best.getString(1), best.getLong(2))
+  }
+
   /** [[bpeMerges]] over an arbitrary `text`-column frame (spec entry). */
   private[graft] def bpeMergesFrame(s: org.apache.spark.sql.SparkSession,
                                     docs: org.apache.spark.sql.DataFrame,
@@ -63,16 +80,7 @@ object Vocab {
     var txt = docs
       .selectExpr("concat(' ', array_join(split(text, ' '), '  '), ' ') AS t2")
     val rows = (1 to k).map { r =>
-      val best = txt
-        .selectExpr("split(substring(t2, 2, length(t2) - 2), '  ') AS toks")
-        .selectExpr("explode(transform(CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END, " +
-          "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))) AS p")
-        .selectExpr("p.w1 AS w1", "p.w2 AS w2")
-        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w1"), col("w2"))
-        .limit(1).head()
-      val (w1, w2, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      val (w1, w2, n) = bpeBest(txt)
       txt = txt.select(org.apache.spark.sql.functions.replace(col("t2"),
         lit(s" $w1  $w2 "), lit(s" $w1+$w2 ")).as("t2"))
       (r, w1, w2, n)
@@ -83,32 +91,82 @@ object Vocab {
       .orderBy("merge_round")
   }
 
-  /** Oracle twin of [[bpeMerges]]: the k rounds unrolled as CTE chains
-    * (pair counts → 1-row argmax → replace-rewritten corpus), the same
-    * pattern q_kmeans uses for its Lloyd iterations. */
-  private def duckBpeMerges(k: Int): String = {
-    val rounds = (1 to k).map { r =>
-      s"""p$r AS (SELECT w1, w2, COUNT(*) AS n FROM (
+  /** The INFERENCE half of BPE: train k merges ([[bpeMerges]]) and apply
+    * them to every document, returning per-doc token counts before/after
+    * — the compression the learned vocabulary buys. Same replace-chain
+    * trick with `doc_id` carried through; the k merge rows are the only
+    * data the driver ever holds, and each round's rewrite is one more
+    * codegen'd string projection over the scan (a production encoder
+    * would collect the k-row merge table once and apply all k replaces
+    * in a single pass — here each round stays a separate projection so
+    * the training argmax and the encode share the same corpus state). */
+  private[graft] def bpeEncode(s: org.apache.spark.sql.SparkSession, d: String,
+                               k: Int): org.apache.spark.sql.DataFrame = {
+    var txt = Tables.documents(s, d)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tok_before",
+        "concat(' ', array_join(split(text, ' '), '  '), ' ') AS t2")
+    for (_ <- 1 to k) {
+      val (w1, w2, _) = bpeBest(txt)
+      txt = txt.select(col("doc_id"), col("n_tok_before"),
+        org.apache.spark.sql.functions.replace(col("t2"),
+          lit(s" $w1  $w2 "), lit(s" $w1+$w2 ")).as("t2"))
+    }
+    txt.selectExpr("doc_id", "n_tok_before",
+        "size(split(substring(t2, 2, length(t2) - 2), '  ')) AS n_tok_after")
+      .orderBy("doc_id")
+  }
+
+  /** The k unrolled training-round CTEs (pair counts → 1-row argmax →
+    * replace-rewritten corpus) shared by the merge and encode oracles;
+    * `carry` names extra t0 columns threaded through each rewrite.
+    *
+    * Every CTE is MATERIALIZED: t$r is referenced by both p$(r+1) and
+    * t$(r+1), and b$r four times by t$r — inlined, the chain
+    * re-evaluates multiplicatively per round (measured: the 6-round
+    * statement runs 0.1 s materialized and did not finish in minutes
+    * inlined). Spark needs no twin hint — each round's argmax is
+    * already an eager head() action there. */
+  private def duckBpeRounds(k: Int, carry: String = ""): String =
+    (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS n FROM (
          |  SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
          |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])), recursive := true)
          |  FROM (SELECT string_split(substr(t2, 2, length(t2) - 2), '  ') AS toks
          |        FROM t${r - 1}))
          |  GROUP BY w1, w2),
-         |b$r AS (SELECT w1, w2, n FROM p$r ORDER BY n DESC, w1, w2 LIMIT 1),
-         |t$r AS (SELECT replace(t2,
+         |b$r AS MATERIALIZED (SELECT w1, w2, n FROM p$r ORDER BY n DESC, w1, w2 LIMIT 1),
+         |t$r AS MATERIALIZED (SELECT ${carry}replace(t2,
          |    ' ' || (SELECT w1 FROM b$r) || '  ' || (SELECT w2 FROM b$r) || ' ',
          |    ' ' || (SELECT w1 FROM b$r) || '+' || (SELECT w2 FROM b$r) || ' ') AS t2
          |  FROM t${r - 1})""".stripMargin
-    }
+    }.mkString(",\n")
+
+  /** Oracle twin of [[bpeMerges]]: the k rounds unrolled as CTE chains,
+    * the same pattern q_kmeans uses for its Lloyd iterations. */
+  private def duckBpeMerges(k: Int): String = {
     val union = (1 to k).map(r =>
       s"SELECT $r AS merge_round, w1, w2, w1 || '+' || w2 AS merged, n FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"""WITH t0 AS (SELECT ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS t2
-       |           FROM documents),
-       |${rounds.mkString(",\n")}
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS t2
+       |  FROM documents),
+       |${duckBpeRounds(k)}
        |$union
        |ORDER BY merge_round""".stripMargin
   }
+
+  /** Oracle twin of [[bpeEncode]]: the same k training rounds with
+    * doc_id and the pre-merge token count carried through every
+    * rewrite, then per-doc post-merge counts off the final corpus. */
+  private def duckBpeEncode(k: Int): String =
+    s"""WITH t0 AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok_before,
+       |    ' ' || array_to_string(string_split(text, ' '), '  ') || ' ' AS t2
+       |  FROM documents),
+       |${duckBpeRounds(k, carry = "doc_id, n_tok_before, ")}
+       |SELECT doc_id, n_tok_before,
+       |  CAST(len(string_split(substr(t2, 2, length(t2) - 2), '  ')) AS INT) AS n_tok_after
+       |FROM t$k ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -161,6 +219,15 @@ object Vocab {
       "q_bpe_merges",
       (s, d) => bpeMerges(s, d, 6),
       Some(duckBpeMerges(6))),
+
+    // The inference half: ENCODE the corpus with the 6 trained merges —
+    // per-doc token counts before/after, the compression the vocabulary
+    // buys. Round r's rewrite feeds round r+1's argmax, so merge and
+    // encode share one corpus state.
+    QueryDef(
+      "q_bpe_encode",
+      (s, d) => bpeEncode(s, d, 6),
+      Some(duckBpeEncode(6))),
 
     // Trigram LM conditionals: P(w3 | w1 w2) = c(w1w2w3)/c(w1w2) for the
     // 20 most frequent trigrams. Two count aggregates joined on the

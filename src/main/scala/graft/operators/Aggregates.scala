@@ -17,126 +17,172 @@ import org.apache.spark.sql.types.DecimalType
 object Aggregates {
   import Parity._
 
-  /** Exact interpolated percentiles (quantile_cont semantics) without a
-    * value-indexed hashmap and without ever sorting or range-shuffling
-    * the raw rows.
+  /** Exact interpolated percentiles (quantile_cont semantics) with
+    * bounded executor state at ANY input size — no value-indexed
+    * hashmap, no sketch, no accuracy knob.
     *
     * The built-in `percentile` aggregate buffers every distinct value
-    * per group in an OpenHashMap and merges those maps across partials —
-    * O(distinct) executor state that dies when a group holds billions of
-    * values (measured 2.9 s at sf0.1; and for near-unique doubles like
-    * prices, "distinct" ≈ "all", so a distinct-count reduction doesn't
-    * save anything either). Instead, a sketch-bracketed exact selection:
+    * per group in an OpenHashMap — O(distinct) executor state that dies
+    * when a group holds billions of near-unique doubles. The GK-bracket
+    * design this replaces (approx_percentile at accuracy a, exact
+    * selection inside the ±3/a bracket) bounded that state but hung it
+    * on a knob with no good setting: candidates grow as 6n/a (fixed a
+    * = linear state, 12.9 s at sf3) while the sketch's compress cost
+    * grows with a (a = √n measured 2.4× the fixed knob's wall time at
+    * sf10). Histogram bisection removes the knob:
     *
-    *  1. one combinable scan computes, per (group, column), the non-null
-    *     count n and a GK sketch query (`approx_percentile`) at
-    *     p ± 3/accuracy. GK's deterministic rank guarantee (error ≤
-    *     n/accuracy) makes [lo, hi] a certain bracket of the target
-    *     order statistics — whatever partial-merge order produced the
-    *     sketch, so the final result stays run-deterministic;
-    *  2. one FUSED combinable scan computes, per (group, spec), both the
-    *     global rank offset (count of values strictly below the bracket)
-    *     and the sorted in-bracket candidate values
-    *     (`sort_array(collect_list(...))` — bounded by the bracket width,
-    *     ≤ 6n/accuracy values). Selection is then pure per-group-row
-    *     expression math: candidate index = target rank − below-count
-    *     picks the floor- and ceil-rank values out of the sorted array,
-    *     and `lo + frac * (hi - lo)` interpolates. (Earlier rounds ran
-    *     the offset count and an explode + row_number window as two
-    *     separate scans; the fusion halves the post-sketch work and
-    *     drops the window entirely.)
+    *  1. ONE combinable scan per group: non-null count n, min, max per
+    *     value column → target ranks rf/rc = floor/ceil(p·(n−1))+1 and
+    *     the initial bracket [min, max] holding all n values;
+    *  2. each refinement round bins the in-bracket values of every
+    *     still-active spec into B=1024 equal-width bins — a (group,
+    *     spec, bin) count/min/max aggregate, map-side combinable, O(B)
+    *     state — and re-brackets to exactly the bins holding ranks
+    *     rf..rc. The per-bin exact min/max make the next bracket a
+    *     closed VALUE interval [minv(bin_f), maxv(bin_c)]: the float
+    *     bin map only needs to be MONOTONE (floor of a monotone
+    *     rescale is), never bit-reproduced, because membership and all
+    *     rank bookkeeping ride on exact integer counts;
+    *  3. once every bracket holds ≤ candLimit values — log_B(n /
+    *     candLimit) rounds: one at 10⁸ rows, two at 10¹¹ — a fused
+    *     scan collects the sorted in-bracket candidates and selection
+    *     is pure expression math: candidate[rf − below] to
+    *     candidate[rc − below], interpolated by frac.
     *
-    * At 100 TB: two scans are map-side-combinable aggregates at scan
-    * speed; sketch state is O(accuracy·log n) per group; the collect
-    * buffer holds ~6n/accuracy values per (group, percentile) — pick
-    * accuracy ≈ √n to bound both ends (~6√n ≈ 190k doubles ≈ 1.5 MB at
-    * n=1e9 — the same order the window partition held before, now as a
-    * mergeable agg buffer). That rule is EXECUTED, not documented:
-    * `accuracy = 0` (the default) sizes from a count of the input via
-    * [[percentileAccuracyFor]], so the candidate buffer stays O(√n) at
-    * any scale instead of growing linearly past a fixed knob (a fixed
-    * 800 measured 12.9 s at sf3, ~6 GB of agg buffer at n=10¹¹).
+    * At 100 TB: every pass is a combinable aggregate at scan speed
+    * (2 + rounds scans, no shuffle beyond (groups × specs × B) rows);
+    * executor state is O(B) per (group, spec) while refining and ≤
+    * candLimit doubles at the final collect — constants, independent
+    * of n. A bracket that degenerates to a single value (lo = hi —
+    * massive ties) terminates immediately with that value, so ties
+    * never inflate the collect. B and candLimit only move the round
+    * count, never the (exact) result, so the DuckDB oracle stays plain
+    * quantile_cont. Groups whose value column is all-NULL surface with
+    * NULL percentiles (n = 0 ⇒ m = 0 guard), matching quantile_cont.
     */
   private[graft] def sortPercentiles(
       df: org.apache.spark.sql.DataFrame, group: String,
       specs: Seq[(String, Seq[(Double, String)])],
-      accuracy: Int = 0): org.apache.spark.sql.DataFrame = {
+      candLimit: Int = 32768): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Auto-sizing needs N once per build. Parquet count(*) is a
-    // footer-metadata pass here; at 100 TB the count should come from
-    // table statistics (catalog rowCount) instead of any scan — either
-    // way it is one scalar, and over- or under-sizing only moves the
-    // state balance, never the (exact) result.
-    val acc = if (accuracy > 0) accuracy else percentileAccuracyFor(df.count())
-    val eps = 3.0 / acc
     val flat = specs.flatMap { case (c, ps) => ps.map { case (p, name) => (c, p, name) } }
-    // Pass 1: one combinable scan — a non-null count and ONE GK sketch
-    // per value column (queried at every bracket bound at once). No
-    // row-stacking explode: all columns aggregate in the same pass.
-    val aggs1 = specs.flatMap { case (c, ps) =>
-      val qs = ps.flatMap { case (p, _) =>
-        Seq(math.max(0.0, p - eps), math.min(1.0, p + eps))
-      }.mkString(", ")
-      Seq(count(col(c)).as(s"__n_$c"),
-        expr(s"approx_percentile(CAST($c AS DOUBLE), array($qs), $acc)").as(s"__q_$c"))
-    }
-    val sketch = df.groupBy(group).agg(aggs1.head, aggs1.tail: _*)
-    // Wide per-group spec row: bracket bounds + floor/ceil target ranks
-    // + interpolation fraction for every requested percentile. Broadcast.
-    val specCols = specs.flatMap { case (c, ps) =>
-      ps.zipWithIndex.flatMap { case ((p, name), j) =>
-        Seq(
-          expr(s"__q_$c[${2 * j}]").as(s"__lo_$name"),
-          expr(s"__q_$c[${2 * j + 1}]").as(s"__hi_$name"),
-          expr(s"CAST(floor($p * (__n_$c - 1)) AS BIGINT) + 1").as(s"__rf_$name"),
-          expr(s"CAST(ceil($p * (__n_$c - 1)) AS BIGINT) + 1").as(s"__rc_$name"),
-          expr(s"$p * (__n_$c - 1) - floor($p * (__n_$c - 1))").as(s"__frac_$name"))
-      }
-    }
-    val specFrame = sketch.select(col(group) +: specCols: _*)
-    val joined = df.join(broadcast(specFrame), Seq(group))
-    // Pass 2 (fused): rank offset + sorted in-bracket candidates for
-    // every spec in ONE combinable scan. The collect_list sees only
-    // in-bracket values (nulls — out-of-bracket rows — are dropped by
-    // collect_list), so agg state stays bounded by the bracket width.
-    val aggs2 = flat.flatMap { case (c, _, name) =>
-      Seq(
-        sum(when(col(c).cast("double") < col(s"__lo_$name"), 1L).otherwise(0L))
-          .as(s"__below_$name"),
-        sort_array(collect_list(
-          when(col(c).cast("double") >= col(s"__lo_$name")
-            && col(c).cast("double") <= col(s"__hi_$name"), col(c).cast("double"))))
-          .as(s"__cand_$name"))
-    }
-    // Selection: GK's rank guarantee puts target ranks rf/rc inside the
-    // bracket, so 1 ≤ rank − below ≤ size(cands) whenever the group has
-    // any non-null value; index into the sorted candidates and
-    // interpolate. An all-NULL group (n = 0 → rf = 0) yields NULL.
-    val outCols = flat.map { case (_, _, name) =>
-      val vlo = s"element_at(__cand_$name, CAST(__rf_$name - __below_$name AS INT))"
-      val vhi = s"element_at(__cand_$name, CAST(__rc_$name - __below_$name AS INT))"
-      expr(s"CASE WHEN __rf_$name >= 1 THEN $vlo + __frac_$name * ($vhi - $vlo) END")
-        .as(name)
-    }
-    val picked = joined.groupBy(group).agg(aggs2.head, aggs2.tail: _*)
-      .join(broadcast(specFrame), Seq(group))
-      .select(col(group) +: outCols: _*)
-    // Left-join back to the sketch's group list: a group whose value
-    // column is all-NULL still surfaces (with NULL percentiles), matching
-    // quantile_cont semantics and the DuckDB oracle.
-    sketch.select(col(group)).join(picked, Seq(group), "left")
-  }
 
-  /** ⌊√n⌋ sizing for the GK sketch accuracy in [[sortPercentiles]] —
-    * the balance point of its two state terms (sketch ∝ accuracy,
-    * in-bracket candidates ∝ 6n/accuracy; √n bounds both to ~6√n).
-    * Same integer-floor pattern as [[Similarity.ivfCellsFor]]: IEEE
-    * sqrt is correctly rounded so the floor is deterministic, and the
-    * selection result is EXACT regardless of accuracy, so the oracle
-    * needs no twin of this rule. Floor 100 keeps the sketch bracket
-    * within ±3 percentile points on tiny inputs. */
-  def percentileAccuracyFor(n: Long): Int =
-    math.max(100L, math.sqrt(n.toDouble).toLong).toInt
+    // Pass 1: count/min/max per value column in one combinable scan,
+    // fanned out to one bracket-state struct per spec. One row per
+    // group; localCheckpoint pins it (the loop below re-reads it and
+    // the broadcast must see one consistent layout).
+    val aggs1 = specs.flatMap { case (c, _) =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))
+    }
+    val specCols = flat.map { case (c, p, name) =>
+      expr(s"""struct(
+              |  CAST(floor($p * (__n_$c - 1)) AS BIGINT) + 1 AS rf,
+              |  CAST(ceil($p * (__n_$c - 1)) AS BIGINT) + 1 AS rc,
+              |  $p * (__n_$c - 1) - floor($p * (__n_$c - 1)) AS frac,
+              |  __mn_$c AS lo, __mx_$c AS hi,
+              |  CAST(0 AS BIGINT) AS below, __n_$c AS m)""".stripMargin)
+        .as(s"__st_$name")
+    }
+    var st = df.groupBy(group).agg(aggs1.head, aggs1.tail: _*)
+      .select(col(group) +: specCols: _*)
+      .localCheckpoint(true)
+
+    def activeSql(name: String) =
+      s"(__st_$name.m > $candLimit AND __st_$name.lo < __st_$name.hi)"
+    val anyActive = flat.map { case (_, _, n) => activeSql(n) }.mkString(" OR ")
+
+    // Refinement rounds. 12 is unreachable by count (1024¹² ≫ any n);
+    // it backstops the one non-counting stall — > candLimit DISTINCT
+    // doubles packed too densely for a 1024-way split to separate —
+    // after which the final collect proceeds (bigger buffer, still
+    // exact).
+    val bins = 1024
+    var rounds = 0
+    while (rounds < 12 && st.filter(expr(anyActive)).limit(1).count() > 0) {
+      rounds += 1
+      // (group, sid, bin) → exact count + value min/max, active specs
+      // stacked through one explode so the round is ONE scan of df.
+      val arms = flat.zipWithIndex.map { case ((c, _, name), i) =>
+        val v = s"CAST($c AS DOUBLE)"
+        val lo = s"__st_$name.lo"
+        val hi = s"__st_$name.hi"
+        s"""IF(${activeSql(name)} AND $v BETWEEN $lo AND $hi,
+           |  struct($i AS sid,
+           |    CAST(least(${bins - 1}, greatest(0,
+           |      floor(($v - $lo) * $bins / ($hi - $lo)))) AS INT) AS bin,
+           |    $v AS v),
+           |  NULL)""".stripMargin
+      }
+      val binCounts = df.join(broadcast(st), Seq(group))
+        .selectExpr(group, s"explode(array(${arms.mkString(", ")})) AS e")
+        .filter(col("e").isNotNull)
+        .groupBy(col(group), col("e.sid").as("sid"), col("e.bin").as("bin"))
+        .agg(count(lit(1)).as("cnt"), min(col("e.v")).as("mnv"), max(col("e.v")).as("mxv"))
+      val wCum = Window.partitionBy(group, "sid").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val stLong = st
+        .select(col(group), posexplode(array(
+          flat.map { case (_, _, n) => col(s"__st_$n") }: _*)))
+        .withColumnRenamed("pos", "sid").withColumnRenamed("col", "s")
+      val cum = binCounts
+        .withColumn("cumBefore", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+        .withColumn("cumThrough", col("cumBefore") + col("cnt"))
+        .join(stLong, Seq(group, "sid"))
+      // first bin whose running count reaches rank rf (resp. rc);
+      // min(struct) is the lowest qualifying bin (bin leads the struct)
+      val bf = cum.filter(col("cumThrough") >= col("s.rf") - col("s.below"))
+        .groupBy(group, "sid")
+        .agg(min(struct(col("bin"), col("mnv"), col("cumBefore"))).as("f"))
+      val bc = cum.filter(col("cumThrough") >= col("s.rc") - col("s.below"))
+        .groupBy(group, "sid")
+        .agg(min(struct(col("bin"), col("mxv"), col("cumThrough"))).as("g"))
+      val upd = stLong
+        .join(bf, Seq(group, "sid"), "left")
+        .join(bc, Seq(group, "sid"), "left")
+        .selectExpr(group, "sid",
+          """CASE WHEN f IS NULL THEN s ELSE named_struct(
+            |  'rf', s.rf, 'rc', s.rc, 'frac', s.frac,
+            |  'lo', f.mnv, 'hi', g.mxv,
+            |  'below', s.below + f.cumBefore,
+            |  'm', g.cumThrough - f.cumBefore) END AS s""".stripMargin)
+      val wideCols = flat.zipWithIndex.map { case ((_, _, name), i) =>
+        max(when(col("sid") === i, col("s"))).as(s"__st_$name")
+      }
+      st = upd.groupBy(group).agg(wideCols.head, wideCols.tail: _*)
+        .localCheckpoint(true)
+    }
+
+    // Final fused scan: sorted in-bracket candidates per spec (nothing
+    // collected for degenerate lo = hi brackets — their value IS lo),
+    // then pure per-group-row selection + interpolation.
+    val aggsF = flat.map { case (c, _, name) =>
+      val v = s"CAST($c AS DOUBLE)"
+      val stn = s"__st_$name"
+      sort_array(collect_list(expr(
+        s"IF($stn.lo < $stn.hi AND $v BETWEEN $stn.lo AND $stn.hi, $v, NULL)")))
+        .as(s"__cand_$name")
+    }
+    val outCols = flat.map { case (_, _, name) =>
+      val stn = s"__st_$name"
+      def pick(rank: String) =
+        s"""CASE WHEN $stn.lo >= $stn.hi THEN $stn.lo
+           |     ELSE element_at(__cand_$name, CAST($stn.$rank - $stn.below AS INT)) END"""
+          .stripMargin
+      expr(s"""CASE WHEN $stn.rf >= 1 AND $stn.m > 0
+              |  THEN ${pick("rf")} + $stn.frac * (${pick("rc")} - ${pick("rf")})
+              |END""".stripMargin).as(name)
+    }
+    val picked = df.join(broadcast(st), Seq(group))
+      .groupBy(group).agg(aggsF.head, aggsF.tail: _*)
+      .join(broadcast(st), Seq(group))
+      .select(col(group) +: outCols: _*)
+    // Left-join back to the pass-1 group list: a group whose value
+    // column is all-NULL still surfaces (with NULL percentiles),
+    // matching quantile_cont semantics and the DuckDB oracle.
+    st.select(col(group)).join(picked, Seq(group), "left")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 

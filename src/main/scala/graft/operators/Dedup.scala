@@ -103,27 +103,37 @@ object Dedup {
   def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.FrameCache.memo(s, s"mhpairs:$d")(minhashPairsUncached(s, d))
 
-  private def minhashPairsUncached(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    // one fused native pass for all 16 permutations
-    // ([[graft.functions.MinHashSigs]]) — the HOF alternative is 16
-    // array_min(transform(...)) scans per row, pinned equal in
-    // NativeFunctionsSpec
-    graft.functions.GraftFunctions.ensureMinhashSigs(s)
-    val hs = shingleFrame(s, d).select("doc_id", "hs")
-    val sig = hs.selectExpr("doc_id", "minhash_sigs(hs) AS sig")
-    val bandStructs = (0 until 4).map { b =>
-      val elems = (0 until 4).map(r => s"sig[${4 * b + r}]").mkString(", ")
-      s"struct($b AS band, concat_ws(',', $elems) AS bsig)"
+  /** LSH band-collision candidate pairs (a < b, distinct) — the
+    * pre-verification stage of [[minhashPairs]], shared with the
+    * containment query (which applies a different — asymmetric —
+    * verification to the same candidate set). Memoized: the band
+    * self-join is the family's expensive stage. */
+  private[graft] def bandCandidates(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame =
+    graft.FrameCache.memo(s, s"mhcand:$d") {
+      // one fused native pass for all 16 permutations
+      // ([[graft.functions.MinHashSigs]]) — the HOF alternative is 16
+      // array_min(transform(...)) scans per row, pinned equal in
+      // NativeFunctionsSpec
+      graft.functions.GraftFunctions.ensureMinhashSigs(s)
+      val sig = shingleFrame(s, d).selectExpr("doc_id", "minhash_sigs(hs) AS sig")
+      val bandStructs = (0 until 4).map { b =>
+        val elems = (0 until 4).map(r => s"sig[${4 * b + r}]").mkString(", ")
+        s"struct($b AS band, concat_ws(',', $elems) AS bsig)"
+      }
+      val bands = sig
+        .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(", ")})) AS bk")
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
     }
-    val bands = sig
-      .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(", ")})) AS bk")
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bsig").as("bsig"))
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    pairs
+
+  private def minhashPairsUncached(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val hs = shingleFrame(s, d).select("doc_id", "hs")
+    bandCandidates(s, d)
       .join(hs.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
       .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
       .selectExpr("a", "b",
@@ -131,10 +141,9 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** DuckDB CTE chain ending in `verified(a, b, jaccard)` — the oracle
-    * twin of [[minhashPairs]], shared by the pair and clustering oracles.
-    * (No leading WITH so callers can prepend RECURSIVE members.) */
-  def duckVerifiedPairsCtes: String = {
+  /** DuckDB CTE chain ending in `pairs(a, b)` — the band-collision
+    * candidate relation, twin of [[bandCandidates]]. */
+  private def duckCandidateCtes: String = {
     val sigExprs = MinhashPerms.map { case (a, b) =>
       s"list_min(list_transform(hs, s -> ($a * s + $b) % $MinhashP))"
     }
@@ -146,14 +155,20 @@ object Dedup {
        |bands AS (SELECT doc_id, UNNEST([${bandStructs.mkString(", ")}], recursive := true) FROM sig),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |          FROM bands x JOIN bands y
-       |          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTE chain ending in `verified(a, b, jaccard)` — the oracle
+    * twin of [[minhashPairs]], shared by the pair and clustering oracles.
+    * (No leading WITH so callers can prepend RECURSIVE members.) */
+  def duckVerifiedPairsCtes: String =
+    s"""$duckCandidateCtes,
        |verified AS (SELECT a, b, jaccard FROM (
        |  SELECT a, b, CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
        |               / len(list_distinct(list_cat(xa.hs, xb.hs))) AS jaccard
        |  FROM pairs JOIN hs xa ON xa.doc_id = pairs.a
        |             JOIN hs xb ON xb.doc_id = pairs.b)
        |  WHERE jaccard >= 0.5)""".stripMargin
-  }
 
   /** Distinct shingle hashes at `bits` width (Spark dialect, over the
     * staged `g` column): the md5 prefix is `bits/4` hex digits — the
@@ -401,6 +416,62 @@ object Dedup {
               |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
               |      / len(list_distinct(list_cat(x.g, y.g))) AS jaccard
               |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
-              |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin))
+              |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin)),
+
+    // Containment verification over the SAME LSH candidates: C(A→B) =
+    // |A∩B|/|A| — the asymmetric signal that catches sub-document
+    // duplication (a short doc embedded in a long one scores high
+    // containment but low Jaccard, so a symmetric threshold misses it).
+    // Candidate generation is shared with q_dedup_minhash through the
+    // memoized band join ([[bandCandidates]]); only the verification
+    // predicate differs — the pipeline pays the expensive stage once.
+    QueryDef(
+      "q_contain_minhash",
+      (s, d) => {
+        val hs = shingleFrame(s, d).select("doc_id", "hs")
+        bandCandidates(s, d)
+          .join(hs.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
+          .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+          .selectExpr("a", "b",
+            "CAST(size(array_intersect(ha, hb)) AS DOUBLE) / size(ha) AS c_ab",
+            "CAST(size(array_intersect(ha, hb)) AS DOUBLE) / size(hb) AS c_ba")
+          .filter(greatest(col("c_ab"), col("c_ba")) >= 0.5)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $duckCandidateCtes
+              |SELECT a, b, c_ab, c_ba FROM (
+              |  SELECT a, b,
+              |    CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE) / len(xa.hs) AS c_ab,
+              |    CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE) / len(xb.hs) AS c_ba
+              |  FROM pairs JOIN hs xa ON xa.doc_id = pairs.a
+              |             JOIN hs xb ON xb.doc_id = pairs.b)
+              |WHERE GREATEST(c_ab, c_ba) >= 0.5 ORDER BY a, b""".stripMargin)),
+
+    // Benchmark decontamination — the pipeline pass that removes
+    // training documents sharing n-grams with an evaluation set (the
+    // standard pre-training hygiene step; the eval set here is the
+    // deterministic doc_id % 97 slice standing in for an external
+    // benchmark table). 100 TB shape: the eval shingle set is tiny and
+    // BROADCAST against the corpus scan — flagging is a map-side hash
+    // join + one per-doc count, the corpus itself never shuffles on
+    // shingles. Output = flagged doc → distinct shared-shingle count.
+    QueryDef(
+      "q_decontaminate",
+      (s, d) => {
+        val sh = shingleFrame(s, d)
+          .select(col("doc_id"), explode(col("g")).as("g"))
+        val ev = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+        sh.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(ev), "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, UNNEST($duckShingles) AS g FROM documents),
+              |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+              |SELECT doc_id, COUNT(*) AS n_shared
+              |FROM sh JOIN ev USING (g)
+              |WHERE doc_id % 97 <> 0
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * Spark's Expand for the exact distinct counts — the documented cost of
   * exactness; swap in approx_count_distinct when ±2% is fine). Binning
   * and outlier screens compute per-group boundaries with the
-  * sketch-bracketed exact percentile ([[Aggregates.sortPercentiles]] —
+  * histogram-bisected exact percentile ([[Aggregates.sortPercentiles]] —
   * combinable scans, no raw-data range shuffle), broadcast the tiny
   * boundary frame back, and bucket with a stateless per-row CASE: the
   * whole pipeline is scan-shaped, no operator holds group state

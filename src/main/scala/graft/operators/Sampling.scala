@@ -129,6 +129,42 @@ object Sampling {
               |      ORDER BY CAST(round(-ln((${duckTokHash(rowKey)} % 1000000 + 1) / 1e6) * 1e6
               |                / l_quantity) AS BIGINT), l_orderkey, l_linenumber) AS rk
               |  FROM lineitem)
-              |WHERE rk <= 8 ORDER BY l_returnflag, rk""".stripMargin))
+              |WHERE rk <= 8 ORDER BY l_returnflag, rk""".stripMargin)),
+
+    // Corpus rebalancing: downsample every language to (approximately)
+    // the rarest language's share — the mixture-control pass of a
+    // multilingual pre-training corpus. Membership is a pure row
+    // function (keep doc iff hash(doc_id)·n_lang < m·2³², i.e. a
+    // per-lang hash threshold at rate m/n_lang, integer-exact in both
+    // engines), so the kept set is reproducible on any cluster and the
+    // scan stays stateless — no per-lang sort or row_number over the
+    // corpus, just one tiny per-lang count broadcast back. The exact-m
+    // alternative (rank ≤ m per lang) needs a per-lang global sort; the
+    // hash threshold trades ±√m count jitter for a shuffle-free scan —
+    // at 100 TB that is the whole game. (hash·n_lang stays well inside
+    // BIGINT: 2³² · n_lang overflows only past 2³¹ docs per language.)
+    QueryDef(
+      "q_corpus_balance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+        val target = counts.agg(min(col("n_before")).as("m"))
+        docs.join(broadcast(counts), "lang")
+          .crossJoin(broadcast(target))
+          .filter(expr(s"${tokHash("CAST(doc_id AS STRING)")} * n_before < m * 4294967296"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .join(counts, "lang")
+          .select("lang", "n_before", "n_kept", "key_checksum")
+          .orderBy("lang")
+      },
+      Some(s"""WITH counts AS (SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang),
+              |target AS (SELECT MIN(n_before) AS m FROM counts)
+              |SELECT lang, n_before, COUNT(*) AS n_kept,
+              |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+              |FROM documents JOIN counts USING (lang) CROSS JOIN target
+              |WHERE ${duckTokHash("CAST(doc_id AS VARCHAR)")} * n_before < m * 4294967296
+              |GROUP BY lang, n_before ORDER BY lang""".stripMargin))
   )
 }

@@ -700,6 +700,39 @@ object Similarity {
               |  SELECT x.vec_id AS a, y.vec_id AS b,
               |         ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
               |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+              |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin)),
+
+    // Semantic dedup (the SemDeDup shape): bound the quadratic cosine
+    // check to COARSE-QUANTIZER CELLS — assign every embedding to its
+    // nearest of ⌊√N⌋ cells (one broadcast argmax pass, the sized IVF
+    // machinery), then compare pairs only WITHIN a cell. Total pair work
+    // is ~N²/cells = N^1.5 instead of N² (q_dedup_embed's brute-force
+    // answer is the superset this recalls from — cross-cell near-dups
+    // are the measured recall trade, same as any clustered dedup).
+    // Output = within-cell near-dup pairs; dropping max(a,b) per pair is
+    // the dedup decision.
+    QueryDef(
+      "q_semdedup",
+      (s, d) => {
+        val cellFrame = cellAssign(s, d,
+          ivfCellsFor(Tables.embeddings(s, d).count()))
+        val x = cellFrame.select(col("vec_id").as("a"), col("embedding").as("ea"), col("cell"))
+        val y = cellFrame.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("cell").as("cellb"))
+        x.join(y, col("cell") === col("cellb") && col("a") < col("b"))
+          .selectExpr("a", "b", "cell", "cosine_sim(ea, eb) AS cosine")
+          .filter(col("cosine") >= 0.4)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH sizedc AS (
+              |  SELECT GREATEST(4, CAST(floor(sqrt(COUNT(*))) AS INT)) AS c FROM embeddings),
+              |${duckCellCtesExpr("(SELECT c FROM sizedc)")}
+              |SELECT a, b, cell, cosine FROM (
+              |  SELECT x.vec_id AS a, y.vec_id AS b, x.cell AS cell,
+              |    ${duckDot("x.embedding", "y.embedding")}
+              |      / (sqrt(${duckDot("x.embedding", "x.embedding")})
+              |         * sqrt(${duckDot("y.embedding", "y.embedding")})) AS cosine
+              |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id)
               |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin))
   )
 }

@@ -131,26 +131,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(cellBig < 44, s"N=2000 cells live in [0,44), saw $cellBig")
   }
 
-  test("percentile accuracy tracks √n and auto-sizing never moves the (exact) result") {
+  test("percentile histogram bisection: candLimit moves rounds, never the (exact) result") {
     import operators.Aggregates
-    // the integer rule: ⌊√n⌋ with floor 100 — sketch state ∝ accuracy,
-    // candidate buffer ∝ 6n/accuracy, both ~6√n at the balance point
-    assert(Aggregates.percentileAccuracyFor(500) === 100) // floor
-    assert(Aggregates.percentileAccuracyFor(640000) === 800) // ≈ the old fixed knob at sf0.1
-    assert(Aggregates.percentileAccuracyFor(64000000) === 8000) // 100× rows → 10× accuracy
-    Seq(1L << 20, 1L << 30, 1L << 40).foreach { n =>
-      val a = Aggregates.percentileAccuracyFor(n).toLong
-      assert(a * a <= n && (a + 1) * (a + 1) > n, s"⌊√$n⌋ != $a")
-    }
-    // the selection is exact at ANY accuracy: the sized run must equal
-    // the fixed-knob run bit-for-bit (accuracy only moves state bounds)
+    // sf0.001 lineitem ≈ 6k rows/group: the default candLimit (524288)
+    // collects after pass 1 with ZERO bin rounds; candLimit = 64 forces
+    // the bisection loop through multiple 1024-way narrowing rounds
+    // (6k → ≤64 needs ≥ 1; near-unique doubles may take 2). The results
+    // must agree bit-for-bit — the limit only moves state bounds, the
+    // selection is exact at any setting. This is the property that
+    // makes the operator safe at 10¹¹ rows/group: state is O(1024)
+    // per (group, spec) while narrowing and ≤ candLimit at the collect,
+    // both independent of n.
     val spec = Seq("l_extendedprice" -> Seq(0.5 -> "p50", 0.95 -> "p95"),
       "l_quantity" -> Seq(0.25 -> "q25"))
-    val fixed = Aggregates.sortPercentiles(
-      Tables.lineitem(spark, sf), "l_returnflag", spec, accuracy = 800)
-    val sized = Aggregates.sortPercentiles(
+    val wide = Aggregates.sortPercentiles(
       Tables.lineitem(spark, sf), "l_returnflag", spec)
-    assert(sized.exceptAll(fixed).count() === 0 && fixed.exceptAll(sized).count() === 0)
+    val tight = Aggregates.sortPercentiles(
+      Tables.lineitem(spark, sf), "l_returnflag", spec, candLimit = 64)
+    assert(tight.exceptAll(wide).count() === 0 && wide.exceptAll(tight).count() === 0)
+    // and the selection agrees with the built-in exact percentile to
+    // float tolerance — NOT bit-for-bit: Spark's Percentile interpolates
+    // with a different fp arrangement than lo + frac·(hi − lo), which is
+    // the quantile_cont form the DuckDB oracle pins exactly (the hash
+    // gate for bit-exactness is q_agg_percentile's CORRECTNESS row)
+    val builtin = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("p50"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)").as("p95"),
+        expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)").as("q25"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    wide.collect().foreach { r =>
+      val (p50, p95, q25) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) <= math.abs(p50) * 1e-12)
+      assert(math.abs(r.getDouble(2) - p95) <= math.abs(p95) * 1e-12)
+      assert(math.abs(r.getDouble(3) - q25) <= math.abs(q25) * 1e-12)
+    }
   }
 
   test("SimHash band width tracks log(N) and the sized query equals the fixed one at small N") {
