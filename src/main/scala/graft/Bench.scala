@@ -103,12 +103,10 @@ object Bench {
     // (and their cost observed) as N grows, not just documented
     "q_sim_lsh_scaled",
     "q_sim_ivf_scaled",
-    // wide-band SimHash: the sub-quadratic twin of q_dedup_simhash
-    // whose 8-bit bands saturate near N ≈ 1e5 (the sf3 finding)
-    "q_dedup_simhash_wide",
-    // round 5: the count-driven SimHash replaces the fixed 8-bit
-    // q_dedup_simhash in the headline (which stays as an oracle
-    // fixture) — no headline entry carries an N²/2⁹ candidate term
+    // round 5: the count-driven SimHash is the family's one headline
+    // entry — no N²/2⁹ candidate term (the fixed 8-bit setting and the
+    // fixed 60/15 wide variant it subsumes stay as oracle fixtures;
+    // at sf10 the sizing rule lands on the wide setting by itself)
     "q_dedup_simhash_sized",
     // the composed corpus-prep DAG (pairs → CC → survivors → chunk →
     // pack) — times the stage-REUSE story: its band join comes from the

@@ -18,72 +18,88 @@ object Aggregates {
   import Parity._
 
   /** Exact interpolated percentiles (quantile_cont semantics) with
-    * bounded executor state at ANY input size — no value-indexed
-    * hashmap, no sketch, no accuracy knob.
+    * bounded executor state at ANY input size.
     *
     * The built-in `percentile` aggregate buffers every distinct value
     * per group in an OpenHashMap — O(distinct) executor state that dies
-    * when a group holds billions of near-unique doubles. The GK-bracket
-    * design this replaces (approx_percentile at accuracy a, exact
-    * selection inside the ±3/a bracket) bounded that state but hung it
-    * on a knob with no good setting: candidates grow as 6n/a (fixed a
-    * = linear state, 12.9 s at sf3) while the sketch's compress cost
-    * grows with a (a = √n measured 2.4× the fixed knob's wall time at
-    * sf10). Histogram bisection removes the knob:
+    * when a group holds billions of near-unique doubles. Three pieces
+    * replace it, each doing the one job it is cheap at:
     *
-    *  1. ONE combinable scan per group: non-null count n, min, max per
-    *     value column → target ranks rf/rc = floor/ceil(p·(n−1))+1 and
-    *     the initial bracket [min, max] holding all n values;
-    *  2. each refinement round bins the in-bracket values of every
-    *     still-active spec into B=1024 equal-width bins — a (group,
-    *     spec, bin) count/min/max aggregate, map-side combinable, O(B)
-    *     state — and re-brackets to exactly the bins holding ranks
-    *     rf..rc. The per-bin exact min/max make the next bracket a
-    *     closed VALUE interval [minv(bin_f), maxv(bin_c)]: the float
-    *     bin map only needs to be MONOTONE (floor of a monotone
-    *     rescale is), never bit-reproduced, because membership and all
-    *     rank bookkeeping ride on exact integer counts;
-    *  3. once every bracket holds ≤ candLimit values — log_B(n /
-    *     candLimit) rounds: one at 10⁸ rows, two at 10¹¹ — a fused
-    *     scan collects the sorted in-bracket candidates and selection
-    *     is pure expression math: candidate[rf − below] to
-    *     candidate[rc − below], interpolated by frac.
+    *  1. SKETCH NARROWING (pass 1, one combinable scan): per-group
+    *     count/min/max plus a FIXED-accuracy GK sketch
+    *     (approx_percentile, a = 800) queried at p ± 3/a. GK's
+    *     deterministic rank guarantee (error ≤ n/a) makes [lo, hi] a
+    *     certain bracket of the target order statistics, holding at
+    *     most ~6n/a values. The accuracy stays fixed because it no
+    *     longer bounds memory — the bisection below does; a √n-sized
+    *     accuracy was measured 2.4× slower at sf10 (GK compress cost
+    *     grows with a), and a fixed one without bisection grows
+    *     candidate state linearly in n. Fixed-and-cheap is right once
+    *     something else owns the state bound.
+    *  2. HISTOGRAM BISECTION (only while a bracket may exceed
+    *     candLimit — n > ~44M rows/group; zero rounds through sf10,
+    *     one at 10¹¹): bin the in-bracket values into B=1024
+    *     equal-width bins — a (group, spec, bin) count/min/max
+    *     aggregate, map-side combinable, O(B) state — and re-bracket
+    *     to exactly the bins holding target ranks rf..rc, shrinking
+    *     the bracket ~B× per scan. Values below the bracket land in a
+    *     sentinel bin −1, so running counts ARE global ranks. Per-bin
+    *     exact min/max make the next bracket a closed VALUE interval
+    *     [minv(bin_f), maxv(bin_c)]: the float bin map only needs to
+    *     be MONOTONE (floor of a monotone rescale is), never
+    *     bit-reproduced — all rank bookkeeping rides on exact integer
+    *     counts.
+    *  3. EXACT SELECTION (final fused scan): sorted in-bracket
+    *     candidates + below-bracket count per spec in one combinable
+    *     aggregate; then candidate[rf − below] to candidate[rc −
+    *     below], interpolated by frac, is pure expression math.
     *
-    * At 100 TB: every pass is a combinable aggregate at scan speed
-    * (2 + rounds scans, no shuffle beyond (groups × specs × B) rows);
-    * executor state is O(B) per (group, spec) while refining and ≤
-    * candLimit doubles at the final collect — constants, independent
-    * of n. A bracket that degenerates to a single value (lo = hi —
-    * massive ties) terminates immediately with that value, so ties
-    * never inflate the collect. B and candLimit only move the round
-    * count, never the (exact) result, so the DuckDB oracle stays plain
-    * quantile_cont. Groups whose value column is all-NULL surface with
-    * NULL percentiles (n = 0 ⇒ m = 0 guard), matching quantile_cont.
+    * At 100 TB: every pass is a combinable aggregate at scan speed —
+    * 2 scans through ~44M rows/group, 3 at 10¹⁰, 4 at 10¹³; executor
+    * state is O(a) sketch + O(B) bins + ≤ max(candLimit, 6n/a values
+    * when no round fires) collect buffer per (group, spec). A bracket
+    * that degenerates to a single value (lo = hi — massive ties)
+    * terminates immediately with that value, so ties never inflate the
+    * collect. The sketch's partial-merge order may move the BRACKET
+    * between runs, never the selected ranks — the result is exact and
+    * run-deterministic at any (a, B, candLimit), so the DuckDB oracle
+    * stays plain quantile_cont, and groups whose value column is
+    * all-NULL surface with NULL percentiles, matching it.
     */
   private[graft] def sortPercentiles(
       df: org.apache.spark.sql.DataFrame, group: String,
       specs: Seq[(String, Seq[(Double, String)])],
-      candLimit: Int = 32768): org.apache.spark.sql.DataFrame = {
+      candLimit: Int = 262144): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val acc = 800
+    val eps = 3.0 / acc
     val flat = specs.flatMap { case (c, ps) => ps.map { case (p, name) => (c, p, name) } }
 
-    // Pass 1: count/min/max per value column in one combinable scan,
-    // fanned out to one bracket-state struct per spec. One row per
-    // group; localCheckpoint pins it (the loop below re-reads it and
-    // the broadcast must see one consistent layout).
-    val aggs1 = specs.flatMap { case (c, _) =>
+    // Pass 1: count/min/max + ONE GK sketch per value column (queried
+    // at every bracket bound at once), fanned out to one bracket-state
+    // struct per spec. `below` starts unknown (the final scan computes
+    // it if no bisection round runs); `m` starts as the GK bound
+    // 8n/a + 16 — a safe overestimate used only to decide activity.
+    // One row per group; localCheckpoint pins it (the loop re-reads it
+    // and every broadcast must see one consistent layout).
+    val aggs1 = specs.flatMap { case (c, ps) =>
+      val qs = ps.flatMap { case (p, _) =>
+        Seq(math.max(0.0, p - eps), math.min(1.0, p + eps))
+      }.mkString(", ")
       Seq(count(col(c)).as(s"__n_$c"),
-        min(col(c).cast("double")).as(s"__mn_$c"),
-        max(col(c).cast("double")).as(s"__mx_$c"))
+        expr(s"approx_percentile(CAST($c AS DOUBLE), array($qs), $acc)").as(s"__q_$c"))
     }
-    val specCols = flat.map { case (c, p, name) =>
-      expr(s"""struct(
-              |  CAST(floor($p * (__n_$c - 1)) AS BIGINT) + 1 AS rf,
-              |  CAST(ceil($p * (__n_$c - 1)) AS BIGINT) + 1 AS rc,
-              |  $p * (__n_$c - 1) - floor($p * (__n_$c - 1)) AS frac,
-              |  __mn_$c AS lo, __mx_$c AS hi,
-              |  CAST(0 AS BIGINT) AS below, __n_$c AS m)""".stripMargin)
-        .as(s"__st_$name")
+    val specCols = specs.flatMap { case (c, ps) =>
+      ps.zipWithIndex.map { case ((p, name), j) =>
+        expr(s"""struct(
+                |  CAST(floor($p * (__n_$c - 1)) AS BIGINT) + 1 AS rf,
+                |  CAST(ceil($p * (__n_$c - 1)) AS BIGINT) + 1 AS rc,
+                |  $p * (__n_$c - 1) - floor($p * (__n_$c - 1)) AS frac,
+                |  __q_$c[${2 * j}] AS lo, __q_$c[${2 * j + 1}] AS hi,
+                |  CAST(NULL AS BIGINT) AS below,
+                |  least(__n_$c, 8 * __n_$c DIV $acc + 16) AS m)""".stripMargin)
+          .as(s"__st_$name")
+      }
     }
     var st = df.groupBy(group).agg(aggs1.head, aggs1.tail: _*)
       .select(col(group) +: specCols: _*)
@@ -93,7 +109,7 @@ object Aggregates {
       s"(__st_$name.m > $candLimit AND __st_$name.lo < __st_$name.hi)"
     val anyActive = flat.map { case (_, _, n) => activeSql(n) }.mkString(" OR ")
 
-    // Refinement rounds. 12 is unreachable by count (1024¹² ≫ any n);
+    // Bisection rounds. 12 is unreachable by count (1024¹² ≫ any n);
     // it backstops the one non-counting stall — > candLimit DISTINCT
     // doubles packed too densely for a 1024-way split to separate —
     // after which the final collect proceeds (bigger buffer, still
@@ -102,18 +118,22 @@ object Aggregates {
     var rounds = 0
     while (rounds < 12 && st.filter(expr(anyActive)).limit(1).count() > 0) {
       rounds += 1
-      // (group, sid, bin) → exact count + value min/max, active specs
+      // (group, sid, bin) → exact count + value min/max; active specs
       // stacked through one explode so the round is ONE scan of df.
+      // Bin −1 catches values BELOW the bracket: with it, a bin's
+      // running count is the global rank of its last member, so no
+      // separate below-count pass is ever needed.
       val arms = flat.zipWithIndex.map { case ((c, _, name), i) =>
         val v = s"CAST($c AS DOUBLE)"
         val lo = s"__st_$name.lo"
         val hi = s"__st_$name.hi"
-        s"""IF(${activeSql(name)} AND $v BETWEEN $lo AND $hi,
-           |  struct($i AS sid,
-           |    CAST(least(${bins - 1}, greatest(0,
-           |      floor(($v - $lo) * $bins / ($hi - $lo)))) AS INT) AS bin,
-           |    $v AS v),
-           |  NULL)""".stripMargin
+        s"""CASE WHEN NOT ${activeSql(name)} THEN NULL
+           |     WHEN $v < $lo THEN struct($i AS sid, -1 AS bin, $v AS v)
+           |     WHEN $v <= $hi THEN struct($i AS sid,
+           |       CAST(least(${bins - 1}, greatest(0,
+           |         floor(($v - $lo) * $bins / ($hi - $lo)))) AS INT) AS bin,
+           |       $v AS v)
+           |END""".stripMargin
       }
       val binCounts = df.join(broadcast(st), Seq(group))
         .selectExpr(group, s"explode(array(${arms.mkString(", ")})) AS e")
@@ -130,12 +150,17 @@ object Aggregates {
         .withColumn("cumBefore", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
         .withColumn("cumThrough", col("cumBefore") + col("cnt"))
         .join(stLong, Seq(group, "sid"))
-      // first bin whose running count reaches rank rf (resp. rc);
-      // min(struct) is the lowest qualifying bin (bin leads the struct)
-      val bf = cum.filter(col("cumThrough") >= col("s.rf") - col("s.below"))
+      // first real bin whose running (= global) count reaches rank rf
+      // (resp. rc); min(struct) is the lowest qualifying bin (bin
+      // leads the struct). Bin −1 can never qualify — fewer than rf
+      // values sit below the bracket by the GK/bisection invariant —
+      // but is excluded anyway so a violated invariant fails loudly
+      // (NULL output) instead of silently selecting below-bracket
+      // values.
+      val bf = cum.filter(col("bin") >= 0 && col("cumThrough") >= col("s.rf"))
         .groupBy(group, "sid")
         .agg(min(struct(col("bin"), col("mnv"), col("cumBefore"))).as("f"))
-      val bc = cum.filter(col("cumThrough") >= col("s.rc") - col("s.below"))
+      val bc = cum.filter(col("bin") >= 0 && col("cumThrough") >= col("s.rc"))
         .groupBy(group, "sid")
         .agg(min(struct(col("bin"), col("mxv"), col("cumThrough"))).as("g"))
       val upd = stLong
@@ -145,7 +170,7 @@ object Aggregates {
           """CASE WHEN f IS NULL THEN s ELSE named_struct(
             |  'rf', s.rf, 'rc', s.rc, 'frac', s.frac,
             |  'lo', f.mnv, 'hi', g.mxv,
-            |  'below', s.below + f.cumBefore,
+            |  'below', f.cumBefore,
             |  'm', g.cumThrough - f.cumBefore) END AS s""".stripMargin)
       val wideCols = flat.zipWithIndex.map { case ((_, _, name), i) =>
         max(when(col("sid") === i, col("s"))).as(s"__st_$name")
@@ -154,21 +179,25 @@ object Aggregates {
         .localCheckpoint(true)
     }
 
-    // Final fused scan: sorted in-bracket candidates per spec (nothing
-    // collected for degenerate lo = hi brackets — their value IS lo),
-    // then pure per-group-row selection + interpolation.
-    val aggsF = flat.map { case (c, _, name) =>
+    // Final fused scan: sorted in-bracket candidates + below-bracket
+    // count per spec (the latter only consulted when no bisection
+    // round resolved `below`). Nothing is collected for degenerate
+    // lo = hi brackets — their value IS lo.
+    val aggsF = flat.flatMap { case (c, _, name) =>
       val v = s"CAST($c AS DOUBLE)"
       val stn = s"__st_$name"
-      sort_array(collect_list(expr(
-        s"IF($stn.lo < $stn.hi AND $v BETWEEN $stn.lo AND $stn.hi, $v, NULL)")))
-        .as(s"__cand_$name")
+      Seq(
+        sort_array(collect_list(expr(
+          s"IF($stn.lo < $stn.hi AND $v BETWEEN $stn.lo AND $stn.hi, $v, NULL)")))
+          .as(s"__cand_$name"),
+        sum(expr(s"IF($v < $stn.lo, 1L, 0L)")).as(s"__blw_$name"))
     }
     val outCols = flat.map { case (_, _, name) =>
       val stn = s"__st_$name"
+      val below = s"coalesce($stn.below, __blw_$name)"
       def pick(rank: String) =
         s"""CASE WHEN $stn.lo >= $stn.hi THEN $stn.lo
-           |     ELSE element_at(__cand_$name, CAST($stn.$rank - $stn.below AS INT)) END"""
+           |     ELSE element_at(__cand_$name, CAST($stn.$rank - $below AS INT)) END"""
           .stripMargin
       expr(s"""CASE WHEN $stn.rf >= 1 AND $stn.m > 0
               |  THEN ${pick("rf")} + $stn.frac * (${pick("rc")} - ${pick("rf")})

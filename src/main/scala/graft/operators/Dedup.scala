@@ -257,8 +257,17 @@ object Dedup {
     * differently per engine); floor 8 is the classic small-N setting.
     * The signature width 4·b must equal the shingle-hash width
     * ([[sparkShingleHashesW]]) — majority bits above the hash width are
-    * constant 0 and would turn the top band into one all-docs bucket. */
-  def simhashBandBitsFor(n: Long, targetBucket: Int = 32): Int = {
+    * constant 0 and would turn the top band into one all-docs bucket.
+    *
+    * targetBucket = 8, not 32: candidate-join work is ~2·N·targetBucket
+    * pairs, and — unlike LSH bits, where more bits cost recall — the
+    * 4-band pigeonhole guarantee (Hamming ≤ 3 ⇒ some band agrees
+    * exactly) holds at ANY band width, so a wider band only sheds
+    * random collisions. Measured at sf10 (N = 5·10⁵): target 32 picks
+    * b = 14 (3.3·10⁷ collision pairs, 31 s); target 8 picks b = 15
+    * (1.6·10⁷ pairs, 15 s). The cap, not the target, is the only
+    * recall-neutral limit. */
+  def simhashBandBitsFor(n: Long, targetBucket: Int = 8): Int = {
     val target = n / targetBucket + (if (n % targetBucket == 0) 0 else 1)
     var b = 8
     while (b < 15 && (1L << b) < target) b += 1
@@ -281,7 +290,7 @@ object Dedup {
     * signature width), and the 60 statically-emitted majority terms need
     * no mask — bits above the hash width are constant 0 in every member
     * hash, so their majority is never set. */
-  private def duckSimhashPairsSized(targetBucket: Int = 32): String =
+  private def duckSimhashPairsSized(targetBucket: Int = 8): String =
     s"""WITH sized AS (
        |  SELECT COALESCE(MIN(b), 15) AS b
        |  FROM generate_series(8, 15) t(b)

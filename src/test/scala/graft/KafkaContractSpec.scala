@@ -16,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * container — neither kafka-clients, kafka server test-jars, nor
   * spark-sql-kafka resolve from the offline cache, so an embedded
   * KafkaServer round-trip cannot be built here (re-probed each round;
-  * rounds 3 and 4 both came up empty). The rate-source replay test in
+  * rounds 3, 4 and 5 all came up empty). The rate-source replay test in
   * StreamingSpec covers the throttled-producer envelope end-to-end
   * instead; the wire options above stay golden-pinned.
   *

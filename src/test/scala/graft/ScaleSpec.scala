@@ -169,10 +169,13 @@ class ScaleSpec extends AnyFunSuite {
 
   test("SimHash band width tracks log(N) and the sized query equals the fixed one at small N") {
     import operators.Dedup
-    // the integer rule: smallest b in [8,15] with 2^b ≥ ⌈N/32⌉
+    // the integer rule: smallest b in [8,15] with 2^b ≥ ⌈N/8⌉ (target
+    // bucket 8 — band width is recall-neutral under the 4-band
+    // pigeonhole, so the rule leans wide; see simhashBandBitsFor)
     assert(Dedup.simhashBandBitsFor(500) === 8) // floor — the classic setting
-    assert(Dedup.simhashBandBitsFor(5000) === 8)
-    assert(Dedup.simhashBandBitsFor(150000) === 13) // the sf3 point that saturated 8-bit bands
+    assert(Dedup.simhashBandBitsFor(2000) === 8) // 2^8 ≥ 250
+    assert(Dedup.simhashBandBitsFor(5000) === 10)
+    assert(Dedup.simhashBandBitsFor(150000) === 15) // the sf3 point that saturated 8-bit bands
     assert(Dedup.simhashBandBitsFor(Long.MaxValue) === 15) // 60-bit signature cap (sign-bit trap)
     // monotone, never past the cap
     assert(Dedup.simhashBandBitsFor(1 << 20) >= Dedup.simhashBandBitsFor(1 << 16))
