@@ -125,7 +125,13 @@ object Bench {
     "q_decontaminate",
     "q_semdedup",
     "q_contain_minhash",
-    "q_corpus_balance")
+    "q_corpus_balance",
+    // incremental corpus update (delta-vs-base dedup riding the
+    // memoized pair relation) and percentile-composed winsorization;
+    // q_ivf_probe_recall stays a verify-gated measurement like the
+    // other recall queries
+    "q_dedup_incremental",
+    "q_winsorize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

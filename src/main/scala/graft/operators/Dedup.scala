@@ -481,6 +481,64 @@ object Dedup {
               |SELECT doc_id, COUNT(*) AS n_shared
               |FROM sh JOIN ev USING (g)
               |WHERE doc_id % 97 <> 0
-              |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Incremental dedup: screen a DELTA batch (doc_id % 10 = 7, the
+    // arriving 10% standing in for today's crawl) against the BASE
+    // corpus — exact-duplicate flag via a digest join, near-duplicate
+    // partner count via the verified MinHash pair relation restricted
+    // to delta×base. This is the shape of a corpus UPDATE at 100 TB:
+    // base×base pairs are never recomputed (the band join emits a pair
+    // only when a delta doc collides), the base side contributes only
+    // digests and signatures (precomputed index columns in a real
+    // deployment — here the memoized shingle/pair frames play that
+    // role), and the output is per-delta-doc admission metadata.
+    QueryDef(
+      "q_dedup_incremental",
+      (s, d) => {
+        val digests = Tables.documents(s, d)
+          .select(col("doc_id"), sha2(col("text"), 256).as("dg"),
+            (col("doc_id") % 10 === 7).as("is_delta"))
+        val delta = digests.filter(col("is_delta"))
+        val base = digests.filter(!col("is_delta"))
+        val exact = delta.as("x")
+          .join(base.select(col("dg")).distinct().as("y"), Seq("dg"), "left_semi")
+          .select(col("doc_id")).withColumn("exact_dup", lit(true))
+        // near-dup partners in base, from the session's verified pair
+        // relation (a < b, so read it in both directions)
+        val pairs = minhashPairs(s, d)
+        val partners = pairs.selectExpr("a AS x", "b AS y")
+          .unionAll(pairs.selectExpr("b AS x", "a AS y"))
+        val near = partners
+          .filter(col("x") % 10 === 7 && col("y") % 10 =!= 7)
+          .groupBy(col("x").as("doc_id"))
+          .agg(count(lit(1)).as("n_neardup"))
+        delta.select("doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckVerifiedPairsCtes,
+              |digests AS (SELECT doc_id, sha256(text) AS dg,
+              |                   doc_id % 10 = 7 AS is_delta
+              |            FROM documents),
+              |exact AS (SELECT DISTINCT x.doc_id FROM digests x
+              |          WHERE x.is_delta AND EXISTS (
+              |            SELECT 1 FROM digests y
+              |            WHERE NOT y.is_delta AND y.dg = x.dg)),
+              |partners AS (SELECT a AS x, b AS y FROM verified
+              |             UNION ALL SELECT b AS x, a AS y FROM verified),
+              |near AS (SELECT x AS doc_id, COUNT(*) AS n_neardup FROM partners
+              |         WHERE x % 10 = 7 AND y % 10 <> 7 GROUP BY x)
+              |SELECT d.doc_id,
+              |       COALESCE(e.doc_id IS NOT NULL, FALSE) AS exact_dup,
+              |       COALESCE(n.n_neardup, 0) AS n_neardup
+              |FROM digests d
+              |LEFT JOIN exact e ON e.doc_id = d.doc_id
+              |LEFT JOIN near n ON n.doc_id = d.doc_id
+              |WHERE d.is_delta ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -249,6 +249,47 @@ object Profiling {
               |FROM lineitem JOIN stats USING (l_returnflag)
               |WHERE ${graft.functions.TextAnalysis.duckTokHash(
                  "concat(l_orderkey, '#', l_linenumber)")} % 100 < 2
-              |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Winsorization: clip each group's values to its exact [p05, p95]
+    // — the robust alternative to dropping outliers (IQR screens flag,
+    // winsorizing keeps the row with a bounded value). Boundaries come
+    // from the bounded-state exact percentile ([[Aggregates
+    // .sortPercentiles]]), broadcast back; the clip is a stateless
+    // per-row CASE, summarized per group so the contract output stays
+    // small while pinning the clipped-row counts and the exact decimal
+    // mean of the winsorized column.
+    QueryDef(
+      "q_winsorize",
+      (s, d) => {
+        val bounds = Aggregates.sortPercentiles(
+          Tables.orders(s, d), "o_orderpriority",
+          Seq("o_totalprice" -> Seq(0.05 -> "p05", 0.95 -> "p95")))
+        Tables.orders(s, d)
+          .join(broadcast(bounds), "o_orderpriority")
+          .withColumn("w", expr(
+            "CASE WHEN o_totalprice < p05 THEN p05 " +
+              "WHEN o_totalprice > p95 THEN p95 " +
+              "ELSE CAST(o_totalprice AS DOUBLE) END"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("IF(o_totalprice < p05, 1L, 0L)")).as("n_clipped_lo"),
+            sum(expr("IF(o_totalprice > p95, 1L, 0L)")).as("n_clipped_hi"),
+            Parity.davg(col("w"), 4).as("avg_winsorized"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT o_orderpriority,
+              |    quantile_cont(o_totalprice, 0.05) AS p05,
+              |    quantile_cont(o_totalprice, 0.95) AS p95
+              |  FROM orders GROUP BY o_orderpriority)
+              |SELECT o_orderpriority, COUNT(*) AS n,
+              |  CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+              |  CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+              |  ${Parity.sqlDavg(
+                   "CASE WHEN o_totalprice < p05 THEN p05 WHEN o_totalprice > p95 THEN p95 ELSE CAST(o_totalprice AS DOUBLE) END",
+                   4)} AS avg_winsorized
+              |FROM orders JOIN b USING (o_orderpriority)
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -463,6 +463,95 @@ object Similarity {
         "CAST(n_matched AS DOUBLE) / n_brute AS recall_at_k")
   }
 
+  /** Recall@k of MULTI-PROBE IVF: queries probe their `nprobe` nearest
+    * cells instead of one — the standard recall lever of a production
+    * IVF index (FAISS's nprobe). Members still live in exactly one
+    * cell, so candidates grow ∝ nprobe while the index build is
+    * unchanged; recall climbs toward brute force as nprobe → cells.
+    * One broadcast argmax pass RANKS the cells per vector; rank 1 is
+    * the member assignment, ranks ≤ nprobe are the query's probe set —
+    * the same scored frame serves both, no second pass. */
+  def ivfProbeRecall(s: org.apache.spark.sql.SparkSession, d: String, cells: Int,
+                     nprobe: Int, k: Int = 5, queryLimit: Int = 100)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.ensureCosine(s)
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val ranked = e.join(broadcast(cent))
+      .selectExpr("vec_id", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
+      .withColumn("rn", row_number().over(wAssign))
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("cent_id").as("c_cell"))
+    val probes = ranked.filter(col("vec_id") < queryLimit && col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+    // unique by construction: one member cell per c_id, nprobe distinct
+    // probe cells per q_id — no distinct needed on the candidate join
+    val candIds = probes.join(members,
+        col("cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+    val n = withNorm(s, d)
+    val qn = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cn = n.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    val brute = cn.join(broadcast(qn.filter(col("q_id") < queryLimit)), col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id")
+    val cand = candIds.join(qn, "q_id").join(cn, "c_id")
+      .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+    val approx = cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id")
+    brute.agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_brute"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(brute.join(approx, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_matched")))
+      .selectExpr(s"$cells AS cells", s"$nprobe AS nprobe", "n_queries", "n_cand", "n_matched",
+        "CAST(n_matched AS DOUBLE) / n_brute AS recall_at_k")
+  }
+
+  /** DuckDB twin of [[ivfProbeRecall]] (expects the shared `n` and
+    * `brute` CTEs); suffixed by nprobe so settings union. */
+  def ivfProbeRecallOracleCtes(cells: Int, nprobe: Int, k: Int = 5,
+                               queryLimit: Int = 100): (String, String) = {
+    val sfx = s"_p$nprobe"
+    val cos = s"${duckDot("e.embedding", "c.cent_emb")} / " +
+      s"(sqrt(${duckDot("e.embedding", "e.embedding")}) * sqrt(${duckDot("c.cent_emb", "c.cent_emb")}))"
+    val ctes =
+      s"""ranked$sfx AS (
+         |  SELECT vec_id, cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |           ORDER BY c_cos DESC, cent_id) AS rn
+         |  FROM (SELECT e.vec_id, c.cent_id, $cos AS c_cos
+         |        FROM embeddings e CROSS JOIN
+         |          (SELECT vec_id AS cent_id, embedding AS cent_emb
+         |           FROM embeddings WHERE vec_id < $cells) c)),
+         |ids$sfx AS (
+         |  SELECT q.vec_id AS q_id, m.vec_id AS c_id
+         |  FROM ranked$sfx q JOIN ranked$sfx m
+         |    ON q.cent_id = m.cent_id AND m.rn = 1 AND q.vec_id <> m.vec_id
+         |  WHERE q.vec_id < $queryLimit AND q.rn <= $nprobe),
+         |cand$sfx AS (
+         |  SELECT q_id, c_id,
+         |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM ids$sfx JOIN n q ON q.vec_id = q_id JOIN n c ON c.vec_id = c_id),
+         |approx$sfx AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM cand$sfx) WHERE rnk <= $k)""".stripMargin
+    val select =
+      s"""SELECT $cells AS cells, $nprobe AS nprobe,
+         |  (SELECT COUNT(DISTINCT q_id) FROM brute) AS n_queries,
+         |  (SELECT COUNT(*) FROM cand$sfx) AS n_cand,
+         |  COUNT(*) AS n_matched,
+         |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM brute) AS recall_at_k
+         |FROM brute JOIN approx$sfx USING (q_id, c_id)""".stripMargin
+    (ctes, select)
+  }
+
   /** DuckDB twin of [[ivfRecall]]; cell CTEs suffixed by the cell count
     * so two settings union in one statement (expects the shared `n` and
     * `brute` CTEs of [[recallOracleBruteCte]]). */
@@ -680,6 +769,25 @@ object Similarity {
                 |${parts.map(_._1).mkString(",\n")}
                 |${parts.map(_._2).mkString("\nUNION ALL\n")}
                 |ORDER BY cells""".stripMargin)
+      }),
+
+    // Multi-probe recall curve at a fixed quantizer: nprobe = 1, 2, 4
+    // over 22 cells. Probing more cells buys recall linearly in
+    // candidates WITHOUT rebuilding the index — the knob a production
+    // IVF serves queries with (cells sets the build, nprobe the
+    // per-query recall/latency point). ScaleSpec pins monotonicity.
+    QueryDef(
+      "q_ivf_probe_recall",
+      (s, d) => ivfProbeRecall(s, d, cells = 22, nprobe = 1)
+        .unionAll(ivfProbeRecall(s, d, cells = 22, nprobe = 2))
+        .unionAll(ivfProbeRecall(s, d, cells = 22, nprobe = 4))
+        .orderBy("nprobe"), {
+        val parts = Seq(1, 2, 4).map(p => ivfProbeRecallOracleCtes(22, p))
+        Some(s"""WITH $duckNormCte,
+                |${recallOracleBruteCte()},
+                |${parts.map(_._1).mkString(",\n")}
+                |${parts.map(_._2).mkString("\nUNION ALL\n")}
+                |ORDER BY nprobe""".stripMargin)
       }),
 
     // Embedding-cosine near-dup pairs, brute force (verify-scale

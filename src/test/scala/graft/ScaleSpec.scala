@@ -186,6 +186,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(sized.exceptAll(fixed).count() === 0 && fixed.exceptAll(sized).count() === 0)
   }
 
+  test("IVF multi-probe: more probed cells buys recall with proportional candidates") {
+    import operators.Similarity
+    def row(np: Int): (Long, Double) = {
+      val r = Similarity.ivfProbeRecall(spark, sf, cells = 22, nprobe = np).head
+      (r.getAs[Long]("n_cand"), r.getAs[Double]("recall_at_k"))
+    }
+    val (c1, r1) = row(1)
+    val (c2, r2) = row(2)
+    val (c4, r4) = row(4)
+    // candidates strictly grow with nprobe; recall never drops (the
+    // probe set only widens), and must strictly improve somewhere on
+    // the curve — the lever the index build never has to pay for
+    assert(c1 < c2 && c2 < c4, s"candidates must grow: $c1, $c2, $c4")
+    assert(r1 <= r2 && r2 <= r4, s"recall must not drop: $r1, $r2, $r4")
+    assert(r4 > r1, s"nprobe=4 recall $r4 must beat nprobe=1 $r1")
+  }
+
   test("ANN recall/cost surface moves the right way with bits and tables") {
     import operators.Similarity
     def row(bits: Int, tables: Int): (Long, Double) = {
