@@ -170,4 +170,37 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).size === 1,
       s"unpivot must scan the table once, not per-measure:\n$p")
   }
+
+  test("decontamination broadcasts the eval shingle set against the corpus scan") {
+    // the corpus side must NEVER shuffle on shingles: the tiny eval set
+    // broadcasts, flagging is a map-side hash join + one per-doc agg
+    val p = finalPlan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("semantic dedup bounds the pair join to cells — equi-join, no cross product") {
+    val p = finalPlan("q_semdedup")
+    // centroid assignment broadcasts; the pair stage joins on the cell
+    // key — a nested-loop/cartesian anywhere means the N² bound is gone
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast centroid assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("corpus balance is a stateless scan filter over broadcast per-lang stats") {
+    val p = finalPlan("q_corpus_balance")
+    // no window, no sort of the corpus; the per-lang counts and the min
+    // target broadcast back onto one filtered scan
+    assert(!p.contains("WindowExec") && !p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast stats join:\n$p")
+  }
+
+  test("incremental dedup never re-pairs the base corpus with itself") {
+    val p = finalPlan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    // the digest screen is an equi-(semi-)join on the digest key
+    assert(p.contains("LeftSemi"), s"expected a semi-join digest screen:\n$p")
+  }
 }
