@@ -131,7 +131,9 @@ object Bench {
     // q_ivf_probe_recall stays a verify-gated measurement like the
     // other recall queries
     "q_dedup_incremental",
-    "q_winsorize")
+    "q_winsorize",
+    // exact-substring screen: frequency-capped shared-window equi-join
+    "q_dedup_substring")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -539,6 +539,47 @@ object Dedup {
               |FROM digests d
               |LEFT JOIN exact e ON e.doc_id = d.doc_id
               |LEFT JOIN near n ON n.doc_id = d.doc_id
-              |WHERE d.is_delta ORDER BY d.doc_id""".stripMargin))
+              |WHERE d.is_delta ORDER BY d.doc_id""".stripMargin)),
+
+    // Exact-substring dedup screen: pairs of documents sharing at least
+    // one EXACT 8-token window — the signal shingle-Jaccard dilutes
+    // (a verbatim paragraph inside two otherwise-different documents).
+    // Per-doc distinct window hashes equi-join on the hash; windows
+    // appearing in more than 10 documents are dropped FIRST — the
+    // standard boilerplate cap, and the skew guard: one viral footer
+    // would otherwise put n² pairs on a single join key. At 100 TB the
+    // frequency table is the same one-shuffle count this query runs,
+    // and the cap bounds any key's contribution to ≤ F·(F−1)/2 pairs.
+    QueryDef(
+      "q_dedup_substring",
+      (s, d) => {
+        val W = 8; val F = 10
+        val wins = Tables.documents(s, d)
+          .selectExpr("doc_id", "split(text, ' ') AS toks")
+          .selectExpr("doc_id",
+            s"explode(array_distinct(transform(CASE WHEN size(toks) >= $W " +
+              s"THEN sequence(1, size(toks) - ${W - 1}) ELSE CAST(array() AS ARRAY<INT>) END, " +
+              s"i -> ${tokHash(s"concat_ws(' ', slice(toks, i, $W))")}))) AS wh")
+        val kept = wins.join(
+          wins.groupBy("wh").agg(count(lit(1)).as("nf"))
+            .filter(col("nf").between(2, F)),
+          "wh")
+        kept.as("x").join(kept.as("y"),
+            col("x.wh") === col("y.wh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("n_shared_windows"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH wins AS (
+              |  SELECT DISTINCT doc_id, UNNEST(list_transform(
+              |    generate_series(1, len(string_split(text, ' ')) - 7),
+              |    i -> ${duckTokHash("array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')")})) AS wh
+              |  FROM documents),
+              |kept AS (SELECT doc_id, wh FROM wins
+              |         WHERE wh IN (SELECT wh FROM wins GROUP BY wh
+              |                      HAVING COUNT(*) BETWEEN 2 AND 10))
+              |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared_windows
+              |FROM kept x JOIN kept y ON x.wh = y.wh AND x.doc_id < y.doc_id
+              |GROUP BY a, b ORDER BY a, b""".stripMargin))
   )
 }

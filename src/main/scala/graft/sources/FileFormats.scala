@@ -76,6 +76,32 @@ object FileFormats {
              |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
              |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
              |  MIN(o_orderdate) AS first_date
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // JSON-lines — the interchange format most text corpora actually
+    // arrive in. The round-trip covers string escaping (document text
+    // with arbitrary punctuation survives a JSON encode/decode cycle —
+    // the checksum over text lengths would drift on any mangling), and
+    // the aggregate pins counts per language like a corpus manifest.
+    QueryDef(
+      "q_scan_jsonl",
+      (s, d) => {
+        val dir = sliceDir(d, "jsonl")
+        Tables.documents(s, d)
+          .select("doc_id", "lang", "source", "text", "n_chars")
+          .write.mode("overwrite").json(dir)
+        s.read.json(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
