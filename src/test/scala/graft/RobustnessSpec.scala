@@ -126,6 +126,52 @@ class RobustnessSpec extends AnyFunSuite {
     assert(pairs.length === 3) // 0 + 1 + 2 adjacent pairs
   }
 
+  test("massive-tie percentiles terminate without collecting the tied mass") {
+    import spark.implicits._
+    // one group where 99% of values are identical: the bracket
+    // degenerates to lo = hi at the sketch stage, the operator must
+    // return that value WITHOUT buffering the tied mass (the lo = hi
+    // early-exit — ties never inflate the collect), and the odd group
+    // still selects exactly.
+    val rows = (1 to 9999).map(_ => ("t", 7.0)) ++ Seq(("t", 100.0)) ++
+      (1 to 100).map(i => ("u", i.toDouble))
+    val out = operators.Aggregates.sortPercentiles(
+        rows.toDF("g", "v"), "g", Seq("v" -> Seq(0.5 -> "med")), candLimit = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("t") === 7.0)
+    assert(out("u") === 50.5)
+  }
+
+  test("corpus balance keeps a single-language corpus intact (rate = 1 path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_onelang").toString
+    Tables.documents(spark, sf)
+      .withColumn("lang", lit("xx"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("q_corpus_balance")(spark, dir).collect()
+    assert(row.length === 1)
+    // m = n_lang ⇒ threshold h·n < n·2³² ⇔ h < 2³², true for every
+    // 32-bit hash — nothing may be dropped when nothing is overweight
+    assert(row.head.getAs[Long]("n_kept") === row.head.getAs[Long]("n_before"))
+  }
+
+  test("incremental dedup of an all-new delta flags nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_newdelta").toString
+    // delta docs (doc_id % 10 = 7) get globally unique text: no exact
+    // dup and no shared shingles with the base — every admission row
+    // must come back clean
+    Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        "IF(doc_id % 10 = 7, concat('uniq', doc_id, ' ', text, ' tail', doc_id), text) AS text",
+        "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_incremental")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !r.getAs[Boolean]("exact_dup")), "no exact dups expected")
+    FrameCache.release(spark) // the altered corpus must not leak into other suites
+  }
+
   test("binary media payloads round-trip through parquet bit-exactly") {
     implicit val s = spark
     import spark.implicits._
