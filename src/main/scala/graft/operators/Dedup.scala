@@ -116,7 +116,14 @@ object Dedup {
       // array_min(transform(...)) scans per row, pinned equal in
       // NativeFunctionsSpec
       graft.functions.GraftFunctions.ensureMinhashSigs(s)
-      val sig = shingleFrame(s, d).selectExpr("doc_id", "minhash_sigs(hs) AS sig")
+      // sub-shingle-length docs (hs empty → NULL signature → empty band
+      // string) would otherwise all collide on one ("", band) bucket —
+      // a silent clique of unrelated tiny documents. An empty shingle
+      // set cannot be a near-duplicate of anything; drop it before
+      // banding (the oracle applies the same guard).
+      val sig = shingleFrame(s, d)
+        .filter(size(col("hs")) > 0)
+        .selectExpr("doc_id", "minhash_sigs(hs) AS sig")
       val bandStructs = (0 until 4).map { b =>
         val elems = (0 until 4).map(r => s"sig[${4 * b + r}]").mkString(", ")
         s"struct($b AS band, concat_ws(',', $elems) AS bsig)"
@@ -151,7 +158,8 @@ object Dedup {
       s"struct_pack(band := $b, bsig := array_to_string(sig[${4 * b + 1}:${4 * b + 4}], ','))"
     }
     s"""hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents),
-       |sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM hs),
+       |sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM hs
+       |        WHERE len(hs) > 0),
        |bands AS (SELECT doc_id, UNNEST([${bandStructs.mkString(", ")}], recursive := true) FROM sig),
        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |          FROM bands x JOIN bands y

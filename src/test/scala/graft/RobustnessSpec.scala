@@ -172,6 +172,25 @@ class RobustnessSpec extends AnyFunSuite {
     FrameCache.release(spark) // the altered corpus must not leak into other suites
   }
 
+  test("sub-shingle-length docs never band-collide into a tiny-doc clique") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tinydocs").toString
+    // five tiny docs (empty shingle sets — NULL signatures) plus one
+    // genuine near-dup pair; the tiny docs share nothing and must not
+    // pair with anything, least of all each other
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, "one"), (2L, "two"), (3L, "a b"), (4L, "x y"), (5L, "solo"),
+        (10L, near), (11L, near + " lambda"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = operators.Dedup.minhashPairs(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 11L)), s"unexpected pairs: $pairs")
+    FrameCache.release(spark)
+  }
+
   test("binary media payloads round-trip through parquet bit-exactly") {
     implicit val s = spark
     import spark.implicits._
