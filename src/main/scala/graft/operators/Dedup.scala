@@ -558,6 +558,11 @@ object Dedup {
     // would otherwise put n² pairs on a single join key. At 100 TB the
     // frequency table is the same one-shuffle count this query runs,
     // and the cap bounds any key's contribution to ≤ F·(F−1)/2 pairs.
+    // Window hashes are 60-bit (15 md5 hex digits), not the 32-bit
+    // tokHash: expected birthday-collision pairs are ~W²/2⁶¹ — a 32-bit
+    // hash would already mint ~10⁵ spurious "shared windows" from the
+    // ~5·10⁷ windows at sf10, and this screen has no verification stage
+    // to catch them.
     QueryDef(
       "q_dedup_substring",
       (s, d) => {
@@ -567,7 +572,7 @@ object Dedup {
           .selectExpr("doc_id",
             s"explode(array_distinct(transform(CASE WHEN size(toks) >= $W " +
               s"THEN sequence(1, size(toks) - ${W - 1}) ELSE CAST(array() AS ARRAY<INT>) END, " +
-              s"i -> ${tokHash(s"concat_ws(' ', slice(toks, i, $W))")}))) AS wh")
+              s"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, $W))), 1, 15), 16, 10) AS BIGINT)))) AS wh")
         val kept = wins.join(
           wins.groupBy("wh").agg(count(lit(1)).as("nf"))
             .filter(col("nf").between(2, F)),
@@ -581,7 +586,7 @@ object Dedup {
       Some(s"""WITH wins AS (
               |  SELECT DISTINCT doc_id, UNNEST(list_transform(
               |    generate_series(1, len(string_split(text, ' ')) - 7),
-              |    i -> ${duckTokHash("array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')")})) AS wh
+              |    i -> CAST(('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')), 1, 15)) AS BIGINT))) AS wh
               |  FROM documents),
               |kept AS (SELECT doc_id, wh FROM wins
               |         WHERE wh IN (SELECT wh FROM wins GROUP BY wh
