@@ -102,6 +102,36 @@ object FileFormats {
              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CSV — the reference's own format (its pipelines are schema-first
+    // CSV readers, `temDataRead.py:21-25`; graft.reference exercises
+    // that faithfully). This closes the source matrix as an ORACLE
+    // obligation: schema-first read-back (no inference — the 100 TB
+    // posture; inference is a full extra pass and type drift), explicit
+    // timestamp format, and a customer slice whose string column
+    // (c_mktsegment) and decimal-ish acctbal survive quoting. Sums stay
+    // on exact-typed columns per the module contract.
+    QueryDef(
+      "q_scan_csv",
+      (s, d) => {
+        val dir = sliceDir(d, "csv")
+        Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey", "c_mktsegment")
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        s.read
+          .schema("c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING")
+          .option("header", "true")
+          .csv(dir)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum("c_nationkey").cast("long").as("sum_nation"),
+            min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
+             |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }
