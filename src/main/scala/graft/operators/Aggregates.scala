@@ -37,7 +37,7 @@ object Aggregates {
     *     candidate state linearly in n. Fixed-and-cheap is right once
     *     something else owns the state bound.
     *  2. HISTOGRAM BISECTION (only while a bracket may exceed
-    *     candLimit — n > ~44M rows/group; zero rounds through sf10,
+    *     candLimit — n > ~26M rows/group; zero rounds through sf10,
     *     one at 10¹¹): bin the in-bracket values into B=1024
     *     equal-width bins — a (group, spec, bin) count/min/max
     *     aggregate, map-side combinable, O(B) state — and re-bracket
@@ -55,7 +55,7 @@ object Aggregates {
     *     below], interpolated by frac, is pure expression math.
     *
     * At 100 TB: every pass is a combinable aggregate at scan speed —
-    * 2 scans through ~44M rows/group, 3 at 10¹⁰, 4 at 10¹³; executor
+    * 2 scans through ~26M rows/group, 3 at 10¹⁰, 4 at 10¹³; executor
     * state is O(a) sketch + O(B) bins + ≤ max(candLimit, 6n/a values
     * when no round fires) collect buffer per (group, spec). A bracket
     * that degenerates to a single value (lo = hi — massive ties)

@@ -134,15 +134,23 @@ object Sampling {
     // Corpus rebalancing: downsample every language to (approximately)
     // the rarest language's share — the mixture-control pass of a
     // multilingual pre-training corpus. Membership is a pure row
-    // function (keep doc iff hash(doc_id)·n_lang < m·2³², i.e. a
+    // function (keep doc iff hash(doc_id) ≤ (m·2³² − 1) div n_lang — a
     // per-lang hash threshold at rate m/n_lang, integer-exact in both
-    // engines), so the kept set is reproducible on any cluster and the
-    // scan stays stateless — no per-lang sort or row_number over the
-    // corpus, just one tiny per-lang count broadcast back. The exact-m
-    // alternative (rank ≤ m per lang) needs a per-lang global sort; the
-    // hash threshold trades ±√m count jitter for a shuffle-free scan —
-    // at 100 TB that is the whole game. (hash·n_lang stays well inside
-    // BIGINT: 2³² · n_lang overflows only past 2³¹ docs per language.)
+    // engines and algebraically identical to hash·n_lang < m·2³² for
+    // non-negative hashes: hash ≤ ⌊(M−1)/n⌋ ⟺ hash·n ≤ M−1), so the
+    // kept set is reproducible on any cluster and the scan stays
+    // stateless — no per-lang sort or row_number over the corpus, just
+    // one tiny per-lang count broadcast back. The exact-m alternative
+    // (rank ≤ m per lang) needs a per-lang global sort; the hash
+    // threshold trades ±√m count jitter for a shuffle-free scan — at
+    // 100 TB that is the whole game. The division form exists because
+    // the product form silently inverts at scale: hash·n_lang wraps
+    // BIGINT negative past 2³¹ docs per language and keeps EVERY doc;
+    // the only product left, m·2³², wraps only past 2³¹ docs in the
+    // RAREST language — i.e. never before the corpus itself is
+    // > 2³¹·|langs| docs, and then it fails loudly (threshold goes
+    // negative → keeps nothing) rather than silently disabling the
+    // balance.
     QueryDef(
       "q_corpus_balance",
       (s, d) => {
@@ -151,7 +159,7 @@ object Sampling {
         val target = counts.agg(min(col("n_before")).as("m"))
         docs.join(broadcast(counts), "lang")
           .crossJoin(broadcast(target))
-          .filter(expr(s"${tokHash("CAST(doc_id AS STRING)")} * n_before < m * 4294967296"))
+          .filter(expr(s"${tokHash("CAST(doc_id AS STRING)")} <= (m * 4294967296 - 1) div n_before"))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_kept"),
             sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
@@ -164,7 +172,7 @@ object Sampling {
               |SELECT lang, n_before, COUNT(*) AS n_kept,
               |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
               |FROM documents JOIN counts USING (lang) CROSS JOIN target
-              |WHERE ${duckTokHash("CAST(doc_id AS VARCHAR)")} * n_before < m * 4294967296
+              |WHERE ${duckTokHash("CAST(doc_id AS VARCHAR)")} <= (m * 4294967296 - 1) // n_before
               |GROUP BY lang, n_before ORDER BY lang""".stripMargin))
   )
 }

@@ -83,6 +83,9 @@ object FileFormats {
     // with arbitrary punctuation survives a JSON encode/decode cycle —
     // the checksum over text lengths would drift on any mangling), and
     // the aggregate pins counts per language like a corpus manifest.
+    // Schema-first read-back, same 100 TB posture as q_scan_csv:
+    // inference is a full extra pass over the data and a type-drift
+    // risk (a shard whose doc_ids all fit in INT infers narrower).
     QueryDef(
       "q_scan_jsonl",
       (s, d) => {
@@ -90,7 +93,9 @@ object FileFormats {
         Tables.documents(s, d)
           .select("doc_id", "lang", "source", "text", "n_chars")
           .write.mode("overwrite").json(dir)
-        s.read.json(dir)
+        s.read
+          .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
+          .json(dir)
           .groupBy("lang")
           .agg(count(lit(1)).as("n"),
             sum(col("n_chars")).cast("long").as("sum_chars"),
@@ -110,27 +115,33 @@ object FileFormats {
     // obligation: schema-first read-back (no inference — the 100 TB
     // posture; inference is a full extra pass and type drift), explicit
     // timestamp format, and a customer slice whose string column
-    // (c_mktsegment) and decimal-ish acctbal survive quoting. Sums stay
-    // on exact-typed columns per the module contract.
+    // (c_mktsegment) and decimal-ish acctbal survive quoting — acctbal
+    // rides the round trip as DOUBLE text and is checked through an
+    // exact cents quantization (round(x·100) → BIGINT sum), so any
+    // parse drift in the decimal representation breaks the hash while
+    // the aggregate itself stays on exact integers per the module
+    // contract.
     QueryDef(
       "q_scan_csv",
       (s, d) => {
         val dir = sliceDir(d, "csv")
         Tables.customer(s, d)
-          .select("c_custkey", "c_nationkey", "c_mktsegment")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
           .write.mode("overwrite").option("header", "true").csv(dir)
         s.read
-          .schema("c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING")
+          .schema("c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
           .option("header", "true")
           .csv(dir)
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n"),
             sum("c_nationkey").cast("long").as("sum_nation"),
+            sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).cast("long").as("sum_acctbal_cents"),
             min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
           .orderBy("c_mktsegment")
       },
       Some("""SELECT c_mktsegment, COUNT(*) AS n,
              |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
+             |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
              |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
