@@ -282,23 +282,60 @@ object Dedup {
     b
   }
 
-  /** COUNT-driven [[simhashPairs]]: executes [[simhashBandBitsFor]] per
-    * run (parquet count is footer-metadata work; at 100 TB the N should
-    * come from table statistics, not any scan). */
-  private def simhashPairsSized(s: org.apache.spark.sql.SparkSession,
-                                d: String): org.apache.spark.sql.DataFrame = {
-    val bb = simhashBandBitsFor(Tables.documents(s, d).count())
-    simhashPairs(s, d, bits = 4 * bb, bandBits = bb)
+  /** The corpus size past which [[simhashBandBitsFor]]'s 15-bit cap
+    * binds (⌈N/targetBucket⌉ > 2¹⁵ ⟺ N > 8·2¹⁵ = 262144): beyond it a
+    * wider band no longer exists inside the 60-bit signature and the
+    * N²/2¹⁶ random-collision term returns (measured: 17.0 s at sf10
+    * and rising quadratically, BASELINE.md). The gate below makes the
+    * documented MinHash fallback EXECUTABLE at exactly this point. */
+  private[graft] val SimhashCapDocs: Long = 8L << 15
+
+  /** COUNT-driven near-dup pair relation — the headline dedup entry.
+    *
+    * Two regimes behind one schema (a, b, method, score):
+    *  - N ≤ [[SimhashCapDocs]]: sized SimHash — band width executes
+    *    [[simhashBandBitsFor]] per run, score = Hamming distance.
+    *  - N > cap: the band rule has no wider band left to shed random
+    *    collisions with, so the entry routes to the MinHash+LSH pair
+    *    relation ([[minhashPairs]], banded equi-join, 3.5× wall at
+    *    100× rows) instead of letting the quadratic term run; score =
+    *    verified Jaccard. MinHash is the documented high-recall path
+    *    of the family, so the switch is recall-positive, and the pair
+    *    relation is session-memoized — a pipeline that already ran the
+    *    MinHash stage pays nothing here.
+    *
+    * The parquet COUNT is footer-metadata work (at 100 TB the N should
+    * come from table statistics, not any scan); the oracle twin
+    * recomputes the same gate from COUNT(*) in integer SQL. `capDocs`
+    * is injectable so specs can force the fallback branch without a
+    * 262k-doc fixture. */
+  private[graft] def simhashPairsGated(s: org.apache.spark.sql.SparkSession, d: String,
+                                       capDocs: Long = SimhashCapDocs): org.apache.spark.sql.DataFrame = {
+    val n = Tables.documents(s, d).count()
+    if (n > capDocs)
+      minhashPairs(s, d).select(col("a"), col("b"),
+        lit("minhash").as("method"), col("jaccard").cast("double").as("score"))
+    else {
+      val bb = simhashBandBitsFor(n)
+      simhashPairs(s, d, bits = 4 * bb, bandBits = bb).select(col("a"), col("b"),
+        lit("simhash").as("method"), col("hamming").cast("double").as("score"))
+    }
   }
 
-  /** Oracle twin of [[simhashPairsSized]] — the brute-force pair scan
-    * over a RUNTIME signature width: a one-row `sized(b)` CTE recomputes
-    * [[simhashBandBitsFor]] from COUNT(*), the shingle hashes take their
-    * width from it (`substr(md5(x), 1, b)`: b hex digits = 4·b bits, the
-    * signature width), and the 60 statically-emitted majority terms need
-    * no mask — bits above the hash width are constant 0 in every member
-    * hash, so their majority is never set. */
-  private def duckSimhashPairsSized(targetBucket: Int = 8): String =
+  /** Oracle twin of [[simhashPairsGated]] — BOTH regimes, selected by
+    * the same integer gate recomputed from COUNT(*). The SimHash side
+    * is the brute-force pair scan over a RUNTIME signature width: a
+    * one-row `sized(b)` CTE recomputes [[simhashBandBitsFor]] from
+    * COUNT(*), the shingle hashes take their width from it
+    * (`substr(md5(x), 1, b)`: b hex digits = 4·b bits, the signature
+    * width), and the 60 statically-emitted majority terms need no mask
+    * — bits above the hash width are constant 0 in every member hash,
+    * so their majority is never set. The MinHash side is the shared
+    * [[duckVerifiedPairsCtes]] chain; its CTEs keep their canonical
+    * names, so the SimHash-side hash/signature CTEs are prefixed `s`.
+    * The two regime SELECTs are gated by mutually exclusive COUNT(*)
+    * predicates and unioned — exactly one contributes rows. */
+  private def duckSimhashPairsGated(targetBucket: Int = 8): String =
     s"""WITH sized AS (
        |  SELECT COALESCE(MIN(b), 15) AS b
        |  FROM generate_series(8, 15) t(b)
@@ -306,14 +343,21 @@ object Dedup {
        |    (SELECT COUNT(*) // $targetBucket
        |            + CASE WHEN COUNT(*) % $targetBucket = 0 THEN 0 ELSE 1 END
        |     FROM documents)),
-       |hs AS (SELECT doc_id, list_distinct(list_transform($duckShingles, x ->
+       |corpus_n AS (SELECT COUNT(*) AS n FROM documents),
+       |shs AS (SELECT doc_id, list_distinct(list_transform($duckShingles, x ->
        |         CAST(('0x' || substr(md5(x), 1, b)) AS BIGINT))) AS hs
        |       FROM documents CROSS JOIN sized),
-       |sims AS (SELECT doc_id, ${duckSimhash(60)} AS sim FROM hs)
-       |SELECT x.doc_id AS a, y.doc_id AS b,
-       |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
-       |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+       |ssims AS (SELECT doc_id, ${duckSimhash(60)} AS sim FROM shs),
+       |simpairs AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |               CAST(bit_count(xor(x.sim, y.sim)) AS DOUBLE) AS score
+       |             FROM ssims x JOIN ssims y ON x.doc_id < y.doc_id
+       |             WHERE bit_count(xor(x.sim, y.sim)) <= 3),
+       |$duckVerifiedPairsCtes
+       |SELECT a, b, 'simhash' AS method, score FROM simpairs
+       |WHERE (SELECT n FROM corpus_n) <= $SimhashCapDocs
+       |UNION ALL
+       |SELECT a, b, 'minhash' AS method, CAST(jaccard AS DOUBLE) AS score FROM verified
+       |WHERE (SELECT n FROM corpus_n) > $SimhashCapDocs
        |ORDER BY a, b""".stripMargin
 
   /** DuckDB brute-force twin of [[simhashPairs]] (all pairs + Hamming
@@ -383,12 +427,15 @@ object Dedup {
     // The SIZED variant — the headline dedup entry: band width EXECUTES
     // simhashBandBitsFor(COUNT) per run, so the candidate join's
     // N²/2^(b+1) term is held flat as N grows instead of saturating at a
-    // fixed width (8-bit: 19.4 s at sf3; the oracle recomputes b from
-    // COUNT(*) in integer SQL).
+    // fixed width (8-bit: 19.4 s at sf3), and past the point where no
+    // wider band exists (N > 8·2¹⁵) the entry ROUTES to the MinHash+LSH
+    // pair relation rather than letting the quadratic term run — the
+    // fallback is executable, not prose. The oracle recomputes b AND the
+    // regime gate from COUNT(*) in integer SQL.
     QueryDef(
       "q_dedup_simhash_sized",
-      (s, d) => simhashPairsSized(s, d),
-      Some(duckSimhashPairsSized())),
+      (s, d) => simhashPairsGated(s, d).orderBy("a", "b"),
+      Some(duckSimhashPairsGated())),
 
     // MinHash signatures via the typed Aggregator UDAF
     // ([[graft.functions.MinHashSignature]]): explode the shingle

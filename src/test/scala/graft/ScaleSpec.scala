@@ -180,10 +180,32 @@ class ScaleSpec extends AnyFunSuite {
     // monotone, never past the cap
     assert(Dedup.simhashBandBitsFor(1 << 20) >= Dedup.simhashBandBitsFor(1 << 16))
     // at N=500 the rule lands on the classic 32/8 setting, so the sized
-    // query must reproduce the fixed fixture bit-for-bit
+    // query's simhash regime must reproduce the fixed fixture's pairs
+    // and Hamming distances bit-for-bit
     val fixed = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .selectExpr("a", "b", "CAST(hamming AS DOUBLE) AS score")
     val sized = SparkEntry.queries("q_dedup_simhash_sized")(spark, sf)
-    assert(sized.exceptAll(fixed).count() === 0 && fixed.exceptAll(sized).count() === 0)
+    assert(sized.filter(col("method") =!= "simhash").count() === 0,
+      "below the cap the gate must pick the SimHash regime")
+    val sizedScores = sized.select("a", "b", "score")
+    assert(sizedScores.exceptAll(fixed).count() === 0 && fixed.exceptAll(sizedScores).count() === 0)
+  }
+
+  test("past the band cap the sized entry routes to the MinHash pair relation") {
+    import operators.Dedup
+    // capDocs forced below the fixture size: the gate must take the
+    // fallback branch and reproduce minhashPairs exactly — the
+    // documented MinHash fallback is executable, not prose
+    val gated = Dedup.simhashPairsGated(spark, sf, capDocs = 1L)
+    assert(gated.filter(col("method") =!= "minhash").count() === 0)
+    val viaGate = gated.select("a", "b", "score")
+    val direct = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .selectExpr("a", "b", "CAST(jaccard AS DOUBLE) AS score")
+    assert(viaGate.exceptAll(direct).count() === 0 && direct.exceptAll(viaGate).count() === 0)
+    // and the production threshold is exactly where the band rule runs
+    // out of wider bands: one doc past it, ⌈N/8⌉ exceeds 2^15
+    assert(Dedup.SimhashCapDocs === 262144L)
+    assert(Dedup.simhashBandBitsFor(Dedup.SimhashCapDocs) === 15)
   }
 
   test("IVF multi-probe: more probed cells buys recall with proportional candidates") {
