@@ -619,6 +619,34 @@ object Similarity {
        |            ORDER BY cosine DESC, c_id) AS rn FROM probe)
        |WHERE rn = 1 ORDER BY q_id""".stripMargin
 
+  /** COUNT-driven IVF — the production sized entry. The cell count
+    * executes [[ivfCellsFor]]; the ASSIGNMENT strategy gates on it:
+    * flat broadcast argmax while cells ≤ `flatCellCap` (N·cells dots —
+    * fine at small N, where a second quantizer level is pure overhead),
+    * two-level [[hierCellAssign]] past it (≈2·N^1.25 dots — the fix for
+    * flat's N^1.5 build, 84× fewer dots at 10⁹ vectors). Cap 64
+    * ⟺ N ≈ 4096: by then the flat assignment does ≥64 dots/vector
+    * while hier does ~8+8, so the crossover is safely behind it. The
+    * oracle twin recomputes cells AND the gate from COUNT(*); `cap` is
+    * injectable so specs can pin both branches without scale fixtures. */
+  def ivfSizedAnn(s: org.apache.spark.sql.SparkSession, d: String,
+                  flatCellCap: Int = 64): org.apache.spark.sql.DataFrame = {
+    val cells = ivfCellsFor(Tables.embeddings(s, d).count())
+    if (cells > flatCellCap) ivfHierAnn(s, d) else ivfAnn(s, d, cells)
+  }
+
+  /** Oracle twin of [[ivfSizedAnn]]: both regime statements as
+    * subqueries, gated by mutually exclusive predicates on the same
+    * ⌊√COUNT(*)⌋ the Spark side executes — exactly one contributes
+    * rows. */
+  def ivfOracleGated(flatCellCap: Int = 64): String = {
+    val gate = "SELECT GREATEST(4, CAST(floor(sqrt(COUNT(*))) AS INT)) FROM embeddings"
+    s"""SELECT * FROM (${ivfOracleSized()}) WHERE ($gate) <= $flatCellCap
+       |UNION ALL
+       |SELECT * FROM ($ivfHierOracle) WHERE ($gate) > $flatCellCap
+       |ORDER BY q_id""".stripMargin
+  }
+
   /** DuckDB twin of [[lshAnn]], generated from the same parameters. */
   def lshOracle(bits: Int, queryLimit: Int = 100): String =
     s"""WITH $duckNormCte,
@@ -716,12 +744,15 @@ object Similarity {
     // N/cells candidates instead of N. `cells` must track √N — the
     // SIZED variant executes [[ivfCellsFor]] over the live count (and
     // its oracle recomputes ⌊√COUNT(*)⌋ in SQL), so growing the table
-    // grows the quantizer without touching the query.
+    // grows the quantizer without touching the query — and past 64
+    // cells the ASSIGNMENT goes two-level ([[ivfSizedAnn]]): the flat
+    // N·√N build was the sized entry's scale ceiling (8.1× wall at
+    // 100× rows vs hier's 2.1×, BASELINE.md).
     QueryDef("q_sim_ivf", (s, d) => ivfAnn(s, d, cells = 8), Some(ivfOracle(cells = 8))),
     QueryDef(
       "q_sim_ivf_scaled",
-      (s, d) => ivfAnn(s, d, cells = ivfCellsFor(Tables.embeddings(s, d).count())),
-      Some(ivfOracleSized())),
+      (s, d) => ivfSizedAnn(s, d),
+      Some(ivfOracleGated())),
 
     // Two-level coarse quantizer: N^¼ super-cells bound the INDEX BUILD
     // to ~2·N^1.25 dots (flat √N assignment is N^1.5 — 3×10¹³ at 10⁹

@@ -208,6 +208,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(Dedup.simhashBandBitsFor(Dedup.SimhashCapDocs) === 15)
   }
 
+  test("sized IVF gates the assignment strategy on the computed cell count") {
+    import operators.{Similarity, Dedup => _}
+    // cap forced below the fixture's cell count → the two-level branch
+    // must run and reproduce q_ivf_hier exactly
+    val hierViaGate = Similarity.ivfSizedAnn(spark, sf, flatCellCap = 1)
+    val hierDirect = SparkEntry.queries("q_ivf_hier")(spark, sf)
+    assert(hierViaGate.exceptAll(hierDirect).count() === 0
+      && hierDirect.exceptAll(hierViaGate).count() === 0)
+    // cap above it → the flat branch, bit-for-bit the sized flat IVF
+    val cells = Similarity.ivfCellsFor(Tables.embeddings(spark, sf).count())
+    assert(cells <= 64, s"fixture should sit below the production cap, got $cells")
+    val flatViaGate = Similarity.ivfSizedAnn(spark, sf)
+    val flatDirect = Similarity.ivfAnn(spark, sf, cells)
+    assert(flatViaGate.exceptAll(flatDirect).count() === 0
+      && flatDirect.exceptAll(flatViaGate).count() === 0)
+  }
+
   test("IVF multi-probe: more probed cells buys recall with proportional candidates") {
     import operators.Similarity
     def row(np: Int): (Long, Double) = {
