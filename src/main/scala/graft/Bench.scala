@@ -9,10 +9,13 @@ import org.apache.spark.sql.SparkSession
   * whose cost model matters at scale (scan, filter, TPC-H Q1 aggregate,
   * fact⋈fact and broadcast joins, window, top-k, set op, scalars, text
   * pipeline, MinHash LSH, LSH ANN, streaming twins). The deliberately
-  * quadratic verification baselines (q_dedup_ngram, q_dedup_embed,
-  * brute-force q_sim_topk) are correctness fixtures, not performance
-  * claims — their scalable twins (q_dedup_minhash, q_sim_lsh) are what
-  * gets timed. Set SPARK_GRAFT_BENCH_ALL=1 to time everything anyway.
+  * quadratic verification baselines (tagged `scaleExcluded` on their
+  * QueryDef: q_dedup_ngram, q_dedup_embed, fixed 8-bit q_dedup_simhash)
+  * are correctness fixtures, not performance claims — their scalable
+  * twins (q_dedup_minhash, q_sim_lsh, q_dedup_simhash_sized) are what
+  * gets timed. SPARK_GRAFT_BENCH_ALL=1 times everything EXCEPT the
+  * tagged baselines (the tag is mechanical, not a list convention);
+  * naming one in SPARK_GRAFT_BENCH_ONLY still runs it.
   *
   * Each query runs once untimed-warm? No: the JVM+session warm-up is
   * amortized by a single untimed warmup query; per-query numbers are
@@ -140,13 +143,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(cpus)
 
+    // the deliberately quadratic verification baselines carry a
+    // QueryDef tag, not a list convention — any scale run excludes
+    // them mechanically (an explicit BENCH_ONLY naming still wins)
+    val excluded = SparkEntry.allDefs.filter(_.scaleExcluded).map(_.name).toSet
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       // dev knob: time a comma-separated subset without the full sweep
       case Some(only) => only.split(',').toSeq.filter(SparkEntry.queries.contains)
       case None =>
-        if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
+        if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
+          SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
         else headline.filter(SparkEntry.queries.contains)
     }
+    require(headline.forall(!excluded(_)),
+      s"headline contains scale-excluded baselines: ${headline.filter(excluded)}")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

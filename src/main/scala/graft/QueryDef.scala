@@ -14,4 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** Deliberately quadratic correctness baseline (all-pairs ngram /
+      * embed cosine, fixed-band 8-bit SimHash, brute-force top-k):
+      * verified at oracle scale, but mechanically excluded from scale
+      * benches — [[Bench]] honors the tag instead of a list convention.
+      * An explicit `SPARK_GRAFT_BENCH_ONLY` naming still runs one. */
+    scaleExcluded: Boolean = false)

@@ -410,11 +410,14 @@ object Dedup {
               |SELECT a, b, jaccard FROM verified ORDER BY a, b""".stripMargin)),
 
     // SimHash near-dup: banded equi-join in Spark, brute force in the
-    // oracle — same result set. Classic 32-bit/8-bit-band setting.
+    // oracle — same result set. Classic 32-bit/8-bit-band setting; its
+    // N²/2⁹ band-collision term saturates near N ≈ 10⁵ (19.4 s at sf3),
+    // which is what the sized entry exists to avoid — scale-excluded.
     QueryDef(
       "q_dedup_simhash",
       (s, d) => simhashPairs(s, d, bits = 32, bandBits = 8),
-      Some(duckSimhashPairs(32))),
+      Some(duckSimhashPairs(32)),
+      scaleExcluded = true),
 
     // The WIDE scale variant: 60-bit signature, 15-bit bands — the
     // band-width knob that keeps the candidate join sub-quadratic as N
@@ -480,7 +483,8 @@ object Dedup {
               |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
               |      / len(list_distinct(list_cat(x.g, y.g))) AS jaccard
               |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
-              |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin)),
+              |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin),
+      scaleExcluded = true),
 
     // Containment verification over the SAME LSH candidates: C(A→B) =
     // |A∩B|/|A| — the asymmetric signal that catches sub-document

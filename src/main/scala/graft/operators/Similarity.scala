@@ -839,7 +839,8 @@ object Similarity {
               |  SELECT x.vec_id AS a, y.vec_id AS b,
               |         ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
               |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
-              |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin)),
+              |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin),
+      scaleExcluded = true),
 
     // Semantic dedup (the SemDeDup shape): bound the quadratic cosine
     // check to COARSE-QUANTIZER CELLS — assign every embedding to its

@@ -16,6 +16,18 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("quadratic baselines are tagged and mechanically excluded from scale benches") {
+    val excluded = SparkEntry.allDefs.filter(_.scaleExcluded).map(_.name).toSet
+    // exactly the deliberately all-pairs / fixed-band fixtures
+    assert(excluded === Set("q_dedup_ngram", "q_dedup_embed", "q_dedup_simhash"))
+    // every tagged baseline keeps its oracle (verify-scale correctness
+    // is the reason it exists) and never reaches the headline set
+    excluded.foreach { n =>
+      assert(SparkEntry.oracleSql.contains(n), s"$n must stay oracle-checked")
+      assert(!Bench.headline.contains(n), s"$n must not be timed in the headline sweep")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0L)
   }
