@@ -3,14 +3,34 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
-/** The composed LLM corpus-preparation DAG as ONE declared query:
-  * MinHash near-dup pairs → connected components → survivor filter →
-  * overlapping token chunking → greedy sequence packing. Every stage
-  * exists as its own oracle-checked operator (q_dedup_minhash,
-  * q_dedup_cc, q_dedup_survivors, q_text_chunk, q_text_pack); this
-  * entry proves they COMPOSE — the pair relation and shingle frame come
-  * from the session-scoped [[graft.FrameCache]], so a pipeline run
-  * computes the expensive band join once, not once per stage consumer.
+/** The composed LLM corpus-preparation DAG as ONE declared query — the
+  * full production pass of a nightly corpus UPDATE:
+  *
+  *   1. BASE DEDUP — MinHash near-dup pairs restricted to the standing
+  *      corpus (doc_id % 10 ≠ 7) → connected components → min-id
+  *      survivors (what a previous build would have persisted).
+  *   2. INCREMENTAL ADMISSION — the arriving delta batch (doc_id % 10
+  *      = 7, q_dedup_incremental's convention) is screened against the
+  *      base: exact-duplicate digests out, near-dup partners of any
+  *      base doc out, and the delta deduped against ITSELF (CC over
+  *      delta×delta pairs). Base×base pairs are never re-paired for
+  *      admission — the delta rides the same verified pair relation.
+  *   3. DECONTAMINATION — any surviving doc sharing an 8-token shingle
+  *      with the evaluation slice (doc_id % 97 = 0, q_decontaminate's
+  *      convention) is removed, and the eval slice itself never
+  *      trains.
+  *   4. CHUNK + PACK — overlapping token chunking, then greedy
+  *      sequence packing via the two-pass distributed cumsum.
+  *
+  * Every stage exists as its own oracle-checked operator
+  * (q_dedup_minhash, q_dedup_cc, q_dedup_survivors,
+  * q_dedup_incremental, q_decontaminate, q_text_chunk, q_text_pack);
+  * this entry proves they COMPOSE — the shingle frame and the verified
+  * pair relation come from the session-scoped [[graft.FrameCache]], so
+  * the pipeline computes the expensive band join ONCE and derives the
+  * base-CC edges, the delta-admission partners, and the delta-CC edges
+  * from it by filters (PlanSpec pins the reuse: the pipeline plan scans
+  * InMemoryRelations and contains no fresh band join).
   *
   * The reference has no corpus tooling at all (SURVEY.md §5 — numeric
   * sensor CSVs); this is the extension surface's end-to-end shape: what
@@ -18,11 +38,14 @@ import org.apache.spark.sql.functions._
   * training.
   *
   * Scale shape: dedup is the banded equi-join (never all-pairs), CC
-  * carries O(log d) keyed shuffles with checkpointed lineage, the
-  * survivor filter is a left-anti join, chunking is stateless per-row
-  * generator work, and packing is the two-pass distributed cumsum (the
-  * only global window runs over one row per partition). No stage holds
-  * corpus-sized state on any single node.
+  * carries O(log d) keyed shuffles with checkpointed lineage (twice,
+  * over the two disjoint pair slices), admission is a broadcast-digest
+  * semi-join plus a filter on the pair relation, decontamination
+  * broadcasts the (tiny) eval shingle set so the corpus never shuffles
+  * on shingles, chunking is stateless per-row generator work, and
+  * packing is the two-pass distributed cumsum (the only global window
+  * runs over one row per partition). No stage holds corpus-sized state
+  * on any single node.
   */
 object CorpusPipeline {
 
@@ -31,21 +54,56 @@ object CorpusPipeline {
   private val BinBudget = 2048
   private val PackParts = 8
 
+  /** Stages 1–3 (base dedup, incremental admission, decontamination):
+    * the surviving training corpus (doc_id, text). Separate from the
+    * chunk/pack tail so PlanSpec can pin its plan BEFORE the pack
+    * stage's eager localCheckpoint truncates lineage. */
+  private[graft] def keptCorpus(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(s, d).select("a", "b") // memoized
+    // 1. base dedup: CC over base-only pairs, min-label survivor
+    val basePairs = pairs.filter(col("a") % 10 =!= 7 && col("b") % 10 =!= 7)
+    val baseRemoved = Clustering.connectedComponents(basePairs)
+      .filter(col("v") =!= col("lab")).select(col("v").as("doc_id"))
+    // 2. incremental admission of the delta batch
+    val digests = docs.select(col("doc_id"), sha2(col("text"), 256).as("dg"))
+    val exactDup = digests.filter(col("doc_id") % 10 === 7)
+      .join(digests.filter(col("doc_id") % 10 =!= 7).select("dg").distinct(),
+        Seq("dg"), "left_semi")
+      .select("doc_id")
+    val bidir = pairs.selectExpr("a AS x", "b AS y")
+      .unionAll(pairs.selectExpr("b AS x", "a AS y"))
+    val nearBase = bidir.filter(col("x") % 10 === 7 && col("y") % 10 =!= 7)
+      .select(col("x").as("doc_id")).distinct()
+    val deltaPairs = pairs.filter(col("a") % 10 === 7 && col("b") % 10 === 7)
+    val deltaRemoved = Clustering.connectedComponents(deltaPairs)
+      .filter(col("v") =!= col("lab")).select(col("v").as("doc_id"))
+    // 3. decontamination: drop survivors sharing a shingle with the
+    //    (broadcast) eval slice; the eval slice never trains
+    val sh = Dedup.shingleFrame(s, d) // memoized
+      .select(col("doc_id"), explode(col("g")).as("g"))
+    val evalShingles = sh.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalShingles), "g")
+      .select("doc_id").distinct()
+    val rejected = baseRemoved.unionAll(exactDup).unionAll(nearBase)
+      .unionAll(deltaRemoved).unionAll(contaminated).distinct()
+    docs.select("doc_id", "text")
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(rejected, Seq("doc_id"), "left_anti")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
       "q_pipeline_corpus",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val cc = Clustering.connectedComponents(
-          Dedup.minhashPairs(s, d).select("a", "b"))
-        val removed = cc.filter(col("v") =!= col("lab"))
-          .select(col("v").as("doc_id"))
-        val kept = Tables.documents(s, d).select("doc_id", "text")
-          .join(removed, Seq("doc_id"), "left_anti")
-        // q_text_chunk's window shape (40 tokens, stride 30, last start
-        // keeps ≥ 10 tokens), counting tokens only — the pack stage
-        // needs sizes, not bodies.
+        val kept = keptCorpus(s, d)
+        // 4. q_text_chunk's window shape (40 tokens, stride 30, last
+        // start keeps ≥ 10 tokens), counting tokens only — the pack
+        // stage needs sizes, not bodies.
         val chunks = kept
           .selectExpr("doc_id", "split(text, ' ') AS toks")
           .selectExpr("doc_id",
@@ -74,15 +132,57 @@ object CorpusPipeline {
             sum(col("chunk_toks")).cast("bigint").as("bin_toks"))
           .orderBy("bin")
       },
-      // The oracle replays the full chain declaratively: recursive-CTE
-      // components over the verified-pair relation, NOT-IN survivors,
-      // the unnest chunker, and a single global-window cumsum (fine at
-      // oracle scale; the Spark side's two-pass cumsum is the
-      // distributed strategy arriving at the identical packing).
-      Some(s"""WITH RECURSIVE ${Clustering.duckCcCtes},
-              |removed AS (SELECT v FROM cc WHERE v <> cluster),
+      // The oracle replays the full chain declaratively: the verified
+      // pair relation MATERIALIZED once (six references downstream —
+      // the multiplicative re-evaluation trap), two recursive-CTE
+      // component labelings over its base/delta slices, the digest and
+      // partner admission screens, the shingle-overlap decontamination,
+      // NOT-IN survivors, the unnest chunker, and a single
+      // global-window cumsum (fine at oracle scale; the Spark side's
+      // two-pass cumsum is the distributed strategy arriving at the
+      // identical packing).
+      Some(s"""WITH RECURSIVE ${Dedup.duckVerifiedPairsCtes},
+              |vp AS MATERIALIZED (SELECT a, b FROM verified),
+              |bedges AS MATERIALIZED (
+              |  SELECT a AS src, b AS dst FROM vp WHERE a % 10 <> 7 AND b % 10 <> 7
+              |  UNION ALL
+              |  SELECT b, a FROM vp WHERE a % 10 <> 7 AND b % 10 <> 7),
+              |breach(v, r) AS (
+              |  SELECT src, src FROM bedges
+              |  UNION
+              |  SELECT breach.v, bedges.dst FROM breach JOIN bedges ON bedges.src = breach.r),
+              |bcc AS (SELECT v, MIN(r) AS cluster FROM breach GROUP BY v),
+              |dedges AS MATERIALIZED (
+              |  SELECT a AS src, b AS dst FROM vp WHERE a % 10 = 7 AND b % 10 = 7
+              |  UNION ALL
+              |  SELECT b, a FROM vp WHERE a % 10 = 7 AND b % 10 = 7),
+              |dreach(v, r) AS (
+              |  SELECT src, src FROM dedges
+              |  UNION
+              |  SELECT dreach.v, dedges.dst FROM dreach JOIN dedges ON dedges.src = dreach.r),
+              |dcc AS (SELECT v, MIN(r) AS cluster FROM dreach GROUP BY v),
+              |digests AS MATERIALIZED (SELECT doc_id, sha256(text) AS dg FROM documents),
+              |exact AS (SELECT DISTINCT x.doc_id FROM digests x
+              |          WHERE x.doc_id % 10 = 7 AND EXISTS (
+              |            SELECT 1 FROM digests y
+              |            WHERE y.doc_id % 10 <> 7 AND y.dg = x.dg)),
+              |nearb AS (SELECT DISTINCT x AS doc_id FROM (
+              |            SELECT a AS x, b AS y FROM vp UNION ALL SELECT b, a FROM vp)
+              |          WHERE x % 10 = 7 AND y % 10 <> 7),
+              |shex AS MATERIALIZED (SELECT doc_id, UNNEST(${Dedup.duckShingles}) AS g
+              |                      FROM documents),
+              |ev AS (SELECT DISTINCT g FROM shex WHERE doc_id % 97 = 0),
+              |contaminated AS (SELECT DISTINCT doc_id FROM shex JOIN ev USING (g)
+              |                 WHERE doc_id % 97 <> 0),
+              |removedall AS (
+              |  SELECT v AS doc_id FROM bcc WHERE v <> cluster
+              |  UNION SELECT v FROM dcc WHERE v <> cluster
+              |  UNION SELECT doc_id FROM exact
+              |  UNION SELECT doc_id FROM nearb
+              |  UNION SELECT doc_id FROM contaminated),
               |kept AS (SELECT doc_id, text FROM documents
-              |         WHERE doc_id NOT IN (SELECT v FROM removed)),
+              |         WHERE doc_id % 97 <> 0
+              |           AND doc_id NOT IN (SELECT doc_id FROM removedall)),
               |chunks AS (
               |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(starts)), j ->
               |    struct_pack(chunk_idx := j - 1,

@@ -203,4 +203,23 @@ class PlanSpec extends AnyFunSuite {
     // the digest screen is an equi-(semi-)join on the digest key
     assert(p.contains("LeftSemi"), s"expected a semi-join digest screen:\n$p")
   }
+
+  test("corpus pipeline reuses the memoized pair relation — no stage recomputed") {
+    // the pipeline derives base-CC edges, delta-admission partners, and
+    // delta-CC edges from ONE cached pair relation: the memo hands every
+    // consumer the SAME frame (object identity), and the pre-pack plan
+    // (the pack stage's eager localCheckpoint truncates lineage after
+    // it) scans InMemoryRelations at each of the ≥4 pair/shingle
+    // consumption sites rather than rebuilding the band self-join.
+    // (The band join DOES appear once in the plan text — that is the
+    // InMemoryRelation printing its stored build plan, not a re-run.)
+    assert(operators.Dedup.minhashPairs(spark, sf)
+      eq operators.Dedup.minhashPairs(spark, sf))
+    val df = operators.CorpusPipeline.keptCorpus(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val cachedScans = "InMemoryTableScan".r.findAllIn(p).size
+    assert(cachedScans >= 4,
+      s"expected the pair/shingle consumers to hit the cache, got $cachedScans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
 }
