@@ -609,41 +609,121 @@ object Dedup {
     // would otherwise put n² pairs on a single join key. At 100 TB the
     // frequency table is the same one-shuffle count this query runs,
     // and the cap bounds any key's contribution to ≤ F·(F−1)/2 pairs.
-    // Window hashes are 60-bit (15 md5 hex digits), not the 32-bit
-    // tokHash: expected birthday-collision pairs are ~W²/2⁶¹ — a 32-bit
-    // hash would already mint ~10⁵ spurious "shared windows" from the
-    // ~5·10⁷ windows at sf10, and this screen has no verification stage
-    // to catch them.
+    //
+    // Window hashing is tokens-once + arithmetic-per-window: each token
+    // md5-hashes ONCE (32-bit [[graft.functions.TextAnalysis.tokHash]]),
+    // and a window's hash is two independent 31-bit Horner folds over
+    // its 8 token hashes packed into one 62-bit value — pure
+    // codegen-friendly BIGINT arithmetic, replacing the per-POSITION
+    // md5-over-concatenated-text that dominated this entry's wall clock
+    // (24.3 s at sf10; string building + md5 at every one of ~5·10⁷
+    // window starts). 62 bits keeps expected birthday-collision pairs
+    // at ~W²/2⁶³ — a single 31-bit fold would mint spurious "shared
+    // windows" at sf10 scale, and this screen has no verification
+    // stage to catch them. Overflow-safe by construction: fold state
+    // < 2³¹, token hash < 2³², so a·B + t < 2⁶³ at B ≤ 10⁶+3, and the
+    // packed h1·2³¹ + h2 < 2⁶². (Residual risk accepted and
+    // documented: two DISTINCT tokens colliding at 32 bits make their
+    // windows indistinguishable — ~V²/2³³ token pairs at vocabulary V,
+    // which must then also share identical 7-token context to mint a
+    // false pair.)
     QueryDef(
       "q_dedup_substring",
-      (s, d) => {
-        val W = 8; val F = 10
-        val wins = Tables.documents(s, d)
-          .selectExpr("doc_id", "split(text, ' ') AS toks")
-          .selectExpr("doc_id",
-            s"explode(array_distinct(transform(CASE WHEN size(toks) >= $W " +
-              s"THEN sequence(1, size(toks) - ${W - 1}) ELSE CAST(array() AS ARRAY<INT>) END, " +
-              s"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, $W))), 1, 15), 16, 10) AS BIGINT)))) AS wh")
-        val kept = wins.join(
-          wins.groupBy("wh").agg(count(lit(1)).as("nf"))
-            .filter(col("nf").between(2, F)),
-          "wh")
-        kept.as("x").join(kept.as("y"),
-            col("x.wh") === col("y.wh") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("n_shared_windows"))
-          .orderBy("a", "b")
-      },
-      Some(s"""WITH wins AS (
-              |  SELECT DISTINCT doc_id, UNNEST(list_transform(
-              |    generate_series(1, len(string_split(text, ' ')) - 7),
-              |    i -> CAST(('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i, i + 7), ' ')), 1, 15)) AS BIGINT))) AS wh
-              |  FROM documents),
-              |kept AS (SELECT doc_id, wh FROM wins
-              |         WHERE wh IN (SELECT wh FROM wins GROUP BY wh
-              |                      HAVING COUNT(*) BETWEEN 2 AND 10))
-              |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared_windows
-              |FROM kept x JOIN kept y ON x.wh = y.wh AND x.doc_id < y.doc_id
-              |GROUP BY a, b ORDER BY a, b""".stripMargin))
+      (s, d) => substringScreen(s, d, sample = 1),
+      Some(duckSubstringScreen(sample = 1))),
+
+    // The SAMPLED scale knob: keep only windows with wh % 4 = 0 before
+    // the frequency count and join — a 4× cut of the shuffle/join work.
+    // Sampling is by window CONTENT (the hash), not start position, so
+    // it is alignment-invariant: both documents keep or drop a shared
+    // window TOGETHER (a stride over start positions would miss a
+    // shared window whenever the two docs carry it at different
+    // parities). Guarantee change, stated honestly: a pair sharing k
+    // distinct windows is detected unless all k are sampled out —
+    // miss probability (3/4)^k, so verbatim-paragraph duplication
+    // (k ≈ L−7 for an L-token shared run) is still caught with near
+    // certainty, while single-window overlaps drop to 1/4 recall.
+    // n_shared_windows counts SAMPLED shared windows.
+    QueryDef(
+      "q_dedup_substring_sampled",
+      (s, d) => substringScreen(s, d, sample = 4),
+      Some(duckSubstringScreen(sample = 4)))
   )
+
+  /** The distinct per-doc 62-bit window-hash relation (doc_id, wh),
+    * hash-partitioned on wh and session-memoized: the frequency count,
+    * the cap join, BOTH self-join sides, and the sampled variant all
+    * consume one partitioning of one cached relation — partition once,
+    * consume many (measured at sf10: recomputing the window hashes per
+    * consumer was the old entry's 24.3 s; the shared relation brings
+    * the screen to ~16 s cold, ~4 s for a second consumer). The Horner
+    * folds are UNROLLED element_at chains, not aggregate-over-slice:
+    * higher-order-function lambdas are interpreted per element, and
+    * two slice allocations plus 16 lambda frames per window measured
+    * 2.4× slower than the same arithmetic as one flat expression. */
+  private[graft] def substringWindows(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame =
+    graft.FrameCache.memo(s, s"subwins:$d") {
+      val W = 8
+      val th = graft.functions.TextAnalysis.tokHash("t")
+      def horner(b: Long): String =
+        (0 until W).foldLeft("CAST(0 AS BIGINT)")((acc, k) =>
+          s"(($acc * $b + element_at(th, i + $k)) % 2147483647)")
+      Tables.documents(s, d)
+        .selectExpr("doc_id", s"transform(split(text, ' '), t -> $th) AS th")
+        .selectExpr("doc_id",
+          s"explode(array_distinct(transform(CASE WHEN size(th) >= $W " +
+            s"THEN sequence(1, size(th) - ${W - 1}) ELSE CAST(array() AS ARRAY<INT>) END, " +
+            s"i -> ${horner(1000003)} * 2147483648 + ${horner(100019)}))) AS wh")
+        .repartition(col("wh"))
+    }
+
+  /** Shared screen body for the full and sampled variants: the memoized
+    * window relation ([[substringWindows]]), optional content-mod
+    * sampling (a partitioning-preserving filter), frequency cap 2..10,
+    * equi-joins, pair count. The cap join and the self-join carry
+    * SHUFFLE_HASH hints: the frequency side is unbounded at 100 TB
+    * (every near-dup window survives the cap filter), so broadcasting
+    * it would be wrong-at-scale, and a sort-merge join would re-sort
+    * the already-co-partitioned relation — the per-partition hash
+    * build is the shape that holds (build side = one partition's
+    * capped windows, not the relation). */
+  private def substringScreen(s: org.apache.spark.sql.SparkSession, d: String,
+                              sample: Int): org.apache.spark.sql.DataFrame = {
+    val F = 10
+    val w0 = substringWindows(s, d)
+    val wins = if (sample == 1) w0 else w0.filter(col("wh") % sample === 0)
+    val freq = wins.groupBy("wh").agg(count(lit(1)).as("nf"))
+      .filter(col("nf").between(2, F))
+    val kept = wins.join(freq.hint("shuffle_hash"), "wh")
+    kept.as("x").join(kept.as("y").hint("shuffle_hash"),
+        col("x.wh") === col("y.wh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB twin of [[substringScreen]] — same token hashes, same two
+    * Horner folds (list_reduce with a prepended zero seed), same
+    * sampling predicate, same cap. */
+  private def duckSubstringScreen(sample: Int): String = {
+    val th = graft.functions.TextAnalysis.duckTokHash("t")
+    val fold = (b: Int) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]), (a, t) -> (a * $b + t) % 2147483647)"
+    val sampleWhere = if (sample == 1) "" else s"\n|  WHERE wh % $sample = 0"
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), t -> $th) AS th
+       |  FROM documents),
+       |wins AS (
+       |  SELECT DISTINCT doc_id, wh FROM (
+       |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(th) - 7),
+       |      i -> ${fold(1000003)} * 2147483648 + ${fold(100019)})) AS wh
+       |    FROM th)$sampleWhere),
+       |kept AS (SELECT doc_id, wh FROM wins
+       |         WHERE wh IN (SELECT wh FROM wins GROUP BY wh
+       |                      HAVING COUNT(*) BETWEEN 2 AND 10))
+       |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared_windows
+       |FROM kept x JOIN kept y ON x.wh = y.wh AND x.doc_id < y.doc_id
+       |GROUP BY a, b ORDER BY a, b""".stripMargin
+  }
 }

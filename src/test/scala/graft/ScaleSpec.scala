@@ -225,6 +225,22 @@ class ScaleSpec extends AnyFunSuite {
       && flatDirect.exceptAll(flatViaGate).count() === 0)
   }
 
+  test("sampled substring screen is a content-consistent subset of the full screen") {
+    // mod-sampling is by window CONTENT: both docs keep or drop a
+    // shared window together, so every sampled pair exists in the full
+    // screen with at least as many shared windows — a start-position
+    // stride would violate this whenever two docs carry the same
+    // window at different parities
+    val full = SparkEntry.queries("q_dedup_substring")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sampled = SparkEntry.queries("q_dedup_substring_sampled")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sampled.foreach { case (pair, n) =>
+      assert(full.contains(pair), s"sampled pair $pair missing from full screen")
+      assert(n <= full(pair), s"sampled count $n exceeds full ${full(pair)} for $pair")
+    }
+  }
+
   test("IVF multi-probe: more probed cells buys recall with proportional candidates") {
     import operators.Similarity
     def row(np: Int): (Long, Double) = {
