@@ -136,7 +136,14 @@ object Bench {
     "q_dedup_incremental",
     "q_winsorize",
     // exact-substring screen: frequency-capped shared-window equi-join
-    "q_dedup_substring")
+    // over the memoized 62-bit window-hash relation, plus its
+    // content-mod-sampled scale knob riding the same cached frame
+    "q_dedup_substring",
+    "q_dedup_substring_sampled",
+    // round 6: global exact percentiles — the one-group entry whose n
+    // crosses the bisection activity trigger (n ≳ 26M) at sf10, so the
+    // sweep runs the histogram-bisection round in anger
+    "q_agg_percentile_global")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

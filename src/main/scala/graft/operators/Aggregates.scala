@@ -66,6 +66,12 @@ object Aggregates {
     * stays plain quantile_cont, and groups whose value column is
     * all-NULL surface with NULL percentiles, matching it.
     */
+  /** Bisection rounds executed by the most recent [[sortPercentiles]]
+    * call in this JVM — a test/bench observation hook ONLY (proves the
+    * n ≳ 26M trigger actually fired in anger; ScaleSpec asserts it on
+    * a 30M-row group). Not part of any result. */
+  private[graft] val lastBisectRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def sortPercentiles(
       df: org.apache.spark.sql.DataFrame, group: String,
       specs: Seq[(String, Seq[(Double, String)])],
@@ -89,12 +95,17 @@ object Aggregates {
       Seq(count(col(c)).as(s"__n_$c"),
         expr(s"approx_percentile(CAST($c AS DOUBLE), array($qs), $acc)").as(s"__q_$c"))
     }
+    // CAST($p AS DOUBLE): a bare 0.95 literal is DECIMAL in Spark SQL,
+    // making frac decimal-exact (0.05) where quantile_cont engines
+    // interpolate in doubles (0.0499…95) — the p95 interpolation then
+    // lands one ulp off the oracle. Rank arithmetic must follow the
+    // same IEEE path as the oracle's, not a more exact one.
     val specCols = specs.flatMap { case (c, ps) =>
       ps.zipWithIndex.map { case ((p, name), j) =>
         expr(s"""struct(
-                |  CAST(floor($p * (__n_$c - 1)) AS BIGINT) + 1 AS rf,
-                |  CAST(ceil($p * (__n_$c - 1)) AS BIGINT) + 1 AS rc,
-                |  $p * (__n_$c - 1) - floor($p * (__n_$c - 1)) AS frac,
+                |  CAST(floor(CAST($p AS DOUBLE) * (__n_$c - 1)) AS BIGINT) + 1 AS rf,
+                |  CAST(ceil(CAST($p AS DOUBLE) * (__n_$c - 1)) AS BIGINT) + 1 AS rc,
+                |  CAST($p AS DOUBLE) * (__n_$c - 1) - floor(CAST($p AS DOUBLE) * (__n_$c - 1)) AS frac,
                 |  __q_$c[${2 * j}] AS lo, __q_$c[${2 * j + 1}] AS hi,
                 |  CAST(NULL AS BIGINT) AS below,
                 |  least(__n_$c, 8 * __n_$c DIV $acc + 16) AS m)""".stripMargin)
@@ -159,25 +170,26 @@ object Aggregates {
       // values.
       val bf = cum.filter(col("bin") >= 0 && col("cumThrough") >= col("s.rf"))
         .groupBy(group, "sid")
-        .agg(min(struct(col("bin"), col("mnv"), col("cumBefore"))).as("f"))
+        .agg(min(struct(col("bin"), col("mnv"), col("cumBefore"))).as("__bf"))
       val bc = cum.filter(col("bin") >= 0 && col("cumThrough") >= col("s.rc"))
         .groupBy(group, "sid")
-        .agg(min(struct(col("bin"), col("mxv"), col("cumThrough"))).as("g"))
+        .agg(min(struct(col("bin"), col("mxv"), col("cumThrough"))).as("__bc"))
       val upd = stLong
         .join(bf, Seq(group, "sid"), "left")
         .join(bc, Seq(group, "sid"), "left")
         .selectExpr(group, "sid",
-          """CASE WHEN f IS NULL THEN s ELSE named_struct(
+          """CASE WHEN __bf IS NULL THEN s ELSE named_struct(
             |  'rf', s.rf, 'rc', s.rc, 'frac', s.frac,
-            |  'lo', f.mnv, 'hi', g.mxv,
-            |  'below', f.cumBefore,
-            |  'm', g.cumThrough - f.cumBefore) END AS s""".stripMargin)
+            |  'lo', __bf.mnv, 'hi', __bc.mxv,
+            |  'below', __bf.cumBefore,
+            |  'm', __bc.cumThrough - __bf.cumBefore) END AS s""".stripMargin)
       val wideCols = flat.zipWithIndex.map { case ((_, _, name), i) =>
         max(when(col("sid") === i, col("s"))).as(s"__st_$name")
       }
       st = upd.groupBy(group).agg(wideCols.head, wideCols.tail: _*)
         .localCheckpoint(true)
     }
+    lastBisectRounds.set(rounds)
 
     // Final fused scan: sorted in-bracket candidates + below-bracket
     // count per spec (the latter only consulted when no bisection
@@ -567,6 +579,28 @@ object Aggregates {
              |  quantile_cont(l_extendedprice, 0.95) AS p95,
              |  quantile_cont(l_quantity, 0.25) AS q25
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // The GLOBAL (one-group) exact percentiles — the entry that drives
+    // the bisection path into its activity region at bench scale: the
+    // trigger is m = 8n/800 + 16 > 262144 ⟺ n ≳ 26M rows per GROUP,
+    // which per-returnflag groups never reach through sf10 (60M rows /
+    // 3 flags ÷ ... split again by the sweep's fixed cores) but ONE
+    // group over sf10's 60M lineitem rows does — so the sweep
+    // exercises a real bisection round (ScaleSpec separately pins the
+    // round count and exactness on a synthetic 30M-row group).
+    QueryDef(
+      "q_agg_percentile_global",
+      (s, d) => sortPercentiles(
+          Tables.lineitem(s, d).withColumn("g", lit("ALL")), "g",
+          Seq(
+            "l_extendedprice" -> Seq(0.5 -> "p50", 0.95 -> "p95"),
+            "l_quantity" -> Seq(0.25 -> "q25")))
+        .select("g", "p50", "p95", "q25"),
+      Some("""SELECT 'ALL' AS g,
+             |  quantile_cont(l_extendedprice, 0.5) AS p50,
+             |  quantile_cont(l_extendedprice, 0.95) AS p95,
+             |  quantile_cont(l_quantity, 0.25) AS q25
+             |FROM lineitem""".stripMargin)),
 
     // GROUPING SETS through the SQL entry point (spark.sql over a temp
     // view — the surface a SQL-first user drives), sentinel-coalesced

@@ -225,6 +225,26 @@ class ScaleSpec extends AnyFunSuite {
       && flatDirect.exceptAll(flatViaGate).count() === 0)
   }
 
+  test("percentile bisection fires past the 26M-row trigger and stays exact") {
+    import operators.Aggregates
+    // 30M uniform values in one group: m = 8n/800 + 16 ≈ 300k exceeds
+    // candLimit 262144, so at least one histogram-bisection round MUST
+    // run — the path had never executed outside its unit fixtures
+    // (n < 26M/group at every driver SF). Percentiles of 0..n−1 have
+    // closed forms, so exactness is checked against ground truth, not
+    // an estimate.
+    val n = 30000000L
+    val df = spark.range(n).selectExpr("'ALL' AS g", "CAST(id AS DOUBLE) AS v")
+    val r = Aggregates.sortPercentiles(df, "g",
+      Seq("v" -> Seq(0.5 -> "p50", 0.95 -> "p95"))).collect()
+    assert(Aggregates.lastBisectRounds.get() >= 1,
+      "the bisection round must actually fire at n = 30M")
+    val row = r.head
+    def expected(p: Double): Double = p * (n - 1)
+    assert(math.abs(row.getAs[Double]("p50") - expected(0.5)) < 1e-6)
+    assert(math.abs(row.getAs[Double]("p95") - expected(0.95)) < 1e-6)
+  }
+
   test("sampled substring screen is a content-consistent subset of the full screen") {
     // mod-sampling is by window CONTENT: both docs keep or drop a
     // shared window together, so every sampled pair exists in the full
