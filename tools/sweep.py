@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Publication bench sweep with the median-of-3 noise protocol.
+
+Round-5 verdict, item 3: single-run sweep entries that regress >1.3x
+against the prior round's numbers must be re-measured (3 serialized
+runs, median committed) before publication — this host shows +-2-4x
+CPU-steal noise on shuffle-heavy stages, and a single sample cannot
+distinguish that from a real regression.
+
+For each scale point this script:
+  1. runs the full headline bench once (serialized, nothing else
+     running — the numbers are invalid otherwise, see
+     graft-build-workflow memory / BASELINE.md);
+  2. compares per-query times against a reference JSON (the committed
+     prior-round sweep for the same SF, when one exists);
+  3. when any entry exceeds 1.3x its reference (or is force-listed),
+     runs the FULL headline two more times and commits each suspect's
+     per-query MEDIAN of the three samples — the re-runs must share
+     the first run's conditions (a BENCH_ONLY subset run pays JIT/
+     codegen warm-up the in-sweep sample amortizes, and measured
+     2-3x high for exactly the queries under investigation);
+  4. writes the final BENCH_sf*.json plus a markdown report of every
+     re-measured entry with all three samples.
+
+Usage: python3 tools/sweep.py [--points sf0.1,sf1,sf3,sf10]
+                              [--force q_zorder,q_tfidf,q_dq_entropy]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+
+POINTS = {
+    "sf0.1": ("/root/testdata/sf0.1", "BENCH_r05.json"),
+    "sf1": ("/tmp/sf1", "BENCH_sf1.json"),
+    "sf3": ("/tmp/sf3", "BENCH_sf3.json"),
+    "sf10": ("/tmp/sf10", "BENCH_sf10.json"),
+}
+THRESHOLD = 1.3
+
+
+def run_bench(sf_dir, only=None):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
+    out = subprocess.run(
+        ["java", "-cp", CP, "graft.Bench"],
+        env=env, capture_output=True, text=True, cwd=REPO)
+    line = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')]
+    if not line:
+        sys.exit(f"bench produced no JSON for {sf_dir} (only={only}):\n"
+                 f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    d = json.loads(line[-1])
+    if d.get("errors"):
+        sys.exit(f"bench errors at {sf_dir}: {d['errors']}")
+    return d["queries"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", default="sf0.1,sf1,sf3,sf10")
+    ap.add_argument("--force", default="")
+    ap.add_argument("--report", default="tools/sweep_report_r6.md")
+    args = ap.parse_args()
+    force = [q for q in args.force.split(",") if q]
+
+    report = ["# Sweep noise-protocol report", ""]
+    for point in args.points.split(","):
+        sf_dir, ref_name = POINTS[point]
+        ref_path = os.path.join(REPO, ref_name)
+        ref = {}
+        if os.path.exists(ref_path):
+            refdoc = json.load(open(ref_path))
+            ref = refdoc.get("queries", {})
+            if not ref and "tail" in refdoc:
+                # driver-round logs (BENCH_r*.json) wrap the bench line
+                # in a stdout tail, often truncated mid-JSON — recover
+                # the per-query pairs by regex
+                import re
+                ref = {m.group(1): float(m.group(2)) for m in
+                       re.finditer(r'"(q_\w+)":([0-9.]+)', refdoc["tail"])}
+        print(f"[sweep] {point}: full headline run ...", flush=True)
+        first = run_bench(sf_dir)
+
+        suspects = sorted(set(
+            [q for q, t in first.items()
+             if q in ref and ref[q] > 0 and t / ref[q] > THRESHOLD]
+            + [q for q in force if q in first]))
+        samples = {q: [first[q]] for q in first}
+        if suspects:
+            print(f"[sweep] {point}: re-measuring {len(suspects)} "
+                  f"outliers via 2 more full runs: {suspects}", flush=True)
+            for rerun in range(2):
+                again = run_bench(sf_dir)
+                for q in suspects:
+                    if q in again:
+                        samples[q].append(again[q])
+
+        final = {q: (statistics.median(ts) if len(ts) > 1 else ts[0])
+                 for q, ts in samples.items()}
+        total = sum(final.values())
+        out = {"metric": "total", "value": total, "unit": "sec",
+               "queries": final, "errors": {}, "sf": sf_dir,
+               "protocol": {"threshold": THRESHOLD,
+                            "remeasured": suspects,
+                            "reference": ref_name if ref else None}}
+        out_path = os.path.join(REPO, f"BENCH_{point.replace('.', '')}.json"
+                                if point != "sf0.1" else "BENCH_sf01.json")
+        json.dump(out, open(out_path, "w"), indent=1)
+        print(f"[sweep] {point}: total {total:.1f} s -> {out_path}", flush=True)
+
+        report.append(f"## {point} (total {total:.1f} s)")
+        if not suspects:
+            report.append("No entries exceeded the 1.3x threshold; "
+                          "all numbers are single serialized runs.")
+        for q in suspects:
+            ts = ", ".join(f"{t:.2f}" for t in samples[q])
+            r = f" (ref {ref[q]:.2f}, ratio {samples[q][0] / ref[q]:.2f}x)" \
+                if q in ref and ref[q] > 0 else " (forced)"
+            report.append(f"- `{q}`: samples [{ts}] s -> median "
+                          f"{statistics.median(samples[q]):.2f}{r}")
+        report.append("")
+
+    open(os.path.join(REPO, args.report), "w").write("\n".join(report) + "\n")
+    print(f"[sweep] report -> {args.report}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
