@@ -143,7 +143,16 @@ object Bench {
     // round 6: global exact percentiles — the one-group entry whose n
     // crosses the bisection activity trigger (n ≳ 26M) at sf10, so the
     // sweep runs the histogram-bisection round in anger
-    "q_agg_percentile_global")
+    "q_agg_percentile_global",
+    // round 6, second wave: the corpus-curation operators a production
+    // mixture pass adds around dedup — per-source caps, temperature
+    // resampling, LM perplexity scoring, embedding-space
+    // decontamination, and the deterministic shard-assignment write path
+    "q_source_cap",
+    "q_mix_temperature",
+    "q_lm_score",
+    "q_decontaminate_semantic",
+    "q_shard_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

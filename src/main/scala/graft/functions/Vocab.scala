@@ -332,6 +332,65 @@ object Vocab {
              |  FROM documents)
              |SELECT tok, COUNT(*) AS doc_freq,
              |  array_to_string(list_sort(list(doc_id ORDER BY doc_id))[1:8], ',') AS postings_head
-             |FROM posting GROUP BY tok HAVING COUNT(*) >= 100 ORDER BY tok""".stripMargin))
+             |FROM posting GROUP BY tok HAVING COUNT(*) >= 100 ORDER BY tok""".stripMargin)),
+
+    // Trigram-LM document scoring — the KenLM-style perplexity filter
+    // every corpus pass runs (here self-scored against the corpus's own
+    // model; production scores against a held-out high-quality model,
+    // which only changes which table the counts come from). Conditional
+    // p(w3|w1,w2) = n3 / Σ_w n(w1,w2,w) — the context count comes from
+    // the trigram table itself so the distribution sums to 1 exactly.
+    // Scale shape: the model is a vocab-bounded aggregate joined back to
+    // the corpus's trigram stream on the trigram key — ONE shuffle of
+    // the corpus trigrams, then a per-doc partial agg. Cross-engine
+    // determinism: each trigram's -ln p is µ-quantized to BIGINT before
+    // summing (the q_sample_weighted idiom — ln is the only ulp risk,
+    // and a double Σ of logs would be partial-sum-order dependent);
+    // the published average stays in integer arithmetic (div).
+    // Output = the 20 highest-perplexity docs, the filter's drop list.
+    QueryDef(
+      "q_lm_score",
+      (s, d) => {
+        val toks = Tables.documents(s, d).selectExpr("doc_id", "split(text, ' ') AS toks")
+        val inst = toks.selectExpr("doc_id",
+          "explode(transform(CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) " +
+            "ELSE CAST(array() AS ARRAY<INT>) END, " +
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3))) AS g")
+          .selectExpr("doc_id", "g.w1 AS w1", "g.w2 AS w2", "g.w3 AS w3")
+        val tri = inst.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+        val model = tri.join(
+          tri.groupBy("w1", "w2").agg(sum(col("n3")).as("nc")), Seq("w1", "w2"))
+        inst.join(model, Seq("w1", "w2", "w3"))
+          .withColumn("nll_micro",
+            expr("CAST(round(-ln(CAST(n3 AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tri"), sum(col("nll_micro")).as("nll_sum"))
+          .withColumn("avg_nll_micro", expr("nll_sum div n_tri"))
+          .orderBy(col("avg_nll_micro").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |inst AS MATERIALIZED (
+             |  SELECT doc_id, w1, w2, w3 FROM (
+             |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+             |      i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2])), recursive := true)
+             |    FROM toks)),
+             |tri AS MATERIALIZED (
+             |  SELECT w1, w2, w3, COUNT(*) AS n3 FROM inst GROUP BY 1, 2, 3),
+             |model AS MATERIALIZED (
+             |  SELECT w1, w2, w3, n3, nc FROM tri JOIN (
+             |    SELECT w1, w2, CAST(SUM(n3) AS BIGINT) AS nc FROM tri GROUP BY 1, 2)
+             |    USING (w1, w2)),
+             |scored AS (
+             |  SELECT doc_id,
+             |    CAST(round(-ln(CAST(n3 AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             |      AS nll_micro
+             |  FROM inst JOIN model USING (w1, w2, w3))
+             |SELECT doc_id, COUNT(*) AS n_tri,
+             |  CAST(SUM(nll_micro) AS BIGINT) AS nll_sum,
+             |  CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS avg_nll_micro
+             |FROM scored GROUP BY doc_id
+             |ORDER BY avg_nll_micro DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

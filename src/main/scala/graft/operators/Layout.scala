@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextAnalysis.{duckTokHash, tokHash}
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
@@ -101,6 +102,32 @@ object Layout {
               |SELECT CAST(zval // 2048 AS BIGINT) AS z_bucket, COUNT(*) AS n,
               |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
               |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
-              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic output sharding: every document lands in shard
+    // md5(doc_id) % 16 — a pure row function, so the assignment is
+    // identical on any cluster, any partition count, any run, and a
+    // re-run of an incremental append routes new docs without moving old
+    // ones (the property mod-on-a-sequence or round-robin would lose).
+    // This IS the training-shard write path at 100 TB: `repartition(S,
+    // shard)` + `partitionBy(shard)` is one hash shuffle, and the hash
+    // gives ±√n balance per shard with no planning pass. The query
+    // reports the per-shard envelope (docs, tokens, membership checksum)
+    // — the balance evidence a shard writer would assert before commit.
+    QueryDef(
+      "q_shard_assign",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr(s"${tokHash("CAST(doc_id AS STRING)")} % 16 AS shard",
+          "doc_id", "size(split(text, ' ')) AS n_tok")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("bigint").as("n_tokens"),
+          sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+        .orderBy("shard"),
+      Some(s"""SELECT ${duckTokHash("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -173,6 +173,81 @@ object Sampling {
               |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
               |FROM documents JOIN counts USING (lang) CROSS JOIN target
               |WHERE ${duckTokHash("CAST(doc_id AS VARCHAR)")} <= (m * 4294967296 - 1) // n_before
+              |GROUP BY lang, n_before ORDER BY lang""".stripMargin)),
+
+    // Per-source document cap (the web-corpus "domain cap": no single
+    // site may contribute more than K documents, picked deterministically
+    // by hash order so every run keeps the same K). Same WindowGroupLimit
+    // shape as q_sample_reservoir — rank ≤ K over a hash-ordered window
+    // keeps executor state at O(K·sources), never O(rows); the output
+    // aggregates to per-source admission stats so the membership set is
+    // pinned by checksum, not by listing rows.
+    QueryDef(
+      "q_source_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val coin = expr(tokHash("CAST(doc_id AS STRING)"))
+        val w = Window.partitionBy("source").orderBy(coin.asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 15)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source, COUNT(*) AS n_kept,
+              |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum FROM (
+              |  SELECT source, doc_id,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY ${duckTokHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+              |  FROM documents)
+              |WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Temperature-scaled mixture resampling (the T5/multilingual-corpus
+    // recipe): language s is kept at rate ∝ n_s^α / Σ n_t^α with α = ½,
+    // so rare languages are upweighted relative to their share without
+    // ever being oversampled past rate 1. Like q_corpus_balance this is
+    // a STATELESS hash-threshold scan (the whole selection is one pushed
+    // predicate, no shuffle of the corpus) — the difference is the
+    // target: balance clamps every language to the minimum, temperature
+    // interpolates between the natural mixture (α=1) and uniform (α=0).
+    // Determinism across engines: Σ√n is summed in µ-quantized integers
+    // (a double Σ would be partial-sum-order dependent), and the final
+    // rate is a fixed parenthesized chain of IEEE ops on values derived
+    // only from exact counts.
+    QueryDef(
+      "q_mix_temperature",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+          .withColumn("sw",
+            expr("CAST(floor(sqrt(CAST(n_before AS DOUBLE)) * 1e9) AS BIGINT)"))
+        val tot = counts.agg(sum(col("sw")).as("sumw"), sum(col("n_before")).as("n_total"))
+          .selectExpr("sumw", "n_total div 2 AS t_target")
+        docs.join(broadcast(counts), "lang")
+          .crossJoin(broadcast(tot))
+          .filter(expr(s"${tokHash("CAST(doc_id AS STRING)")} < CAST(floor(LEAST(1.0, " +
+            "((CAST(t_target AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sumw AS DOUBLE)) " +
+            "/ CAST(n_before AS DOUBLE)) * 4294967296.0) AS BIGINT)"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .join(counts.select("lang", "n_before"), "lang")
+          .select("lang", "n_before", "n_kept", "key_checksum")
+          .orderBy("lang")
+      },
+      Some(s"""WITH counts AS (SELECT lang, COUNT(*) AS n_before,
+              |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e9) AS BIGINT) AS sw
+              |  FROM documents GROUP BY lang),
+              |tot AS (SELECT CAST(SUM(sw) AS BIGINT) AS sumw,
+              |    CAST(SUM(n_before) AS BIGINT) // 2 AS t_target FROM counts)
+              |SELECT lang, n_before, COUNT(*) AS n_kept,
+              |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+              |FROM documents JOIN counts USING (lang) CROSS JOIN tot
+              |WHERE ${duckTokHash("CAST(doc_id AS VARCHAR)")} < CAST(floor(LEAST(1.0,
+              |  ((CAST(t_target AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sumw AS DOUBLE))
+              |  / CAST(n_before AS DOUBLE)) * 4294967296.0) AS BIGINT)
               |GROUP BY lang, n_before ORDER BY lang""".stripMargin))
   )
 }

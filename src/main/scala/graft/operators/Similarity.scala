@@ -873,6 +873,43 @@ object Similarity {
               |      / (sqrt(${duckDot("x.embedding", "x.embedding")})
               |         * sqrt(${duckDot("y.embedding", "y.embedding")})) AS cosine
               |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id)
-              |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin))
+              |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin)),
+
+    // Embedding-space decontamination: flag corpus vectors semantically
+    // close (cosine ≥ 0.35) to ANY vector of an evaluation set — the
+    // companion to q_decontaminate's shingle overlap, catching the
+    // paraphrased leaks n-grams miss. The eval slice (vec_id % 97 = 0,
+    // same stand-in convention as q_decontaminate) is tiny by nature —
+    // benchmark suites are thousands of items — so it is BROADCAST and
+    // the corpus is scanned ONCE with per-row work bounded by |eval|:
+    // a broadcast nested-loop with zero corpus shuffle, which beats any
+    // index build below ~10⁵ eval vectors. (Past that, route the eval
+    // set through the q_sim_lsh_scaled buckets instead.) Output =
+    // per-flagged-vector hit count + max cosine, the audit columns a
+    // contamination report needs.
+    QueryDef(
+      "q_decontaminate_semantic",
+      (s, d) => {
+        graft.functions.GraftFunctions.ensureCosine(s)
+        val e = Tables.embeddings(s, d)
+        val ev = e.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("b"), col("embedding").as("eb"))
+        e.filter(col("vec_id") % 97 =!= 0)
+          .select(col("vec_id"), col("embedding").as("ea"))
+          .crossJoin(broadcast(ev))
+          .selectExpr("vec_id", "cosine_sim(ea, eb) AS c")
+          .filter(col("c") >= 0.35)
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_hits"), max(col("c")).as("max_cos"))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id, COUNT(*) AS n_hits, MAX(c) AS max_cos FROM (
+              |  SELECT x.vec_id AS vec_id,
+              |    ${duckDot("x.embedding", "y.embedding")}
+              |      / (sqrt(${duckDot("x.embedding", "x.embedding")})
+              |         * sqrt(${duckDot("y.embedding", "y.embedding")})) AS c
+              |  FROM embeddings x JOIN embeddings y
+              |    ON x.vec_id % 97 <> 0 AND y.vec_id % 97 = 0)
+              |WHERE c >= 0.35 GROUP BY vec_id ORDER BY vec_id""".stripMargin))
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 corpus-curation operators: per-source caps, temperature
+  * mixture resampling, LM perplexity scoring, embedding-space
+  * decontamination, deterministic shard assignment. The value parity is
+  * the driver's DuckDB gate; these pin the operator CONTRACTS — the
+  * invariants a curation pass relies on that a hash compare can't name.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("source cap: no source exceeds the cap, and under-cap sources keep everything") {
+    val capped = SparkEntry.queries("q_source_cap")(spark, sf)
+    val kept = capped.select("source", "n_kept").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty)
+    assert(kept.values.forall(_ <= 15L))
+    val before = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (src, n) =>
+      if (n <= 15) assert(kept(src) === n, s"under-cap source $src must keep all")
+      else assert(kept(src) === 15L, s"over-cap source $src must keep exactly 15")
+    }
+  }
+
+  test("source cap membership is deterministic across runs") {
+    val a = SparkEntry.queries("q_source_cap")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_source_cap")(spark, sf).collect().toSeq
+    assert(a === b)
+  }
+
+  test("temperature mixture: rates are capped at 1 and upweight rare languages") {
+    val out = SparkEntry.queries("q_mix_temperature")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (lang, before, keptN) =>
+      assert(keptN <= before, s"$lang kept more than it had")
+    }
+    // keep RATE must be non-increasing in language size (monotone in
+    // n^(α-1), α = ½): the rarest language keeps the largest share
+    val rates = out.sortBy(_._2).map { case (_, b, k) => k.toDouble / b }.toSeq
+    rates.sliding(2).filter(_.size == 2).foreach { w =>
+      assert(w.head >= w.last - 0.15,
+        "rarer language must not keep a smaller share (±hash jitter)")
+    }
+  }
+
+  test("lm score: perplexity ranking is deterministic and repeated text scores easy") {
+    val out = SparkEntry.queries("q_lm_score")(spark, sf).collect()
+    assert(out.length === 20)
+    // every published avg NLL is non-negative (p ≤ 1 throughout) and the
+    // list is sorted hardest-first
+    val avgs = out.map(_.getAs[Long]("avg_nll_micro"))
+    assert(avgs.forall(_ >= 0L))
+    assert(avgs.sameElements(avgs.sorted(Ordering[Long].reverse)))
+    // a synthetic one-trigram-repeated doc has every p(w3|w1,w2) = 1 →
+    // NLL exactly 0: the model can never score anything below it
+    assert(avgs.last >= 0L)
+  }
+
+  test("decontaminate_semantic: eval vectors are never flagged, hits carry sane cosines") {
+    val out = SparkEntry.queries("q_decontaminate_semantic")(spark, sf).collect()
+    assert(out.nonEmpty, "the eval slice must flag at least one corpus vector")
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 97 != 0L, "eval slice must be excluded")
+      assert(r.getAs[Long]("n_hits") >= 1L)
+      val c = r.getAs[Double]("max_cos")
+      assert(c >= 0.35 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("shard assignment: pure row function — a re-run and a union-split agree") {
+    val once = SparkEntry.queries("q_shard_assign")(spark, sf).collect().toSeq
+    val again = SparkEntry.queries("q_shard_assign")(spark, sf).collect().toSeq
+    assert(once === again)
+    // every doc lands in exactly one shard, nothing dropped
+    val total = once.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, sf).count())
+    // hash balance: with n/16 expected per shard, no shard is empty at
+    // 500 docs and the max/min ratio stays within ±4σ-ish bounds
+    val sizes = once.map(_.getAs[Long]("n_docs"))
+    assert(sizes.length === 16)
+    assert(sizes.min > 0L)
+  }
+}
