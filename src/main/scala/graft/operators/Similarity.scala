@@ -879,22 +879,24 @@ object Similarity {
     // close (cosine ≥ 0.35) to ANY vector of an evaluation set — the
     // companion to q_decontaminate's shingle overlap, catching the
     // paraphrased leaks n-grams miss. The eval slice (vec_id % 97 = 0,
-    // same stand-in convention as q_decontaminate) is tiny by nature —
-    // benchmark suites are thousands of items — so it is BROADCAST and
-    // the corpus is scanned ONCE with per-row work bounded by |eval|:
-    // a broadcast nested-loop with zero corpus shuffle, which beats any
-    // index build below ~10⁵ eval vectors. (Past that, route the eval
-    // set through the q_sim_lsh_scaled buckets instead.) Output =
-    // per-flagged-vector hit count + max cosine, the audit columns a
-    // contamination report needs.
+    // same stand-in convention as q_decontaminate, ADDITIONALLY capped
+    // to the base id range: an eval benchmark is an external FIXED-SIZE
+    // artifact — a slice that grew with the corpus would quietly turn
+    // the scan into an N×(N/97) product at scale) is BROADCAST and the
+    // corpus is scanned ONCE with per-row work bounded by the fixed
+    // |eval|: a broadcast nested-loop with zero corpus shuffle, which
+    // beats any index build below ~10⁵ eval vectors. (Past that, route
+    // the eval set through the q_sim_lsh_scaled buckets instead.)
+    // Output = per-flagged-vector hit count + max cosine, the audit
+    // columns a contamination report needs.
     QueryDef(
       "q_decontaminate_semantic",
       (s, d) => {
         graft.functions.GraftFunctions.ensureCosine(s)
         val e = Tables.embeddings(s, d)
-        val ev = e.filter(col("vec_id") % 97 === 0)
+        val ev = e.filter(col("vec_id") % 97 === 0 && col("vec_id") < 2000)
           .select(col("vec_id").as("b"), col("embedding").as("eb"))
-        e.filter(col("vec_id") % 97 =!= 0)
+        e.filter(col("vec_id") % 97 =!= 0 || col("vec_id") >= 2000)
           .select(col("vec_id"), col("embedding").as("ea"))
           .crossJoin(broadcast(ev))
           .selectExpr("vec_id", "cosine_sim(ea, eb) AS c")
@@ -909,7 +911,8 @@ object Similarity {
               |      / (sqrt(${duckDot("x.embedding", "x.embedding")})
               |         * sqrt(${duckDot("y.embedding", "y.embedding")})) AS c
               |  FROM embeddings x JOIN embeddings y
-              |    ON x.vec_id % 97 <> 0 AND y.vec_id % 97 = 0)
+              |    ON (x.vec_id % 97 <> 0 OR x.vec_id >= 2000)
+              |    AND y.vec_id % 97 = 0 AND y.vec_id < 2000)
               |WHERE c >= 0.35 GROUP BY vec_id ORDER BY vec_id""".stripMargin))
   )
 }
