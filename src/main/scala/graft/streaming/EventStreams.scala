@@ -96,6 +96,22 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_mktsegment").as("segment"))
 
+  /** Streaming corpus admission (batch twin: q_stream_admit): digest
+    * each arriving document, keep only the FIRST occurrence of a digest
+    * within the stream (`dropDuplicates` state keyed by the 32-byte
+    * digest — production bounds it with a watermark or a TTL'd state
+    * store), then admit digests absent from the static base corpus via
+    * a stream-static LEFT ANTI join. The base side is a precomputed
+    * digest index at scale; the anti join holds no stream state, so the
+    * only per-record cost is one hash probe — the same admission
+    * decision q_dedup_incremental makes in batch, emitted per
+    * micro-batch. */
+  def admitDocs(delta: DataFrame, baseDigests: DataFrame): DataFrame =
+    delta.withColumn("dg", sha2(col("text"), 256))
+      .dropDuplicates("dg")
+      .join(baseDigests, Seq("dg"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+
   /** Restart-idempotent streaming MERGE sink (a `foreachBatch` body):
     * micro-batch `b` reconciles its rows against the latest COMMITTED
     * state version strictly below `b` and overwrites `v<b>`.

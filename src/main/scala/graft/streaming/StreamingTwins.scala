@@ -99,6 +99,40 @@ object StreamingTwins {
       Some("""SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
              |                ORDER BY ts, event_id) AS rn FROM events)
-             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // Streaming corpus admission twin: a delta batch (doc_id % 10 = 7,
+    // the arriving crawl — same convention as q_dedup_incremental)
+    // admits a document iff (a) it is the FIRST occurrence of its
+    // digest within the delta (first-wins in doc_id order — what
+    // `dropDuplicates` retains on the stream) and (b) the digest is
+    // absent from the static base corpus (stream-static anti join).
+    // On the stream this is `withColumn(dg) → dropDuplicates(dg) →
+    // left_anti(base digests)` ([[EventStreams.admitDocs]]); at 100 TB
+    // the base digest set is a precomputed index column and the anti
+    // join's state is the production bloom-filter/state-store slot —
+    // the batch twin shuffles delta rows on the 32-byte digest only.
+    QueryDef(
+      "q_stream_admit",
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("dg", sha2(col("text"), 256))
+        val base = docs.filter(col("doc_id") % 10 =!= 7)
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        val w = Window.partitionBy("dg").orderBy("doc_id")
+        delta.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(base.select("dg").distinct(), Seq("dg"), "left_anti")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dg AS (
+             |  SELECT doc_id, lang, source, sha256(text) AS dg FROM documents),
+             |first_d AS (
+             |  SELECT * FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
+             |    FROM dg WHERE doc_id % 10 = 7)
+             |  WHERE rn = 1)
+             |SELECT doc_id, lang, source FROM first_d
+             |WHERE dg NOT IN (SELECT dg FROM dg WHERE doc_id % 10 <> 7)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -11,6 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 final case class EventRow(
     event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+final case class DocRow(doc_id: Long, text: String, lang: String, source: String)
+
 /** Live Structured Streaming behavior, driven with MemoryStream and
   * asserted against the batch twins (SURVEY.md §5: streaming tests via
   * MemoryStream "asserting window/watermark/late-data behavior against
@@ -394,6 +396,38 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = runStream("t_enrich", EventStreams.enrichWithDim(_, dim))
       .filter(col("event_type") =!= "sentinel")
     val batch = EventStreams.enrichWithDim(Tables.events(spark, sf), dim)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
+  test("streaming corpus admission equals the batch twin across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    // delta fed in doc_id order — the stream's first-arrival-wins then
+    // matches the twin's first-by-doc_id-wins exactly
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+      .select("doc_id", "text", "lang", "source")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => DocRow(r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(sha2(col("text"), 256).as("dg")).distinct()
+    val mem = MemoryStream[DocRow]
+    val q = EventStreams.admitDocs(mem.toDF(), base)
+      .writeStream.format("memory").queryName("t_admit").outputMode("append").start()
+    try {
+      val step = math.max(1, delta.size / 3)
+      delta.grouped(step).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("t_admit")
+    val batch = StreamingTwins.defs.find(_.name == "q_stream_admit").get.fn(spark, sf)
+      .select("doc_id", "lang", "source")
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).count() === 0L)
     assert(batch.exceptAll(streamed).count() === 0L)
