@@ -647,7 +647,27 @@ object Dedup {
     QueryDef(
       "q_dedup_substring_sampled",
       (s, d) => substringScreen(s, d, sample = 4),
-      Some(duckSubstringScreen(sample = 4)))
+      Some(duckSubstringScreen(sample = 4))),
+
+    // Boilerplate detector: the k most document-shared 8-token windows
+    // — the inventory a boilerplate-strip pass consumes (site headers,
+    // license blocks, navigation chrome all surface here first). Rides
+    // the same memoized window relation as the substring screen; the
+    // aggregation is the screen's frequency count with the cap REVERSED
+    // (the screen drops high-frequency windows as boilerplate — this
+    // entry is where they go instead of the floor). Top-k by doc
+    // frequency plans as TakeOrdered over the partial-agged counts, so
+    // output and driver state stay O(k) at any corpus size.
+    QueryDef(
+      "q_boilerplate",
+      (s, d) => substringWindows(s, d)
+        .groupBy("wh").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("wh"))
+        .limit(20),
+      Some(s"""${duckWindowCtes(1)}
+              |SELECT wh, COUNT(*) AS n_docs FROM wins GROUP BY wh
+              |HAVING COUNT(*) >= 2 ORDER BY n_docs DESC, wh LIMIT 20""".stripMargin))
   )
 
   /** The distinct per-doc 62-bit window-hash relation (doc_id, wh),
@@ -703,10 +723,10 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** DuckDB twin of [[substringScreen]] — same token hashes, same two
-    * Horner folds (list_reduce with a prepended zero seed), same
-    * sampling predicate, same cap. */
-  private def duckSubstringScreen(sample: Int): String = {
+  /** The th + wins CTE prefix shared by every window-relation oracle
+    * (same token hashes, same two Horner folds — list_reduce with a
+    * prepended zero seed — same optional sampling predicate). */
+  private def duckWindowCtes(sample: Int): String = {
     val th = graft.functions.TextAnalysis.duckTokHash("t")
     val fold = (b: Int) =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]), (a, t) -> (a * $b + t) % 2147483647)"
@@ -718,12 +738,16 @@ object Dedup {
        |  SELECT DISTINCT doc_id, wh FROM (
        |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(th) - 7),
        |      i -> ${fold(1000003)} * 2147483648 + ${fold(100019)})) AS wh
-       |    FROM th)$sampleWhere),
+       |    FROM th)$sampleWhere)""".stripMargin
+  }
+
+  /** DuckDB twin of [[substringScreen]]. */
+  private def duckSubstringScreen(sample: Int): String =
+    s"""${duckWindowCtes(sample)},
        |kept AS (SELECT doc_id, wh FROM wins
        |         WHERE wh IN (SELECT wh FROM wins GROUP BY wh
        |                      HAVING COUNT(*) BETWEEN 2 AND 10))
        |SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared_windows
        |FROM kept x JOIN kept y ON x.wh = y.wh AND x.doc_id < y.doc_id
        |GROUP BY a, b ORDER BY a, b""".stripMargin
-  }
 }

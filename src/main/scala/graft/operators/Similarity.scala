@@ -128,11 +128,12 @@ object Similarity {
   private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) = {
     graft.functions.GraftFunctions.ensureDot(s)
     Tables.embeddings(s, d).selectExpr(
-      "vec_id", "embedding", s"sqrt(${sparkDot("embedding", "embedding")}) AS nrm")
+      "vec_id", "embedding", "label",
+      s"sqrt(${sparkDot("embedding", "embedding")}) AS nrm")
   }
 
   private val duckNormCte =
-    s"n AS (SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)"
+    s"n AS (SELECT vec_id, embedding, label, sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)"
 
   /** LSH ANN at a given hyperplane count: bucket assignment is map work,
     * candidates come from an equi-join on the bucket id, top-1 per query
@@ -693,6 +694,45 @@ object Similarity {
               |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
               |  FROM scored)
               |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // Hard-negative mining for contrastive training: per query vector,
+    // the top-3 most-similar candidates with a DIFFERENT label — the
+    // negatives that actually move a contrastive loss (random negatives
+    // are trivially separable; same-label neighbors are false
+    // negatives). Same broadcast-query / per-query-window shape as
+    // q_sim_topk with the label disequality fused into the join
+    // predicate, so rejected candidates never materialize; at 100 TB
+    // the candidate stream rides the LSH/IVF buckets like every other
+    // ANN entry and the label filter stays in the probe.
+    QueryDef(
+      "q_hard_negatives",
+      (s, d) => {
+        val n = withNorm(s, d)
+        val q = n.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("label").as("q_lbl"))
+        val c = n.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"), col("label").as("c_lbl"))
+        val scored = c.join(broadcast(q), col("q_lbl") =!= col("c_lbl"))
+          .selectExpr("q_id", "c_id",
+            s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "rnk", "c_id", "cosine")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH $duckNormCte,
+              |scored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |         ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+              |  FROM n q JOIN n c ON q.vec_id < 8 AND q.label <> c.label),
+              |ranked AS (
+              |  SELECT q_id, c_id, cosine,
+              |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
+              |  FROM scored)
+              |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= 3
               |ORDER BY q_id, rnk""".stripMargin)),
 
     // LSH-bucketed approximate nearest neighbor: equi-join on the sign

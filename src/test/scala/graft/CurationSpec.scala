@@ -74,6 +74,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: labels always differ from the query's, ranks are dense per query") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val out = SparkEntry.queries("q_hard_negatives")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val c = r.getAs[Long]("c_id")
+      assert(q < 8L)
+      assert(emb(q) != emb(c), s"negative $c shares label with query $q")
+    }
+    out.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rs.length))
+      val cos = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "cosine must be non-increasing in rank")
+    }
+  }
+
+  test("boilerplate inventory: doc frequencies are >= 2 and non-increasing") {
+    val out = SparkEntry.queries("q_boilerplate")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val freqs = out.map(_.getAs[Long]("n_docs"))
+    assert(freqs.forall(_ >= 2L))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("shard assignment: pure row function — a re-run and a union-split agree") {
     val once = SparkEntry.queries("q_shard_assign")(spark, sf).collect().toSeq
     val again = SparkEntry.queries("q_shard_assign")(spark, sf).collect().toSeq
