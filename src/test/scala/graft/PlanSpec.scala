@@ -222,4 +222,45 @@ class PlanSpec extends AnyFunSuite {
       s"expected the pair/shingle consumers to hit the cache, got $cachedScans:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
+
+  test("source cap pushes its rank cut map-side like the reservoir pick") {
+    val p = plan("q_source_cap")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("temperature mixture is a stateless scan filter over broadcast per-lang stats") {
+    val p = finalPlan("q_mix_temperature")
+    assert(!p.contains("WindowExec") && !p.contains("SortMergeJoin"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast stats join:\n$p")
+  }
+
+  test("LM scoring broadcasts the model — the corpus trigram stream never shuffles") {
+    val p = finalPlan("q_lm_score")
+    // the scoring join must be broadcast-hash on the model side; the
+    // only exchanges are the tiny partial-agged ones (vocab, doc ids)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a sort-merge join means the corpus shuffled:\n$p")
+  }
+
+  test("semantic decontamination broadcasts the eval vectors against one corpus scan") {
+    val p = finalPlan("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast NL probe:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), s"plan:\n$p")
+  }
+
+  test("shard assignment and boilerplate top-k hold O(groups)/O(k) state") {
+    val ps = plan("q_shard_assign")
+    // pure row function into a 16-group aggregate: no window, no join
+    assert(!ps.contains("Window") && !ps.contains("Join"), s"plan:\n$ps")
+    val pb = plan("q_boilerplate")
+    assert(pb.contains("TakeOrderedAndProject"), s"expected O(k) top-k:\n$pb")
+  }
+
+  test("streaming admission's batch twin screens digests with an anti equi-join") {
+    val p = finalPlan("q_stream_admit")
+    assert(p.contains("LeftAnti"), s"expected an anti-join digest screen:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"plan:\n$p")
+  }
 }
