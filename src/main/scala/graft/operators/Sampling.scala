@@ -212,10 +212,11 @@ object Sampling {
     // predicate, no shuffle of the corpus) — the difference is the
     // target: balance clamps every language to the minimum, temperature
     // interpolates between the natural mixture (α=1) and uniform (α=0).
-    // Determinism across engines: Σ√n is summed in µ-quantized integers
-    // (a double Σ would be partial-sum-order dependent), and the final
-    // rate is a fixed parenthesized chain of IEEE ops on values derived
-    // only from exact counts.
+    // Determinism across engines: each √n is floor-quantized to an
+    // integer at 10⁻⁹ resolution BEFORE the Σ (a double Σ would be
+    // partial-sum-order dependent), and the final rate is a fixed
+    // parenthesized chain of IEEE ops on values derived only from
+    // exact counts.
     QueryDef(
       "q_mix_temperature",
       (s, d) => {
