@@ -152,7 +152,11 @@ object Bench {
     "q_mix_temperature",
     "q_lm_score",
     "q_decontaminate_semantic",
-    "q_shard_assign")
+    "q_shard_assign",
+    // the composed mixture pass (LM filter → cap → balance → shard) —
+    // the curation wave's q_pipeline_corpus analogue; reuses the warmed
+    // LM model, so the timed cost is the four chained stages
+    "q_pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -197,6 +197,31 @@ object Vocab {
         .selectExpr("concat_ws(' ', w1, w2, w3) AS tg", "n3", "nc")
     }
 
+  /** DuckDB CTE chain for the trigram model (toks → inst → tri → model)
+    * plus the per-instance NLL scoring — shared by q_lm_score's oracle
+    * and the composed curation pipeline's. MATERIALIZED throughout: tri
+    * is referenced twice and inst twice (the multiplicative
+    * re-evaluation trap). */
+  private[graft] val duckLmScored: String =
+    """toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |inst AS MATERIALIZED (
+      |  SELECT doc_id, w1, w2, w3 FROM (
+      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |      i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2])), recursive := true)
+      |    FROM toks)),
+      |tri AS MATERIALIZED (
+      |  SELECT w1, w2, w3, COUNT(*) AS n3 FROM inst GROUP BY 1, 2, 3),
+      |model AS MATERIALIZED (
+      |  SELECT w1, w2, w3, n3, nc FROM tri JOIN (
+      |    SELECT w1, w2, CAST(SUM(n3) AS BIGINT) AS nc FROM tri GROUP BY 1, 2)
+      |    USING (w1, w2)),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(-ln(CAST(n3 AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6, 0) AS BIGINT)
+      |      AS nll_micro
+      |  FROM inst JOIN model USING (w1, w2, w3))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Frequency-ranked vocabulary head: top 50 tokens, rank keyed by
@@ -405,24 +430,7 @@ object Vocab {
           .orderBy(col("avg_nll_micro").desc, col("doc_id"))
           .limit(20)
       },
-      Some("""WITH toks AS MATERIALIZED (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |inst AS MATERIALIZED (
-             |  SELECT doc_id, w1, w2, w3 FROM (
-             |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
-             |      i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2])), recursive := true)
-             |    FROM toks)),
-             |tri AS MATERIALIZED (
-             |  SELECT w1, w2, w3, COUNT(*) AS n3 FROM inst GROUP BY 1, 2, 3),
-             |model AS MATERIALIZED (
-             |  SELECT w1, w2, w3, n3, nc FROM tri JOIN (
-             |    SELECT w1, w2, CAST(SUM(n3) AS BIGINT) AS nc FROM tri GROUP BY 1, 2)
-             |    USING (w1, w2)),
-             |scored AS (
-             |  SELECT doc_id,
-             |    CAST(round(-ln(CAST(n3 AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6, 0) AS BIGINT)
-             |      AS nll_micro
-             |  FROM inst JOIN model USING (w1, w2, w3))
+      Some(s"""WITH $duckLmScored
              |SELECT doc_id, COUNT(*) AS n_tri,
              |  CAST(SUM(nll_micro) AS BIGINT) AS nll_sum,
              |  CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS avg_nll_micro

@@ -94,6 +94,38 @@ object CorpusPipeline {
       .join(rejected, Seq("doc_id"), "left_anti")
   }
 
+  /** Curation stages 1–2 (LM perplexity filter, source cap): the capped
+    * corpus (doc_id, text, lang, source). Separate from the
+    * balance/shard tail so PlanSpec can pin this plan BEFORE the
+    * pipeline's eager localCheckpoint truncates lineage — and so the
+    * checkpoint materializes these expensive stages exactly once for
+    * the tail's two consumers. */
+  private[graft] def cappedCorpus(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextAnalysis.tokHash
+    import org.apache.spark.sql.expressions.Window
+    val model = graft.functions.Vocab.lmModel(s, d)
+    val mj = if (model.count() <= 5000000L) broadcast(model) else model
+    val docs = Tables.documents(s, d)
+    val inst = docs.selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "explode(transform(CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END, " +
+          "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))) AS tg")
+    val hard = inst.join(mj, Seq("tg"))
+      .withColumn("nll_micro",
+        expr("CAST(round(-ln(CAST(n3 AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("nll_micro")).as("nll_sum"))
+      .filter(expr("nll_sum div n_tri >= 3000000"))
+      .select("doc_id")
+    val lmKept = docs.join(hard, Seq("doc_id"), "left_anti")
+    val coin = expr(tokHash("CAST(doc_id AS STRING)"))
+    val wCap = Window.partitionBy("source").orderBy(coin.asc, col("doc_id").asc)
+    lmKept.withColumn("rk", row_number().over(wCap))
+      .filter(col("rk") <= 15).drop("rk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -197,6 +229,99 @@ object CorpusPipeline {
               |    chunk_toks
               |  FROM chunks)
               |SELECT bin, COUNT(*) AS n_chunks, CAST(SUM(chunk_toks) AS BIGINT) AS bin_toks
-              |FROM binned GROUP BY bin ORDER BY bin""".stripMargin))
+              |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // The composed MIXTURE pass — the curation wave's end-to-end twin of
+    // q_pipeline_corpus (which composes the dedup wave). A production
+    // corpus build runs BOTH: dedup first, then this pass shapes what
+    // survives into the training mixture:
+    //
+    //   1. LM PERPLEXITY FILTER — every doc scored against the session's
+    //      trained trigram model (the SAME FrameCache artifact
+    //      q_lm_score warms; broadcast into the scan, corpus trigrams
+    //      never shuffle); docs with mean -ln p ≥ 3.0 (avg_nll_micro ≥
+    //      3e6, the hardest ~1–2% of this corpus) drop. Docs under 3
+    //      tokens carry no trigrams and pass the filter by convention.
+    //   2. SOURCE CAP — ≤ 15 docs per source in deterministic hash
+    //      order (q_source_cap's WindowGroupLimit shape).
+    //   3. TEMPERATURE BALANCE — α = ½ keep rates over the CAPPED
+    //      corpus's language counts (q_mix_temperature's stateless
+    //      hash-threshold scan; the stats are recomputed post-cap, so
+    //      the stages genuinely chain rather than run side-by-side).
+    //   4. SHARD STATS — md5 % 16 write-path sharding of the final
+    //      mixture (q_shard_assign), emitting the per-shard envelope a
+    //      writer would assert before commit.
+    //
+    // Every stage is its own oracle-checked operator; this entry proves
+    // they COMPOSE, with the model reused from the cache and each
+    // stage's output feeding the next's statistics. One honest keyed
+    // shuffle exists: the LM drop-list rejoins the corpus on doc_id (an
+    // anti join — the unavoidable cost of a filter computed from an
+    // exploded stream; the drop list is unbounded at 100 TB, so it must
+    // NOT broadcast).
+    QueryDef(
+      "q_pipeline_curate",
+      (s, d) => {
+        import graft.functions.TextAnalysis.tokHash
+        // Stages 3–4 consume the capped corpus TWICE (once for the
+        // per-lang stats, once for the membership scan) — without a cut
+        // the whole LM-scoring subtree executes per consumer (measured
+        // 38 s vs 10 s at sf10). The eager localCheckpoint materializes
+        // stages 1–2 once, exactly the pack stage's discipline above;
+        // [[cappedCorpus]] stays exposed so PlanSpec pins the
+        // pre-checkpoint plan the truncated lineage hides.
+        val capped = cappedCorpus(s, d).localCheckpoint(true)
+        val counts = capped.groupBy("lang").agg(count(lit(1)).as("n_before"))
+          .withColumn("sw",
+            expr("CAST(floor(sqrt(CAST(n_before AS DOUBLE)) * 1e9) AS BIGINT)"))
+        val tot = counts.agg(sum(col("sw")).as("sumw"), sum(col("n_before")).as("n_total"))
+          .selectExpr("sumw", "n_total div 2 AS t_target")
+        val balanced = capped.join(broadcast(counts), "lang")
+          .crossJoin(broadcast(tot))
+          .filter(expr(s"${tokHash("CAST(doc_id AS STRING)")} < CAST(floor(LEAST(1.0, " +
+            "((CAST(t_target AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sumw AS DOUBLE)) " +
+            "/ CAST(n_before AS DOUBLE)) * 4294967296.0) AS BIGINT)"))
+        balanced
+          .selectExpr(s"${tokHash("CAST(doc_id AS STRING)")} % 16 AS shard",
+            "doc_id", "size(split(text, ' ')) AS n_tok")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("bigint").as("n_tokens"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .orderBy("shard")
+      },
+      Some {
+        val h = graft.functions.TextAnalysis.duckTokHash("CAST(doc_id AS VARCHAR)")
+        s"""WITH ${graft.functions.Vocab.duckLmScored},
+           |hard AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS avg_nll
+           |    FROM scored GROUP BY doc_id)
+           |  WHERE avg_nll >= 3000000),
+           |lmkept AS (
+           |  SELECT doc_id, text, lang, source FROM documents
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM hard)),
+           |capped AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY $h, doc_id) AS rk
+           |    FROM lmkept)
+           |  WHERE rk <= 15),
+           |counts AS (
+           |  SELECT lang, COUNT(*) AS n_before,
+           |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e9) AS BIGINT) AS sw
+           |  FROM capped GROUP BY lang),
+           |tot AS (SELECT CAST(SUM(sw) AS BIGINT) AS sumw,
+           |    CAST(SUM(n_before) AS BIGINT) // 2 AS t_target FROM counts),
+           |balanced AS (
+           |  SELECT capped.* FROM capped JOIN counts USING (lang) CROSS JOIN tot
+           |  WHERE $h < CAST(floor(LEAST(1.0,
+           |    ((CAST(t_target AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sumw AS DOUBLE))
+           |    / CAST(n_before AS DOUBLE)) * 4294967296.0) AS BIGINT))
+           |SELECT $h % 16 AS shard, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+           |FROM balanced GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

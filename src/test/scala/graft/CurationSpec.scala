@@ -100,6 +100,21 @@ class CurationSpec extends AnyFunSuite {
     assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("curation pipeline: stages genuinely chain — caps bound the mixture, shards partition it") {
+    val out = SparkEntry.queries("q_pipeline_curate")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 16)
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    // the mixture can never exceed the post-cap corpus (stage 2 bound)
+    assert(total <= nSources * 15,
+      s"mixture $total exceeds the source-cap bound ${nSources * 15}")
+    // and the temperature stage targets half of it (±hash jitter per lang)
+    assert(total > 0)
+    // determinism: the full DAG is a pure function of the corpus
+    val again = SparkEntry.queries("q_pipeline_curate")(spark, sf).collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("shard assignment: pure row function — a re-run and a union-split agree") {
     val once = SparkEntry.queries("q_shard_assign")(spark, sf).collect().toSeq
     val again = SparkEntry.queries("q_shard_assign")(spark, sf).collect().toSeq

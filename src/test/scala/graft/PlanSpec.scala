@@ -257,6 +257,27 @@ class PlanSpec extends AnyFunSuite {
     assert(pb.contains("TakeOrderedAndProject"), s"expected O(k) top-k:\n$pb")
   }
 
+  test("curation pipeline composes without a cartesian; the model join broadcasts") {
+    // stages 1–2, pinned BEFORE the pipeline's checkpoint truncates
+    // lineage: the LM model joins broadcast, the cap cuts map-side, and
+    // the only sort-merge joins are the doc_id ANTI rejoin of the LM
+    // drop list (unbounded at 100 TB — must not broadcast) — never an
+    // inner join of the corpus with itself
+    val pre = operators.CorpusPipeline.cappedCorpus(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pre.contains("CartesianProduct"), s"plan:\n$pre")
+    assert(pre.contains("BroadcastHashJoin"), s"expected broadcast model join:\n$pre")
+    assert(pre.contains("WindowGroupLimit"), s"expected the source cap's map-side cut:\n$pre")
+    assert(!"SortMergeJoin [^,]*, Inner".r.findFirstIn(pre).isDefined,
+      s"corpus-sized inner SMJ:\n$pre")
+    // the checkpointed tail: broadcast stats joins only, no shuffle of
+    // the mixture beyond the final 16-group aggregate
+    val p = finalPlan("q_pipeline_curate")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast stats join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the tail must not shuffle-sort the mixture:\n$p")
+  }
+
   test("streaming admission's batch twin screens digests with an anti equi-join") {
     val p = finalPlan("q_stream_admit")
     assert(p.contains("LeftAnti"), s"expected an anti-join digest screen:\n$p")
