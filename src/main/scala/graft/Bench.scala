@@ -156,7 +156,12 @@ object Bench {
     // the composed mixture pass (LM filter → cap → balance → shard) —
     // the curation wave's q_pipeline_corpus analogue; reuses the warmed
     // LM model, so the timed cost is the four chained stages
-    "q_pipeline_curate")
+    "q_pipeline_curate",
+    // round 6, third wave: the all-nodes k-NN graph build (cell-bounded
+    // top-3 edges for EVERY vector — the graph-curation pre-pass; the
+    // mutual-edge filter q_knn_mutual stays oracle-gated, it re-walks
+    // the same relation)
+    "q_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

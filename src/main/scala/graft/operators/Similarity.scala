@@ -163,22 +163,26 @@ object Similarity {
 
   /** Every vector's nearest coarse-quantizer cell (centroids = the
     * first `cells` vectors — deterministic, no trained state; one
-    * broadcast + stateless per-row argmax). Shared by the IVF probe
-    * and the IVF×PQ composition. */
+    * broadcast + stateless per-row argmax). Shared by the IVF probe,
+    * the IVF×PQ composition, semantic dedup, and the k-NN graph —
+    * session-memoized per (dir, cells) like the shingle frame: an
+    * index assignment is a fit-once artifact every consumer reuses,
+    * and the first consumer pays the fill. */
   private[graft] def cellAssign(s: org.apache.spark.sql.SparkSession, d: String,
-                                cells: Int): org.apache.spark.sql.DataFrame = {
-    graft.functions.GraftFunctions.ensureCosine(s)
-    val e = Tables.embeddings(s, d)
-    val cent = e.filter(col("vec_id") < cells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("c_cos").desc, col("cent_id"))
-    e.join(broadcast(cent))
-      .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-  }
+                                cells: Int): org.apache.spark.sql.DataFrame =
+    graft.FrameCache.memo(s, s"ivf_cells:$d:$cells") {
+      graft.functions.GraftFunctions.ensureCosine(s)
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < cells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cent_id"))
+      e.join(broadcast(cent))
+        .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    }
 
   /** DuckDB twin of [[cellAssign]], ending in `cells$sfx(vec_id,
     * embedding, cell)`; `sfx` disambiguates CTE names when several cell
@@ -262,6 +266,11 @@ object Similarity {
     * assumed, and the oracle replays the exact same two argmax levels. */
   private[graft] def hierCellAssign(s: org.apache.spark.sql.SparkSession,
                                     d: String): org.apache.spark.sql.DataFrame = {
+    // NOT FrameCache-memoized, deliberately: q_ivf_hier's benchmark
+    // meaning is the N^1.25 BUILD cost (BASELINE.md's headline fix for
+    // the flat N·√N assignment) — a memoized build would let whichever
+    // gated entry runs first absorb it and turn the other into a
+    // probe-only number. The flat cellAssign memo is the reuse story.
     graft.functions.GraftFunctions.ensureCosine(s)
     val e = Tables.embeddings(s, d)
     val cells = ivfCellsFor(e.count()) // footer-metadata count; table stats at 100 TB
@@ -665,6 +674,47 @@ object Similarity {
        |SELECT q_id, bucket, c_id AS nn_id, cosine, n_cand FROM ranked WHERE rnk = 1
        |ORDER BY q_id""".stripMargin
 
+  /** Directed k-NN edges within the sized coarse-quantizer cells:
+    * every vector's top-`k` neighbors by quantized cosine, ties by
+    * dst id. The all-nodes companion of the probe-only IVF entries —
+    * an index serves 20 queries, a GRAPH ranks neighbors for every
+    * node. Cell-bounded like q_semdedup (~N^1.5 pair work, never N²),
+    * but the output is per-node RANKED edges, not a thresholded pair
+    * set: a threshold yields an unboundedly-sized pair list, top-k
+    * yields ≤ k·N edges — the fixed-size artifact downstream graph
+    * jobs (quality propagation, cluster pruning, graph dedup) join
+    * against. */
+  private[graft] def knnEdges(s: org.apache.spark.sql.SparkSession, d: String,
+                              k: Int): org.apache.spark.sql.DataFrame = {
+    val cellFrame = cellAssign(s, d, ivfCellsFor(Tables.embeddings(s, d).count()))
+    val x = cellFrame.select(col("vec_id").as("src"), col("embedding").as("ea"),
+      col("cell"))
+    val y = cellFrame.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+      col("cell").as("cellb"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+    x.join(y, col("cell") === col("cellb") && col("src") =!= col("dst"))
+      .selectExpr("src", "cell", "dst", "cosine_sim(ea, eb) AS cosine")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** DuckDB CTE chain ending in `knn(src, cell, dst, cosine, rnk)` —
+    * the twin of [[knnEdges]] over the same sized cell assignment. */
+  private def duckKnnCtes(k: Int): String =
+    s"""sizedc AS (
+       |  SELECT GREATEST(4, CAST(floor(sqrt(COUNT(*))) AS INT)) AS c FROM embeddings),
+       |${duckCellCtesExpr("(SELECT c FROM sizedc)")},
+       |knn AS (
+       |  SELECT src, cell, dst, cosine,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY src
+       |              ORDER BY cosine DESC, dst) AS INT) AS rnk FROM (
+       |    SELECT x.vec_id AS src, x.cell AS cell, y.vec_id AS dst,
+       |      ${duckDot("x.embedding", "y.embedding")}
+       |        / (sqrt(${duckDot("x.embedding", "x.embedding")})
+       |           * sqrt(${duckDot("y.embedding", "y.embedding")})) AS cosine
+       |    FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+       |  QUALIFY rnk <= $k)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k: broadcast 8 query vectors, one pass over
@@ -953,6 +1003,46 @@ object Similarity {
               |  FROM embeddings x JOIN embeddings y
               |    ON (x.vec_id % 97 <> 0 OR x.vec_id >= 2000)
               |    AND y.vec_id % 97 = 0 AND y.vec_id < 2000)
-              |WHERE c >= 0.35 GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+              |WHERE c >= 0.35 GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // k-NN graph build: every vector's top-3 within-cell neighbors —
+    // see [[knnEdges]] for why the graph (all nodes, ranked, ≤ 3N
+    // edges) is a different artifact from the probe entries (20
+    // queries) and the thresholded pair sets (unbounded size). At
+    // 100 TB this is the standard pre-pass for graph-based corpus
+    // curation: build once, then every downstream filter (quality
+    // propagation, cluster pruning) is an equi-join on src/dst.
+    QueryDef(
+      "q_knn_graph",
+      (s, d) => knnEdges(s, d, k = 3)
+        .select("src", "rnk", "dst", "cosine")
+        .orderBy("src", "rnk"),
+      Some(s"""WITH ${duckKnnCtes(3)}
+              |SELECT src, rnk, dst, cosine FROM knn
+              |ORDER BY src, rnk""".stripMargin)),
+
+    // Mutual k-NN edges: keep (a, b) only when a ranks b in its top-3
+    // AND b ranks a in its own — the reciprocity filter that turns the
+    // directed graph into the cluster-grade edge set (one-way edges
+    // are hub artifacts: a boilerplate-adjacent vector appears in
+    // thousands of top-k lists without reciprocating). Self-join of
+    // the k-NN relation on the reversed key — ≤ 3N × 3N on (src,dst),
+    // an equi-join, never a pair re-score.
+    QueryDef(
+      "q_knn_mutual",
+      (s, d) => {
+        val e = knnEdges(s, d, k = 3)
+        val fwd = e.select(col("src").as("a"), col("dst").as("b"), col("cosine"))
+        val rev = e.select(col("src").as("rb"), col("dst").as("ra"))
+        fwd.join(rev, col("a") === col("ra") && col("b") === col("rb"))
+          .filter(col("a") < col("b"))
+          .select("a", "b", "cosine")
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH ${duckKnnCtes(3)}
+              |SELECT f.src AS a, f.dst AS b, f.cosine AS cosine
+              |FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+              |WHERE f.src < f.dst
+              |ORDER BY a, b""".stripMargin))
   )
 }

@@ -24,6 +24,26 @@ class ClusteringSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("k-NN graph: ranks are dense 1..m with m <= k, and mutual = exactly the reciprocated pairs") {
+    val g = SparkEntry.queries("q_knn_graph")(spark, sf).collect()
+    g.groupBy(_.getLong(0)).foreach { case (src, rows) =>
+      val rnks = rows.map(_.getInt(1)).sorted
+      assert(rnks.length <= 3 && rnks.sameElements(1 to rnks.length),
+        s"node $src has ranks ${rnks.mkString(",")}")
+    }
+    val directed = g.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mutual = SparkEntry.queries("q_knn_mutual")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every mutual edge is reciprocated in the directed graph
+    mutual.foreach { case (a, b) =>
+      assert(a < b && directed((a, b)) && directed((b, a)), s"($a,$b)")
+    }
+    // completeness: every reciprocated directed pair made it to mutual
+    val expected = directed.filter { case (a, b) => a < b && directed((b, a)) }
+    assert(mutual === expected)
+    assert(mutual.nonEmpty, "sf0.001 cells should reciprocate at least one pair")
+  }
+
   test("connected components converge on a long path well inside the iteration cap") {
     import spark.implicits._
     // a 64-vertex path: naive propagation needs 63 rounds; pointer

@@ -188,6 +188,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
+  test("k-NN graph rides the memoized cell assignment; top-k cuts map-side") {
+    val p = finalPlan("q_knn_graph")
+    // the sized cell assignment is a session-memoized cached relation
+    // (shared with q_semdedup/IVF); the pair stage is an equi-join on
+    // the cell key; the per-node top-3 must cut BEFORE the final sort
+    // via the rank-limit pushdown, not rank all |cell| candidates
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the memoized cell assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected map-side rank<=k cut:\n$p")
+    val m = finalPlan("q_knn_mutual")
+    // reciprocity filter = HASH equi-join of the edge relation on the
+    // reversed (src,dst) key pair — never a re-score, never a pair
+    // product (the cached assignment's broadcast centroid argmax is
+    // the one legitimate nested loop inside, bounded by |cells|)
+    assert(!m.contains("CartesianProduct"), s"plan:\n$m")
+    assert(m.contains("HashJoin [a#") || m.contains("HashJoin [ra#"),
+      s"expected hash equi-join on the reversed key:\n$m")
+  }
+
   test("corpus balance is a stateless scan filter over broadcast per-lang stats") {
     val p = finalPlan("q_corpus_balance")
     // no window, no sort of the corpus; the per-lang counts and the min
@@ -268,7 +289,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!pre.contains("CartesianProduct"), s"plan:\n$pre")
     assert(pre.contains("BroadcastHashJoin"), s"expected broadcast model join:\n$pre")
     assert(pre.contains("WindowGroupLimit"), s"expected the source cap's map-side cut:\n$pre")
-    assert(!"SortMergeJoin [^,]*, Inner".r.findFirstIn(pre).isDefined,
+    assert(!pre.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("Inner")),
       s"corpus-sized inner SMJ:\n$pre")
     // the checkpointed tail: broadcast stats joins only, no shuffle of
     // the mixture beyond the final 16-group aggregate

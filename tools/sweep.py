@@ -67,8 +67,21 @@ def main():
     ap.add_argument("--points", default="sf0.1,sf1,sf3,sf10")
     ap.add_argument("--force", default="")
     ap.add_argument("--report", default="tools/sweep_report_r6.md")
+    # Per-point sample count for re-measured suspects. sf10 defaults to
+    # 5: its early-headline entries showed 5-88 s steal dispersion in
+    # round 6, and a median of 3 can still land on a stolen sample.
+    ap.add_argument("--samples", default="3,sf10:5",
+                    help="default count, plus point:count overrides "
+                         "(e.g. '3,sf10:5')")
     args = ap.parse_args()
     force = [q for q in args.force.split(",") if q]
+    sample_default, sample_over = 3, {}
+    for part in args.samples.split(","):
+        if ":" in part:
+            p, n = part.split(":")
+            sample_over[p] = int(n)
+        elif part:
+            sample_default = int(part)
 
     report = ["# Sweep noise-protocol report", ""]
     for point in args.points.split(","):
@@ -93,10 +106,12 @@ def main():
              if q in ref and ref[q] > 0 and t / ref[q] > THRESHOLD]
             + [q for q in force if q in first]))
         samples = {q: [first[q]] for q in first}
+        n_samples = sample_over.get(point, sample_default)
         if suspects:
             print(f"[sweep] {point}: re-measuring {len(suspects)} "
-                  f"outliers via 2 more full runs: {suspects}", flush=True)
-            for rerun in range(2):
+                  f"outliers via {n_samples - 1} more full runs: "
+                  f"{suspects}", flush=True)
+            for rerun in range(n_samples - 1):
                 again = run_bench(sf_dir)
                 for q in suspects:
                     if q in again:
@@ -109,6 +124,7 @@ def main():
                "queries": final, "errors": {}, "sf": sf_dir,
                "protocol": {"threshold": THRESHOLD,
                             "remeasured": suspects,
+                            "samples": n_samples,
                             "reference": ref_name if ref else None}}
         out_path = os.path.join(REPO, f"BENCH_{point.replace('.', '')}.json"
                                 if point != "sf0.1" else "BENCH_sf01.json")
