@@ -86,8 +86,8 @@ object Aggregates {
     // struct per spec. `below` starts unknown (the final scan computes
     // it if no bisection round runs); `m` starts as the GK bound
     // 8n/a + 16 — a safe overestimate used only to decide activity.
-    // One row per group; localCheckpoint pins it (the loop re-reads it
-    // and every broadcast must see one consistent layout).
+    // One row per group; collecting it (below) pins one consistent
+    // layout that the loop re-reads and every broadcast sees.
     val aggs1 = specs.flatMap { case (c, ps) =>
       val qs = ps.flatMap { case (p, _) =>
         Seq(math.max(0.0, p - eps), math.min(1.0, p + eps))
@@ -112,13 +112,46 @@ object Aggregates {
           .as(s"__st_$name")
       }
     }
-    var st = df.groupBy(group).agg(aggs1.head, aggs1.tail: _*)
+    // The state frame is one row per group — the same bound that lets
+    // every downstream use broadcast(st). So it is COLLECTED once per
+    // scan and re-planned as a LocalRelation: the activity predicate
+    // evaluates driver-side for free and broadcasting a LocalRelation
+    // submits no job. The earlier orchestration (eager localCheckpoint
+    // per round + a filter().limit(1).count() activity action) paid 3+
+    // driver-blocking job submissions per call even when zero bisection
+    // rounds fire — each a stall point under scheduler contention.
+    // Declared nullability is relaxed recursively: LocalRelation rows
+    // must never be nullable-narrower than the frames the loop derives
+    // from them.
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    def nullify(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullify(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = nullify(a.elementType), containsNull = true)
+      case other => other
+    }
+    val st0 = df.groupBy(group).agg(aggs1.head, aggs1.tail: _*)
       .select(col(group) +: specCols: _*)
-      .localCheckpoint(true)
+    val stSchema = nullify(st0.schema).asInstanceOf[StructType]
+    var stRows: Array[org.apache.spark.sql.Row] = st0.collect()
+    def localSt = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(stRows: _*), stSchema)
+    var st = localSt
 
     def activeSql(name: String) =
       s"(__st_$name.m > $candLimit AND __st_$name.lo < __st_$name.hi)"
-    val anyActive = flat.map { case (_, _, n) => activeSql(n) }.mkString(" OR ")
+    // activeSql still gates each spec's arm inside the round scan; the
+    // LOOP decision is its driver-side twin over a collected state row:
+    // fields are (rf, rc, frac, lo, hi, below, m) = indices 0..6.
+    val stIdx = flat.map { case (_, _, n) => stSchema.fieldIndex(s"__st_$n") }
+    def rowActive(r: org.apache.spark.sql.Row): Boolean = stIdx.exists { i =>
+      !r.isNullAt(i) && {
+        val s = r.getStruct(i)
+        !s.isNullAt(6) && s.getLong(6) > candLimit &&
+          !s.isNullAt(3) && !s.isNullAt(4) && s.getDouble(3) < s.getDouble(4)
+      }
+    }
 
     // Bisection rounds. 12 is unreachable by count (1024¹² ≫ any n);
     // it backstops the one non-counting stall — > candLimit DISTINCT
@@ -127,7 +160,7 @@ object Aggregates {
     // exact).
     val bins = 1024
     var rounds = 0
-    while (rounds < 12 && st.filter(expr(anyActive)).limit(1).count() > 0) {
+    while (rounds < 12 && stRows.exists(rowActive)) {
       rounds += 1
       // (group, sid, bin) → exact count + value min/max; active specs
       // stacked through one explode so the round is ONE scan of df.
@@ -186,8 +219,10 @@ object Aggregates {
       val wideCols = flat.zipWithIndex.map { case ((_, _, name), i) =>
         max(when(col("sid") === i, col("s"))).as(s"__st_$name")
       }
-      st = upd.groupBy(group).agg(wideCols.head, wideCols.tail: _*)
-        .localCheckpoint(true)
+      stRows = upd.groupBy(group).agg(wideCols.head, wideCols.tail: _*)
+        .select(stSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .collect()
+      st = localSt
     }
     lastBisectRounds.set(rounds)
 
