@@ -158,10 +158,15 @@ object Bench {
     // LM model, so the timed cost is the four chained stages
     "q_pipeline_curate",
     // round 6, third wave: the all-nodes k-NN graph build (cell-bounded
-    // top-3 edges for EVERY vector — the graph-curation pre-pass; the
-    // mutual-edge filter q_knn_mutual stays oracle-gated, it re-walks
-    // the same relation)
-    "q_knn_graph")
+    // top-3 edges for EVERY vector — the graph-curation pre-pass)
+    "q_knn_graph",
+    // round 7: the rest of the graph-curation arc — the mutual-edge
+    // filter (reversed-key self-join of the edge relation) and the
+    // semantic clusters it feeds (CC + survivor pick); q_semdedup above
+    // now rides the same top-k edge relation instead of thresholded
+    // within-cell all-pairs
+    "q_knn_mutual",
+    "q_knn_cluster")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -932,38 +932,35 @@ object Similarity {
               |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin),
       scaleExcluded = true),
 
-    // Semantic dedup (the SemDeDup shape): bound the quadratic cosine
-    // check to COARSE-QUANTIZER CELLS — assign every embedding to its
-    // nearest of ⌊√N⌋ cells (one broadcast argmax pass, the sized IVF
-    // machinery), then compare pairs only WITHIN a cell. Total pair work
-    // is ~N²/cells = N^1.5 instead of N² (q_dedup_embed's brute-force
-    // answer is the superset this recalls from — cross-cell near-dups
-    // are the measured recall trade, same as any clustered dedup).
-    // Output = within-cell near-dup pairs; dropping max(a,b) per pair is
-    // the dedup decision.
+    // Semantic dedup (the SemDeDup shape, Abbas et al. 2023): assign
+    // every embedding to its nearest of ⌊√N⌋ coarse-quantizer cells
+    // (the memoized sized-IVF assignment), then take near-dup pairs
+    // from each vector's WITHIN-CELL TOP-k CANDIDATES — the paper's
+    // per-cluster pruning, realized over the k-NN edge relation
+    // ([[knnEdges]]) instead of thresholded all-pairs. The threshold
+    // is a FILTER on the bounded edge set: the scoring work is the
+    // same ~N^1.5 within-cell ranking either way, but the surviving
+    // relation is ≤ k·N rows by construction — the all-pairs variant's
+    // output (and its sort/exchange) grew with the pair count, which
+    // is what made it the one family scaling super-linearly at 100×
+    // rows. Cross-cell near-dups and in-cell dups past rank k are the
+    // measured recall trade, same as any clustered dedup. Both edge
+    // directions collapse to (min, max): the elementwise dot and the
+    // commuted norm product are bit-identical under IEEE, so DISTINCT
+    // is exact. Dropping max(a, b) per pair is the dedup decision.
     QueryDef(
       "q_semdedup",
-      (s, d) => {
-        val cellFrame = cellAssign(s, d,
-          ivfCellsFor(Tables.embeddings(s, d).count()))
-        val x = cellFrame.select(col("vec_id").as("a"), col("embedding").as("ea"), col("cell"))
-        val y = cellFrame.select(col("vec_id").as("b"), col("embedding").as("eb"),
-          col("cell").as("cellb"))
-        x.join(y, col("cell") === col("cellb") && col("a") < col("b"))
-          .selectExpr("a", "b", "cell", "cosine_sim(ea, eb) AS cosine")
-          .filter(col("cosine") >= 0.4)
-          .orderBy("a", "b")
-      },
-      Some(s"""WITH sizedc AS (
-              |  SELECT GREATEST(4, CAST(floor(sqrt(COUNT(*))) AS INT)) AS c FROM embeddings),
-              |${duckCellCtesExpr("(SELECT c FROM sizedc)")}
-              |SELECT a, b, cell, cosine FROM (
-              |  SELECT x.vec_id AS a, y.vec_id AS b, x.cell AS cell,
-              |    ${duckDot("x.embedding", "y.embedding")}
-              |      / (sqrt(${duckDot("x.embedding", "x.embedding")})
-              |         * sqrt(${duckDot("y.embedding", "y.embedding")})) AS cosine
-              |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id)
-              |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin)),
+      (s, d) => knnEdges(s, d, k = 4)
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b",
+          "cell", "cosine")
+        .filter(col("cosine") >= 0.4)
+        .distinct()
+        .orderBy("a", "b"),
+      Some(s"""WITH ${duckKnnCtes(4)}
+              |SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+              |       cell, cosine
+              |FROM knn WHERE cosine >= 0.4
+              |ORDER BY a, b""".stripMargin)),
 
     // Embedding-space decontamination: flag corpus vectors semantically
     // close (cosine ≥ 0.35) to ANY vector of an evaluation set — the
@@ -1043,6 +1040,52 @@ object Similarity {
               |SELECT f.src AS a, f.dst AS b, f.cosine AS cosine
               |FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
               |WHERE f.src < f.dst
-              |ORDER BY a, b""".stripMargin))
+              |ORDER BY a, b""".stripMargin)),
+
+    // Semantic clusters from the mutual k-NN graph — the graph twin of
+    // q_dedup_cc: connected components over the reciprocated edge set
+    // (min-label + pointer jumping, O(log d) keyed shuffles — the same
+    // [[graft.operators.Clustering.connectedComponents]] the MinHash
+    // dedup uses), a component size per member, and a DETERMINISTIC
+    // survivor pick (keep = 1 on the min-id member, which IS the
+    // component label). Mutual edges only: one-way edges are hub
+    // artifacts (a boilerplate-adjacent vector appears in thousands of
+    // top-k lists without reciprocating), so clustering the directed
+    // graph would chain unrelated docs through hubs. Input is ≤ k·N
+    // edges by construction; nothing downstream of the edge build
+    // touches an embedding again.
+    QueryDef(
+      "q_knn_cluster",
+      (s, d) => {
+        val e = knnEdges(s, d, k = 3)
+        val fwd = e.select(col("src").as("a"), col("dst").as("b"))
+        val rev = e.select(col("src").as("rb"), col("dst").as("ra"))
+        val mutual = fwd.join(rev, col("a") === col("ra") && col("b") === col("rb"))
+          .filter(col("a") < col("b"))
+          .select("a", "b")
+        val cc = graft.operators.Clustering.connectedComponents(mutual)
+        val sizes = cc.groupBy("lab").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "lab")
+          .selectExpr("v AS vec_id", "lab AS cluster", "cluster_size",
+            "CAST(v = lab AS INT) AS keep")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${duckKnnCtes(3)},
+              |mutual AS (
+              |  SELECT f.src AS a, f.dst AS b
+              |  FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+              |  WHERE f.src < f.dst),
+              |edges AS (SELECT a AS src, b AS dst FROM mutual
+              |          UNION ALL SELECT b, a FROM mutual),
+              |reach(v, r) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT reach.v, edges.dst FROM reach JOIN edges ON edges.src = reach.r),
+              |cc AS (SELECT v, MIN(r) AS cluster FROM reach GROUP BY v),
+              |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM cc GROUP BY cluster)
+              |SELECT cc.v AS vec_id, cc.cluster AS cluster, sizes.cluster_size,
+              |       CAST(cc.v = cc.cluster AS INT) AS keep
+              |FROM cc JOIN sizes ON cc.cluster = sizes.cluster
+              |ORDER BY vec_id""".stripMargin))
   )
 }

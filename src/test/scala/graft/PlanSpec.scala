@@ -179,13 +179,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), s"plan:\n$p")
   }
 
-  test("semantic dedup bounds the pair join to cells — equi-join, no cross product") {
+  test("semantic dedup rides the bounded top-k edge relation — no cross product") {
     val p = finalPlan("q_semdedup")
-    // centroid assignment broadcasts; the pair stage joins on the cell
-    // key — a nested-loop/cartesian anywhere means the N² bound is gone
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"expected broadcast centroid assignment:\n$p")
+    // the pair stage is the k-NN edge build: memoized cell assignment,
+    // equi-join on the cell key, and the per-node rank<=k cut pushed
+    // map-side — the surviving relation is <= k*N rows BEFORE the
+    // threshold filter, never a thresholded all-pairs list
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the memoized cell assignment:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected map-side rank<=k cut:\n$p")
+  }
+
+  test("knn clustering joins sizes back without a cartesian") {
+    // upstream edge properties (memoized assignment, equi-join, rank
+    // cut) are pinned on q_knn_graph/q_knn_mutual; the CC loop breaks
+    // lineage per round (localCheckpoint), so this final plan shows the
+    // label/size join stage — which must stay a hash equi-join
+    val p = finalPlan("q_knn_cluster")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("HashJoin"), s"expected hash join on the label:\n$p")
   }
 
   test("k-NN graph rides the memoized cell assignment; top-k cuts map-side") {
