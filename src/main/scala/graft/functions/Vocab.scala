@@ -197,6 +197,41 @@ object Vocab {
         .selectExpr("concat_ws(' ', w1, w2, w3) AS tg", "n3", "nc")
     }
 
+  /** Per-source document cap and hard perplexity threshold shared by
+    * q_source_cap, the curation pipeline's filter stages, and their
+    * DuckDB oracles — one definition each, so the Spark plans and the
+    * oracle SQL can never drift apart. */
+  val SourceCap: Int = 15
+  val HardNllMicro: Long = 3000000L
+
+  /** Broadcast gate for the memoized LM: ≤ 5M conditionals is the
+    * pruned-LM contract (a vocab-bounded model fits every executor); an
+    * unpruned web-scale model falls back to the trigram-key equi-join. */
+  val LmBroadcastMax: Long = 5000000L
+
+  /** Per-doc trigram NLL partials against the memoized LM — the scoring
+    * subtree shared by q_lm_score and the curation pipeline's
+    * perplexity filter: instance explode on the single concat key,
+    * broadcast model join (gated by [[LmBroadcastMax]]), per-doc
+    * combinable aggregate. Returns (doc_id, n_tri, nll_sum); docs under
+    * 3 tokens carry no trigrams and are absent. */
+  private[graft] def lmDocScores(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
+    val model = lmModel(s, d)
+    val mj = if (model.count() <= LmBroadcastMax) broadcast(model) else model
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "explode(transform(CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END, " +
+          "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))) AS tg")
+      .join(mj, Seq("tg"))
+      .withColumn("nll_micro",
+        expr("CAST(round(-ln(CAST(n3 AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("nll_micro")).as("nll_sum"))
+  }
+
   /** DuckDB CTE chain for the trigram model (toks → inst → tri → model)
     * plus the per-instance NLL scoring — shared by q_lm_score's oracle
     * and the composed curation pipeline's. MATERIALIZED throughout: tri
@@ -412,24 +447,10 @@ object Vocab {
     // Output = the 20 highest-perplexity docs, the filter's drop list.
     QueryDef(
       "q_lm_score",
-      (s, d) => {
-        val model = lmModel(s, d)
-        val mj = if (model.count() <= 5000000L) broadcast(model) else model
-        val inst = Tables.documents(s, d)
-          .selectExpr("doc_id", "split(text, ' ') AS toks")
-          .selectExpr("doc_id",
-            "explode(transform(CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) " +
-              "ELSE CAST(array() AS ARRAY<INT>) END, " +
-              "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))) AS tg")
-        inst.join(mj, Seq("tg"))
-          .withColumn("nll_micro",
-            expr("CAST(round(-ln(CAST(n3 AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tri"), sum(col("nll_micro")).as("nll_sum"))
-          .withColumn("avg_nll_micro", expr("nll_sum div n_tri"))
-          .orderBy(col("avg_nll_micro").desc, col("doc_id"))
-          .limit(20)
-      },
+      (s, d) => lmDocScores(s, d)
+        .withColumn("avg_nll_micro", expr("nll_sum div n_tri"))
+        .orderBy(col("avg_nll_micro").desc, col("doc_id"))
+        .limit(20),
       Some(s"""WITH $duckLmScored
              |SELECT doc_id, COUNT(*) AS n_tri,
              |  CAST(SUM(nll_micro) AS BIGINT) AS nll_sum,

@@ -69,7 +69,11 @@ object Aggregates {
   /** Bisection rounds executed by the most recent [[sortPercentiles]]
     * call in this JVM — a test/bench observation hook ONLY (proves the
     * n ≳ 26M trigger actually fired in anger; ScaleSpec asserts it on
-    * a 30M-row group). Not part of any result. */
+    * a 30M-row group). Not part of any result. Process-global: a
+    * concurrent sortPercentiles call between a caller's invocation and
+    * its read clobbers the count — ScalaTest suites run sequentially
+    * here (no parallelExecution), which is what keeps ScaleSpec's
+    * assertion reliable; keep it that way or thread an observer. */
   private[graft] val lastBisectRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[graft] def sortPercentiles(

@@ -103,27 +103,17 @@ object CorpusPipeline {
   private[graft] def cappedCorpus(s: org.apache.spark.sql.SparkSession,
                                   d: String): org.apache.spark.sql.DataFrame = {
     import graft.functions.TextAnalysis.tokHash
+    import graft.functions.Vocab
     import org.apache.spark.sql.expressions.Window
-    val model = graft.functions.Vocab.lmModel(s, d)
-    val mj = if (model.count() <= 5000000L) broadcast(model) else model
     val docs = Tables.documents(s, d)
-    val inst = docs.selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id",
-        "explode(transform(CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END, " +
-          "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))) AS tg")
-    val hard = inst.join(mj, Seq("tg"))
-      .withColumn("nll_micro",
-        expr("CAST(round(-ln(CAST(n3 AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6, 0) AS BIGINT)"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"), sum(col("nll_micro")).as("nll_sum"))
-      .filter(expr("nll_sum div n_tri >= 3000000"))
+    val hard = Vocab.lmDocScores(s, d) // shared scoring subtree
+      .filter(expr(s"nll_sum div n_tri >= ${Vocab.HardNllMicro}"))
       .select("doc_id")
     val lmKept = docs.join(hard, Seq("doc_id"), "left_anti")
     val coin = expr(tokHash("CAST(doc_id AS STRING)"))
     val wCap = Window.partitionBy("source").orderBy(coin.asc, col("doc_id").asc)
     lmKept.withColumn("rk", row_number().over(wCap))
-      .filter(col("rk") <= 15).drop("rk")
+      .filter(col("rk") <= Vocab.SourceCap).drop("rk")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -297,7 +287,7 @@ object CorpusPipeline {
            |  SELECT doc_id FROM (
            |    SELECT doc_id, CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS avg_nll
            |    FROM scored GROUP BY doc_id)
-           |  WHERE avg_nll >= 3000000),
+           |  WHERE avg_nll >= ${graft.functions.Vocab.HardNllMicro}),
            |lmkept AS (
            |  SELECT doc_id, text, lang, source FROM documents
            |  WHERE doc_id NOT IN (SELECT doc_id FROM hard)),
@@ -306,7 +296,7 @@ object CorpusPipeline {
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
            |      ORDER BY $h, doc_id) AS rk
            |    FROM lmkept)
-           |  WHERE rk <= 15),
+           |  WHERE rk <= ${graft.functions.Vocab.SourceCap}),
            |counts AS (
            |  SELECT lang, COUNT(*) AS n_before,
            |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e9) AS BIGINT) AS sw

@@ -334,7 +334,12 @@ object Dedup {
     * [[duckVerifiedPairsCtes]] chain; its CTEs keep their canonical
     * names, so the SimHash-side hash/signature CTEs are prefixed `s`.
     * The two regime SELECTs are gated by mutually exclusive COUNT(*)
-    * predicates and unioned — exactly one contributes rows. */
+    * predicates and unioned — exactly one contributes rows. (The gates
+    * are non-constant scalar subqueries, so DuckDB may still EVALUATE
+    * the quadratic simpairs CTE even when the MinHash regime wins —
+    * acceptable at oracle scale (~500 docs); if a verify fixture past
+    * the 8·2¹⁵-doc cap is ever added, split this into two statements
+    * chosen driver-side by the same gate instead of a guarded UNION.) */
   private def duckSimhashPairsGated(targetBucket: Int = 8): String =
     s"""WITH sized AS (
        |  SELECT COALESCE(MIN(b), 15) AS b

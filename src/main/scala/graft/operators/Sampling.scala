@@ -190,7 +190,7 @@ object Sampling {
         val w = Window.partitionBy("source").orderBy(coin.asc, col("doc_id").asc)
         Tables.documents(s, d)
           .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 15)
+          .filter(col("rk") <= graft.functions.Vocab.SourceCap)
           .groupBy("source")
           .agg(count(lit(1)).as("n_kept"),
             sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
@@ -202,7 +202,7 @@ object Sampling {
               |    ROW_NUMBER() OVER (PARTITION BY source
               |      ORDER BY ${duckTokHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
               |  FROM documents)
-              |WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin)),
+              |WHERE rk <= ${graft.functions.Vocab.SourceCap} GROUP BY source ORDER BY source""".stripMargin)),
 
     // Temperature-scaled mixture resampling (the T5/multilingual-corpus
     // recipe): language s is kept at rate ∝ n_s^α / Σ n_t^α with α = ½,

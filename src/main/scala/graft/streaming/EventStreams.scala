@@ -97,20 +97,41 @@ object EventStreams {
         col("c_mktsegment").as("segment"))
 
   /** Streaming corpus admission (batch twin: q_stream_admit): digest
-    * each arriving document, keep only the FIRST occurrence of a digest
-    * within the stream (`dropDuplicates` state keyed by the 32-byte
-    * digest — production bounds it with a watermark or a TTL'd state
-    * store), then admit digests absent from the static base corpus via
-    * a stream-static LEFT ANTI join. The base side is a precomputed
-    * digest index at scale; the anti join holds no stream state, so the
-    * only per-record cost is one hash probe — the same admission
-    * decision q_dedup_incremental makes in batch, emitted per
-    * micro-batch. */
-  def admitDocs(delta: DataFrame, baseDigests: DataFrame): DataFrame =
-    delta.withColumn("dg", sha2(col("text"), 256))
-      .dropDuplicates("dg")
+    * each arriving document, keep only the first occurrence of a digest
+    * within the stream, then admit digests absent from the static base
+    * corpus via a stream-static LEFT ANTI join. The base side is a
+    * precomputed digest index at scale; the anti join holds no stream
+    * state, so the only per-record cost is one hash probe — the same
+    * admission decision q_dedup_incremental makes in batch, emitted per
+    * micro-batch.
+    *
+    * First-occurrence state is keyed flatMapGroupsWithState rather than
+    * `dropDuplicates`: dropDuplicates keeps an ARBITRARY row per digest
+    * when two same-text docs land in one micro-batch (partition order),
+    * while the batch twin keeps the min-doc_id row — this picks the
+    * min-doc_id row within each batch, so the admitted doc_id is
+    * deterministic and the stream/batch parity is exact, not
+    * order-lucky. State per digest is one boolean (production bounds it
+    * with a TTL'd state store, as dropDuplicates would need a watermark
+    * for the same reason). */
+  def admitDocs(delta: DataFrame, baseDigests: DataFrame): DataFrame = {
+    import delta.sparkSession.implicits._
+    val firsts = delta.withColumn("dg", sha2(col("text"), 256))
+      .select(col("dg"), col("doc_id").cast("long").as("doc_id"),
+        col("lang"), col("source"))
+      .as[(String, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long, String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.minBy(_._2)) }
+      }
+    firsts.toDF("dg", "doc_id", "lang", "source")
       .join(baseDigests, Seq("dg"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"))
+  }
 
   /** Restart-idempotent streaming MERGE sink (a `foreachBatch` body):
     * micro-batch `b` reconciles its rows against the latest COMMITTED
