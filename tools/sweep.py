@@ -37,7 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
 
 POINTS = {
-    "sf0.1": ("/root/testdata/sf0.1", "BENCH_r05.json"),
+    "sf0.1": ("/root/testdata/sf0.1", "BENCH_sf01.json"),
     "sf1": ("/tmp/sf1", "BENCH_sf1.json"),
     "sf3": ("/tmp/sf3", "BENCH_sf3.json"),
     "sf10": ("/tmp/sf10", "BENCH_sf10.json"),
@@ -66,7 +66,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", default="sf0.1,sf1,sf3,sf10")
     ap.add_argument("--force", default="")
-    ap.add_argument("--report", default="tools/sweep_report_r6.md")
+    ap.add_argument("--report", default="tools/sweep_report_r7.md")
     # Per-point sample count for re-measured suspects. sf10 defaults to
     # 5: its early-headline entries showed 5-88 s steal dispersion in
     # round 6, and a median of 3 can still land on a stolen sample.
