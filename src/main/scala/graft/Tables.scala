@@ -25,18 +25,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read it as raw nanos
-    * (`nanosAsLong`) and integer-divide to micros — the generator emits
-    * whole-micro values, so `DIV 1000` is lossless and matches what
-    * DuckDB surfaces for the same file. Integer division on the long,
-    * not `/1000.0`: 1.7e18 ns does not round-trip through a double.
+  /** events.parquet's `ts` column has shipped in two physical formats:
+    *
+    *   - INT64 TIMESTAMP(NANOS) (older driver drops + `tools/ScaleGen`
+    *     sf1/sf3/sf10 files): Spark's vectorized reader rejects the type,
+    *     so `nanosAsLong` surfaces it as a raw long and we integer-divide
+    *     to micros — the generator emits whole-micro values, so `DIV 1000`
+    *     is lossless. Integer division on the long, not `/1000.0`:
+    *     1.7e18 ns does not round-trip through a double.
+    *   - plain INT64 TIMESTAMP micros, no tz (current driver drops): Spark
+    *     infers TIMESTAMP_NTZ; cast to session-local TIMESTAMP so every
+    *     downstream `window()`/`dayofweek()`/interval expression sees one
+    *     type. The session tz is pinned to UTC ([[GraftSession]]), so the
+    *     cast is a value-preserving relabel matching DuckDB's naive reads.
+    *
+    * Branch on the loaded type rather than the file vintage so both data
+    * generations (and a future straight-TIMESTAMP drop) read identically.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    table(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -27,9 +27,12 @@ import scala.util.hashing.MurmurHash3
   *    Copy 0 is always the untouched original, so fixed-id query sets
   *    (vec_id < 100 probes, seed centroids) are unchanged.
   *
-  * `events.ts` is read and re-written as raw INT64 nanos (the loader's
-  * nanosAsLong contract), so `Tables.events` works on the output
-  * unchanged.
+  * `events.ts` is propagated in whatever physical format the source
+  * files use — raw INT64 nanos (surfaced as long via nanosAsLong) from
+  * older driver drops, or plain INT64 micros (TIMESTAMP_NTZ) from
+  * current ones. Either way the column is read and re-written untouched,
+  * and `Tables.events`' schema-adaptive branch reads the output
+  * identically to the source.
   *
   * Usage: runMain graft.tools.ScaleGen <srcDir> <dstDir> <factor>
   */
