@@ -33,6 +33,7 @@ object SparkEntry {
       functions.Ranking.defs ++
       functions.Fuzzy.defs ++
       operators.Similarity.defs ++
+      operators.BloomPrune.defs ++
       operators.CorpusPipeline.defs ++
       operators.Multimodal.defs ++
       sources.FileFormats.defs ++

@@ -112,6 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (children: Seq[Expression]) => MinHashSigs(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children.head, children(1))))
   }
 }
 
@@ -163,6 +167,28 @@ object GraftFunctions {
           mins.toSeq
         }
       }: Seq[Long])
+    }
+  }
+
+  /** [[BloomMightContain]] fallback for extension-less sessions: same
+    * [[BloomHash]] probe over the boxed bitmap. */
+  def ensureBloomProbe(spark: SparkSession): Unit = {
+    if (!spark.catalog.functionExists("bloom_might_contain")) {
+      spark.udf.register("bloom_might_contain", (bits: Seq[Long], key: Long) => {
+        if (bits == null) null
+        else {
+          val h = BloomHash.mix(key)
+          val h2 = (h >>> 32) | 1L
+          var i = 0
+          var ok = true
+          while (ok && i < BloomHash.K) {
+            val bit = (((h + i * h2) & Long.MaxValue) % BloomHash.Bits).toInt
+            ok = (bits(bit >> 6) & (1L << (bit & 63))) != 0L
+            i += 1
+          }
+          java.lang.Boolean.valueOf(ok)
+        }
+      }: java.lang.Boolean)
     }
   }
 

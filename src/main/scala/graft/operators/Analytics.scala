@@ -171,6 +171,64 @@ object Analytics {
              |  CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
              |  CAST(SUM(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
              |  CAST(SUM(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // Last-touch attribution — the oracle-checked batch twin of the
+    // watermarked stream-stream join ([[graft.streaming.EventStreams
+    // .purchaseAttribution]], same 24-hour window): each purchase is
+    // attributed to the user's LATEST signup in (p_ts - 24h, p_ts],
+    // chosen deterministically (max (s_ts, signup_id) struct — ids
+    // break timestamp ties). The band join is an equi-join on user_id
+    // with a range residual, so it shuffles each side once on the user
+    // key — per-user event counts bound the pair fan-out, never N².
+    // Latencies subtract truncated epoch seconds (DuckDB's
+    // boundary-crossing date_diff, same equivalence q_sessionize pins).
+    QueryDef(
+      "q_attrib_last_touch",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+            col("event_id").as("signup_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"), col("value"))
+        val last = purchases.join(signups,
+            col("p_user") === col("s_user")
+              && col("s_ts") <= col("p_ts")
+              && col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+          .groupBy("purchase_id")
+          .agg(max(struct(col("s_ts"), col("signup_id"))).as("m"))
+          .select(col("purchase_id"), col("m.signup_id").as("signup_id"),
+            col("m.s_ts").as("s_ts"))
+        purchases.join(last, Seq("purchase_id"), "left")
+          .groupBy(to_date(col("p_ts")).as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("signup_id")).as("n_attributed"),
+            sum(col("signup_id")).cast("bigint").as("signup_checksum"),
+            sum(col("p_ts").cast("long") - col("s_ts").cast("long"))
+              .cast("bigint").as("total_latency_s"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("day")
+      },
+      Some(s"""WITH s AS (SELECT user_id AS s_user, ts AS s_ts, event_id AS signup_id
+              |          FROM events WHERE event_type = 'signup'),
+              |p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id, value
+              |      FROM events WHERE event_type = 'purchase'),
+              |last AS (
+              |  SELECT purchase_id, signup_id, s_ts FROM (
+              |    SELECT purchase_id, signup_id, s_ts,
+              |      ROW_NUMBER() OVER (PARTITION BY purchase_id
+              |        ORDER BY s_ts DESC, signup_id DESC) AS rn
+              |    FROM p JOIN s ON p_user = s_user
+              |      AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 24 HOURS)
+              |  WHERE rn = 1)
+              |SELECT CAST(p_ts AS DATE) AS day, COUNT(*) AS n_purchases,
+              |  COUNT(signup_id) AS n_attributed,
+              |  CAST(SUM(signup_id) AS BIGINT) AS signup_checksum,
+              |  CAST(SUM(date_diff('second', s_ts, p_ts)) AS BIGINT) AS total_latency_s,
+              |  ${sqlDsum("value")} AS sum_value
+              |FROM p LEFT JOIN last USING (purchase_id)
+              |GROUP BY CAST(p_ts AS DATE) ORDER BY day""".stripMargin))
   )
 }

@@ -320,4 +320,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"plan:\n$p")
   }
+
+  test("bloom prune probes during the scan: broadcast bitmap, no fact shuffle before the filter") {
+    val p = finalPlan("q_join_bloom")
+    // the one-row bitmap rides a broadcast nested-loop (single-row
+    // crossJoin — bounded by construction); the probe predicate must
+    // appear as a Filter over the scan side, NOT after an exchange of
+    // the fact table
+    assert(p.contains("bloom_might_contain"), s"expected the native probe:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    val probeAt = p.indexOf("bloom_might_contain")
+    val factScanAt = p.indexOf("lineitem.parquet", probeAt)
+    assert(factScanAt > probeAt, s"probe filter should precede the fact scan:\n$p")
+    // between the probe predicate and the fact scan: broadcast of the
+    // bitmap is fine, a shuffle of the fact table is the failure mode
+    val between = p.substring(probeAt, factScanAt)
+    assert(!between.contains("Exchange hashpartitioning"),
+      s"fact rows shuffled before the probe:\n$p")
+  }
 }
