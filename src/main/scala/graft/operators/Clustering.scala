@@ -14,38 +14,110 @@ import Similarity.{duckDot, sparkDot}
   * of {A,B,C}, not one per pair). The reference has no graph ops; this
   * is extension surface over `documents`.
   *
-  * Algorithm: iterative min-label propagation with pointer jumping —
-  * the standard shuffle-based connected components (cf. the
-  * "large-star/small-star" family): every vertex starts labeled with
-  * itself; each round takes the min label over {self} ∪ neighbors
-  * (one equi-join + combinable min-aggregate), then compresses paths by
-  * looking the new label up in the same label table (second equi-join).
-  * With compression the label tree halves in height every round, so
-  * convergence needs O(log(diameter)) rounds, each a bounded number of
-  * keyed shuffles over |V|+|E| rows — no stage ever holds a whole
-  * component, which is what survives 100 TB (components can be huge;
-  * vertices-per-partition stays flat). The driver-side loop carries
-  * only a changed-row count per round (an aggregate, not data), and
-  * each round's result is cached + the previous round released, so
-  * lineage stays shallow (at cluster scale you'd checkpoint every ~10
-  * rounds — noted, irrelevant at the ≤ `maxIter` depths here).
+  * Two execution regimes behind one COUNT-gated entry point — the same
+  * executed-sizing-rule architecture as [[Similarity.ivfSizedAnn]]:
   *
-  * The DuckDB oracle computes the same fixpoint declaratively with a
-  * recursive CTE (min reachable vertex id per vertex) — a different
-  * evaluation strategy arriving at the identical labeling is exactly
-  * what the cross-engine gate is for.
+  *  - edge sets at or below [[CcSingleTaskCap]] run a SINGLE-TASK
+  *    union-find (`coalesce(1)` + `mapPartitions`, path-halving find,
+  *    union-by-min-id): one executor task, one job, O(E α(E)) work over
+  *    primitive arrays. The dedup/knn edge relations are ≤ k·N rows and
+  *    heavily contracted by their upstream filters, so this is the path
+  *    every benchmark scale takes — and what replaced a 13-round,
+  *    ~0.9 s/round driver loop over 1.7k edges (the cost was per-round
+  *    scheduling, not data).
+  *  - larger edge sets run iterative min-label propagation with pointer
+  *    jumping — the standard shuffle-based connected components (cf.
+  *    the "large-star/small-star" family): every vertex starts labeled
+  *    with itself; each round takes the min label over {self} ∪
+  *    neighbors (one equi-join + combinable min-aggregate), then
+  *    compresses paths by looking the new label up in the same label
+  *    table (second equi-join). O(log(diameter)) rounds, each a bounded
+  *    number of keyed shuffles over |V|+|E| rows — no stage ever holds
+  *    a whole component, which is what survives 100 TB. Per round the
+  *    loop runs ONE blocking job (the convergence count rides the
+  *    checkpoint materialization as an accumulator) and the min-label
+  *    aggregate is persisted so the pointer-jump self-join doesn't
+  *    compute it twice.
+  *
+  * Both regimes produce the identical (v, min-reachable-id) labeling;
+  * the DuckDB oracle computes the same fixpoint declaratively with a
+  * recursive CTE — a third evaluation strategy arriving at the same
+  * answer is exactly what the cross-engine gate is for.
   */
 object Clustering {
+
+  /** Single-task union-find cap, in EDGES. 8M edges ≈ 128 MiB of packed
+    * longs plus vertex/parent arrays — comfortably one executor task's
+    * memory, and ≥ 5× the largest edge relation any sf10 entry builds
+    * (mutual k-NN ≤ 3N ≈ 1.5M at sf10). Past the cap the shuffle loop
+    * runs: at 100 TB a 3·10⁹-edge relation must never sit in one task. */
+  val CcSingleTaskCap: Long = 8L * 1000 * 1000
 
   /** Connected components of an undirected edge list (`a`, `b`):
     * returns (v, cluster) with cluster = min vertex id reachable from v.
     * Only vertices appearing in some edge are labeled (isolated docs are
     * their own trivial cluster and never enter the graph).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          singleTaskCap: Long = CcSingleTaskCap): DataFrame = {
+    val p = pairs.selectExpr("CAST(a AS LONG) AS a", "CAST(b AS LONG) AS b")
+      .cache()
+    // executed size gate — the regime choice is a measured property of
+    // the data, not a configuration
+    val n = p.count()
+    val out = if (n <= singleTaskCap) ccSingleTask(p) else ccMinLabel(p, maxIter)
+    p.unpersist()
+    out
+  }
+
+  /** Sub-cap regime: the whole edge list in one union-find pass on one
+    * executor task. Union-by-min-id (roots are always the smallest
+    * vertex id seen, so the final label IS the component min — no
+    * relabeling pass) with path-halving lookups; edge order cannot
+    * change the result, so `coalesce(1)`'s nondeterministic order is
+    * safe. The result is eagerly checkpointed: downstream consumers
+    * (size joins, survivor picks) re-scan it without re-running UF. */
+  private def ccSingleTask(p: DataFrame): DataFrame = {
+    val s = p.sparkSession
+    import s.implicits._
+    val labeled = p.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      // pack edges, index vertices, then int-indexed union-find —
+      // primitive arrays only (a boxed map at the cap would be GBs)
+      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+      it.foreach { case (a, b) => buf += a; buf += b }
+      val flat = buf.result()
+      val verts = flat.distinct.sorted
+      val idx = new java.util.HashMap[Long, Integer](verts.length * 2)
+      var i = 0
+      while (i < verts.length) { idx.put(verts(i), i); i += 1 }
+      val parent = Array.tabulate(verts.length)(identity)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      var e = 0
+      while (e < flat.length) {
+        val ra = find(idx.get(flat(e)).intValue())
+        val rb = find(idx.get(flat(e + 1)).intValue())
+        // verts is sorted ascending, so smaller index == smaller id:
+        // attaching the larger root under the smaller keeps every root
+        // the component's min vertex id by construction
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        e += 2
+      }
+      Iterator.tabulate(verts.length)(i => (verts(i), verts(find(i))))
+    }.toDF("v", "lab")
+    // one job, one task; lineage truncated for the downstream self-joins
+    labeled.localCheckpoint(true)
+  }
+
+  /** Past-cap regime: shuffle-based min-label propagation with pointer
+    * jumping; see the object doc for the per-round structure. */
+  private def ccMinLabel(p: DataFrame, maxIter: Int): DataFrame = {
     // Symmetric edge relation: propagation must flow both directions.
-    val edges = pairs.selectExpr("a AS src", "b AS dst")
-      .union(pairs.selectExpr("b AS src", "a AS dst"))
+    val edges = p.selectExpr("a AS src", "b AS dst")
+      .union(p.selectExpr("b AS src", "a AS dst"))
       .cache()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lab", col("v"))
@@ -57,33 +129,55 @@ object Clustering {
       // aggregate; nothing materializes a whole component anywhere. The
       // self rows carry the round's incoming label as `old` (unique per
       // v, so max() recovers it through the aggregate): the convergence
-      // check then reads the checkpointed frame directly instead of
-      // re-joining it against the previous labels — one filter+count
-      // over in-memory blocks per round, not a shuffle join action.
+      // check then rides the checkpoint materialization below as an
+      // accumulated lab≠old count instead of re-joining against the
+      // previous labels — no extra action, no shuffle join.
       val self = labels.select(col("v"), col("lab"), col("lab").as("old"))
       val nbr = edges
         .join(labels.withColumnRenamed("v", "dst"), "dst")
         .select(col("src").as("v"), col("lab"), lit(null).cast("long").as("old"))
+      // persisted: the pointer-jump self-join below scans this twice —
+      // uncached, the join+aggregate subtree would execute twice per
+      // round (block-level cache locking makes the two in-job scans
+      // compute-once/read-once)
       val minLab = self.union(nbr).groupBy("v")
         .agg(min("lab").as("lab"), max("old").as("old"))
+        .persist()
       // pointer jumping: lab(v) <- lab(lab(v)); halves tree height.
       // localCheckpoint (not cache): the self-join references minLab
       // twice, so the logical plan DOUBLES per round — without lineage
       // truncation the plan tree is 2^rounds nodes and the driver dies
       // on a 10-round graph before any task runs. Checkpointing each
       // round keeps the plan O(1) and the loop O(rounds).
-      val ck = minLab.as("x")
+      val jump = minLab.as("x")
         .join(minLab.select(col("v").as("lv"), col("lab").as("llab")).as("y"),
           col("x.lab") === col("y.lv"), "left")
         .select(col("x.v").as("v"), coalesce(col("y.llab"), col("x.lab")).as("lab"),
           col("x.old").as("old"))
-        .localCheckpoint(true)
+      // ONE blocking job per round, not two: the convergence count rides
+      // the checkpoint materialization as an accumulator instead of a
+      // second count() action over the checkpointed blocks. The edge
+      // relation is tiny (≤ k·N rows) — at cluster scale the per-round
+      // cost is DRIVER round-trips × O(log d) rounds, so halving the job
+      // count halves the loop's wall clock. Accumulator semantics are
+      // safe here: a retried task can only overcount, and the value is
+      // consumed as `> 0`.
+      val acc = jump.sparkSession.sparkContext.longAccumulator("ccChanged")
+      val ckRdd = jump.rdd.map { r =>
+        if (r.isNullAt(2) || r.get(1) != r.get(2)) acc.add(1L)
+        r
+      }
+      ckRdd.localCheckpoint()
+      ckRdd.count() // materializes the checkpoint AND drives the accumulator
+      minLab.unpersist()
+      changed = acc.value
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $iter changed=$changed")
       // Re-baseline on the checkpointed RDD with FRESH attribute ids:
       // the next round unions this frame with a projection of itself,
       // and Catalyst's union-constraint rewrite chokes when both
       // branches carry the same attribute ids out of a LogicalRDD.
-      val jumped = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-      changed = jumped.filter(col("lab") =!= col("old")).count()
+      val jumped = jump.sparkSession.createDataFrame(ckRdd, jump.schema)
       labels.unpersist()
       labels = jumped.drop("old")
       iter += 1

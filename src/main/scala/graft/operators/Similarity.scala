@@ -684,18 +684,33 @@ object Similarity {
     * yields ≤ k·N edges — the fixed-size artifact downstream graph
     * jobs (quality propagation, cluster pruning, graph dedup) join
     * against. */
+  /** Largest k any [[knnEdges]] consumer asks for. The ranked edge
+    * relation is memoized ONCE at this cap and smaller-k callers filter
+    * `rnk <= k` — `row_number` over the same (cosine DESC, dst) window
+    * makes the k=3 slice of the k=4 frame bit-identical to a fresh k=3
+    * ranking, so one within-cell scoring pass (the ~N^1.5 part) serves
+    * q_knn_graph, q_knn_mutual, q_knn_cluster AND q_semdedup. */
+  private[graft] val KnnEdgeCap = 4
+
   private[graft] def knnEdges(s: org.apache.spark.sql.SparkSession, d: String,
                               k: Int): org.apache.spark.sql.DataFrame = {
-    val cellFrame = cellAssign(s, d, ivfCellsFor(Tables.embeddings(s, d).count()))
-    val x = cellFrame.select(col("vec_id").as("src"), col("embedding").as("ea"),
-      col("cell"))
-    val y = cellFrame.select(col("vec_id").as("dst"), col("embedding").as("eb"),
-      col("cell").as("cellb"))
-    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
-    x.join(y, col("cell") === col("cellb") && col("src") =!= col("dst"))
-      .selectExpr("src", "cell", "dst", "cosine_sim(ea, eb) AS cosine")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    require(k <= KnnEdgeCap, s"knnEdges k=$k exceeds memoized cap $KnnEdgeCap")
+    // Session-memoized like the shingle frame and the cell assignment:
+    // the within-cell join + cosine scoring + per-src ranking ran once
+    // per CALLER before — four knn-family queries paid it four times.
+    val ranked = graft.FrameCache.memo(s, s"knnedges:$d:$KnnEdgeCap") {
+      val cellFrame = cellAssign(s, d, ivfCellsFor(Tables.embeddings(s, d).count()))
+      val x = cellFrame.select(col("vec_id").as("src"), col("embedding").as("ea"),
+        col("cell"))
+      val y = cellFrame.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+        col("cell").as("cellb"))
+      val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+      x.join(y, col("cell") === col("cellb") && col("src") =!= col("dst"))
+        .selectExpr("src", "cell", "dst", "cosine_sim(ea, eb) AS cosine")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= KnnEdgeCap)
+    }
+    if (k == KnnEdgeCap) ranked else ranked.filter(col("rnk") <= k)
   }
 
   /** DuckDB CTE chain ending in `knn(src, cell, dst, cosine, rnk)` —

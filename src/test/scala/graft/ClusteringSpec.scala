@@ -48,11 +48,31 @@ class ClusteringSpec extends AnyFunSuite {
     import spark.implicits._
     // a 64-vertex path: naive propagation needs 63 rounds; pointer
     // jumping must close it in O(log n) — the cap (25) only holds at
-    // scale if the doubling actually happens.
+    // scale if the doubling actually happens. singleTaskCap = 0 forces
+    // the past-cap shuffle loop (the regime a 100 TB edge set takes);
+    // the sub-cap union-find path is covered by the agreement test.
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
-    val labs = operators.Clustering.connectedComponents(edges, maxIter = 10)
+    val labs = operators.Clustering
+      .connectedComponents(edges, maxIter = 10, singleTaskCap = 0L)
       .collect().map(_.getLong(1)).toSet
     assert(labs === Set(0L), "all 64 path vertices must reach label 0 within 10 rounds")
+  }
+
+  test("both CC regimes produce the identical labeling") {
+    import spark.implicits._
+    // chains + triangle + isolates fixture, plus a merged fork — run
+    // the sub-cap single-task union-find and the past-cap min-label
+    // loop on the same edges and require bit-identical labelings
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (4L, 40L), (40L, 10L)).toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = asMap(operators.Clustering.connectedComponents(edges))
+    val loop = asMap(operators.Clustering
+      .connectedComponents(edges, singleTaskCap = 0L))
+    assert(fast === loop)
+    // the fork merge chains {1..4,40} into {10,11,12}: one component
+    assert(fast(12L) === 1L && fast(40L) === 1L && fast(20L) === 20L)
   }
 
   test("k-means partitions every vector and Lloyd's never increases the objective") {

@@ -223,6 +223,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected hash equi-join on the reversed key:\n$m")
   }
 
+  test("knn family shares ONE memoized ranked edge frame across k") {
+    // the within-cell scoring pass (~N^1.5 join + cosine + per-src rank)
+    // is the knn family's dominant cost: it must run once per (dir),
+    // with q_semdedup (k=4) and the k=3 graph/mutual/cluster entries all
+    // consuming the SAME cached relation — the k=3 view is a filter on
+    // the k=4 frame, not a re-score
+    assert(operators.Similarity.knnEdges(spark, sf, 4)
+      eq operators.Similarity.knnEdges(spark, sf, 4))
+    val e3 = operators.Similarity.knnEdges(spark, sf, 3)
+    e3.collect()
+    val p3 = e3.queryExecution.executedPlan.toString
+    assert(p3.contains("InMemoryTableScan"),
+      s"expected k=3 edges served from the memoized k=4 frame:\n$p3")
+    // and the cluster entry's final plan rides the cached frame too
+    val pc = finalPlan("q_knn_cluster")
+    assert(pc.contains("InMemoryTableScan") || pc.contains("Scan ExistingRDD"),
+      s"expected q_knn_cluster to consume cached/checkpointed inputs:\n$pc")
+  }
+
   test("corpus balance is a stateless scan filter over broadcast per-lang stats") {
     val p = finalPlan("q_corpus_balance")
     // no window, no sort of the corpus; the per-lang counts and the min
