@@ -166,7 +166,14 @@ object Bench {
     // now rides the same top-k edge relation instead of thresholded
     // within-cell all-pairs
     "q_knn_mutual",
-    "q_knn_cluster")
+    "q_knn_cluster",
+    // round 9: the bloom semi-join prune pair — their entire reason to
+    // exist is runtime (reject the non-matching majority before any
+    // exchange), so the prune ratio must be a measured claim — and the
+    // stream-stream join's batch twin
+    "q_join_bloom",
+    "q_decontaminate_bloom",
+    "q_attrib_last_touch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,9 +30,10 @@ import org.apache.spark.sql.{Encoder, SparkSession, functions => F}
   * shuffle carries one 32 KiB word array per partition, never the key
   * stream; the probe is a codegen'd K-probe loop against the broadcast
   * bitmap (no per-row allocation, no hashing library). The bitmap is
-  * deliberately FIXED-size: 2^18 bits / K=5 gives an FP rate of ~0.004
-  * at 10k keys and ~0.35 at 262k keys — past that the filter degrades
-  * to a no-op prune (never to wrong answers). A production deployment
+  * deliberately FIXED-size: 2^18 bits / K=5 gives an FP rate of
+  * (1 − e^(−Kn/m))^K ≈ 1.6·10⁻⁴ at n = 10k keys, ≈ 0.45 at 100k, and
+  * ≈ 0.97 by n = 262k (= the bit count) — as n grows the filter
+  * degrades to a no-op prune (never to wrong answers). A production deployment
   * sizes `Words` from the build-side COUNT the way the sized ANN
   * variants do (`Similarity.lshBitsFor`); the fixed size keeps the
   * driver-checked query deterministic across scales.
@@ -85,14 +86,18 @@ object BloomHash {
   }
 }
 
-/** Distributive bitmap-build aggregate; null keys are skipped by
-  * Spark's typed-Aggregator null handling (a null member cannot be
-  * probed either, matching semi-join null semantics).
+/** Distributive bitmap-build aggregate. The input is BOXED
+  * `java.lang.Long` precisely so null keys reach `reduce` and are
+  * skipped explicitly — a primitive-`Long` Aggregator's non-nullable
+  * deserializer would reject a null rather than skip it. Skipping
+  * matches semi-join null semantics: a null member cannot be probed
+  * either.
   */
-class BloomFilterAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
+class BloomFilterAgg extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
   override def zero: Array[Long] = new Array[Long](BloomHash.Words)
-  override def reduce(buf: Array[Long], key: Long): Array[Long] = {
-    BloomHash.setBits(buf, key); buf
+  override def reduce(buf: Array[Long], key: java.lang.Long): Array[Long] = {
+    if (key != null) BloomHash.setBits(buf, key.longValue())
+    buf
   }
   override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
     var i = 0
@@ -108,7 +113,8 @@ object BloomFilterAgg {
   /** Register as the SQL aggregate `bloom_agg(key)` (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.catalog.functionExists("bloom_agg")) {
-      spark.udf.register("bloom_agg", F.udaf(new BloomFilterAgg()))
+      spark.udf.register("bloom_agg",
+        F.udaf(new BloomFilterAgg(), org.apache.spark.sql.Encoders.LONG))
     }
 }
 

@@ -557,15 +557,32 @@ object Dedup {
     // digests and signatures (precomputed index columns in a real
     // deployment — here the memoized shingle/pair frames play that
     // role), and the output is per-delta-doc admission metadata.
+    //
+    // The exact-digest screen probes a bloom bitmap BEFORE the confirm
+    // semi-join ([[BloomPrune]] machinery): the base corpus's key set
+    // aggregates once into a 32 KiB bitmap — a static, distributively
+    // UPDATABLE index artifact in a real deployment (bloom union is a
+    // bitwise OR, so each admitted batch folds its keys in) — and the
+    // arriving delta pays ~5 ALU probes per row during its scan. Only
+    // bloom-positive delta rows (true dups + the FP trickle) reach the
+    // digest join; false positives are removed there, so the result is
+    // byte-identical to the plain semi-join the oracle runs.
     QueryDef(
       "q_dedup_incremental",
       (s, d) => {
+        graft.functions.BloomFilterAgg.ensureRegistered(s)
+        graft.functions.GraftFunctions.ensureBloomProbe(s)
         val digests = Tables.documents(s, d)
           .select(col("doc_id"), sha2(col("text"), 256).as("dg"),
+            xxhash64(col("text")).as("k"),
             (col("doc_id") % 10 === 7).as("is_delta"))
         val delta = digests.filter(col("is_delta"))
         val base = digests.filter(!col("is_delta"))
+        val bloom = base.agg(expr("bloom_agg(k)").as("bits"))
         val exact = delta.as("x")
+          .crossJoin(broadcast(bloom))
+          .filter(expr("bloom_might_contain(bits, k)"))
+          .drop("bits")
           .join(base.select(col("dg")).distinct().as("y"), Seq("dg"), "left_semi")
           .select(col("doc_id")).withColumn("exact_dup", lit(true))
         // near-dup partners in base, from the session's verified pair

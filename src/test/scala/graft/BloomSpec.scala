@@ -24,7 +24,10 @@ class BloomSpec extends AnyFunSuite {
     val inserted = (0L until 10000L).map(_ * 7919L + 13L).toSet
     val probes = (0L until 20000L).map(_ * 7907L + 5L).filterNot(inserted)
     val fp = probes.count(BloomHash.mightContain(bits, _))
-    // (1 - e^(-kn/m))^k ≈ 0.0009 at n=10k, m=2^18, k=5; allow 5x slack
+    // ideal (1 - e^(-kn/m))^k ≈ 1.6e-4 at n=10k, m=2^18, k=5; the
+    // double-hashing scheme (Kirsch–Mitzenmacher) costs a small
+    // constant factor over ideal — gate at ~30x to stay noise-proof
+    // while still catching a broken mix (which measures ~1)
     assert(fp.toDouble / probes.size < 0.005, s"fp=$fp/${probes.size}")
   }
 
@@ -72,6 +75,42 @@ class BloomSpec extends AnyFunSuite {
     assert(confirmed.count() === nExact)
     assert(confirmed.exceptAll(exact).count() === 0L)
     assert(exact.exceptAll(confirmed).count() === 0L)
+  }
+
+  test("bloom_agg skips null keys instead of rejecting the row") {
+    import spark.implicits._
+    BloomFilterAgg.ensureRegistered(spark)
+    val keys: Seq[java.lang.Long] =
+      Seq[java.lang.Long](3L, null, 17L, null, 99L)
+    val bloom = keys.toDF("k").agg(expr("bloom_agg(k)").as("bits"))
+    val words = bloom.select("bits").as[Seq[Long]].head().toArray
+    val bits = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+    // non-null keys are members; the nulls neither crash nor set bits
+    // beyond those keys' (bit-count pinned to the 3-key insertion)
+    assert(Seq(3L, 17L, 99L).forall(BloomHash.mightContain(bits, _)))
+    val expected = new Array[Long](BloomHash.Words)
+    Seq(3L, 17L, 99L).foreach(BloomHash.setBits(expected, _))
+    assert(words.sameElements(expected))
+  }
+
+  test("bloom decontamination catches planted duplicates across the eval boundary") {
+    // q_decontaminate_bloom on driver data returns 0 rows at sf0.01 —
+    // the oracle gate never exercises the positive path (bloom survivor
+    // + sha-256 confirm). Plant exact-duplicate texts across the
+    // doc_id % 97 boundary in a fixture table and pin the hits.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloomfix").toString
+    val docs = Seq(
+      // eval slice: doc_id % 97 == 0
+      (0L, "en", "alpha text"), (97L, "en", "beta text"), (194L, "de", "gamma text"),
+      // corpus: two en dups, one de dup, three clean
+      (5L, "en", "beta text"), (42L, "en", "alpha text"), (101L, "de", "gamma text"),
+      (1L, "en", "clean one"), (2L, "de", "clean two"), (3L, "fr", "clean three"))
+      .toDF("doc_id", "lang", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("en" -> (2L, 47L), "de" -> (1L, 101L)))
   }
 
   test("attribution twin matches the stream-stream join's pair semantics") {

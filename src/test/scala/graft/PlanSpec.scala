@@ -256,6 +256,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     // the digest screen is an equi-(semi-)join on the digest key
     assert(p.contains("LeftSemi"), s"expected a semi-join digest screen:\n$p")
+    // ...and the delta scan probes the base-corpus bloom bitmap BEFORE
+    // that join: the only rows entering the confirm semi-join are
+    // bloom-positive (true dups + the FP trickle)
+    assert(p.contains("bloom_might_contain"),
+      s"expected the scan-time bloom probe ahead of the digest join:\n$p")
   }
 
   test("corpus pipeline reuses the memoized pair relation — no stage recomputed") {
