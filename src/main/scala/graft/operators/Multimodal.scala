@@ -20,7 +20,9 @@ final case class MediaRow(
 final case class DocRow(doc_id: Long, text: String, source: String, lang: String)
 
 /** Features the decoder extracts per payload. `sample_rate` is audio-only
-  * (0 elsewhere); `width`/`height` are image/video-only. */
+  * (0 elsewhere); `width`/`height` are image/video-only; `handler` is
+  * the ISO-BMFF track handler type (`vide` for a parsed video track,
+  * empty for other modalities and stub fallbacks). */
 final case class MediaFeatures(
     doc_id: Long,
     mime: String,
@@ -29,7 +31,8 @@ final case class MediaFeatures(
     width: Int,
     height: Int,
     sample_rate: Int,
-    n_frames: Int)
+    n_frames: Int,
+    handler: String)
 
 /** Multimodal-column plumbing (builder prompt: image/audio/video as
   * opaque binary + typed metadata).
@@ -42,11 +45,14 @@ final case class MediaFeatures(
   * [[Multimodal.buildWav]] emits a RIFF/WAVE container with a PCM
   * `fmt ` chunk and [[Multimodal.wavFmt]] walks the chunk list to
   * recover sample-rate/channels/frame-count; [[Multimodal.buildMp4]]
-  * emits a minimal ISO-BMFF box tree (ftyp, moov with mvhd + trak/tkhd,
-  * mdat) and [[Multimodal.mp4Meta]] walks the boxes to recover the
-  * mvhd duration/timescale and the tkhd 16.16 fixed-point dimensions —
-  * all three modalities are real header codecs now. Malformed payloads
-  * fall back to the deterministic stub features — decode is total.
+  * emits a minimal ISO-BMFF box tree (ftyp, moov with mvhd + a full
+  * video track: trak/tkhd and mdia holding mdhd + a `vide`-handler
+  * hdlr, mdat) and [[Multimodal.mp4Meta]] walks the boxes to recover
+  * the tkhd 16.16 fixed-point dimensions, the MEDIA-level
+  * mdhd duration/timescale (the track's own clock, not the movie's)
+  * and the hdlr handler type — all three modalities are real header
+  * codecs with no stub branch. Malformed payloads fall back to the
+  * deterministic stub features — decode is total.
   *
   * The Spark side is the part that matters at 100 TB and is fully real:
   * binary+metadata schema, typed `Dataset[MediaRow]` encoding, batched
@@ -168,9 +174,12 @@ object Multimodal {
 
   /** Minimal valid ISO-BMFF (mp4) stream: `ftyp` (isom), `moov` holding
     * a version-0 `mvhd` (timescale = [[Mp4Timescale]], duration =
-    * `nFrames` ticks) and one `trak`/`tkhd` (16.16 fixed-point
-    * width/height, unity matrix), and an `mdat` carrying `body`
-    * verbatim. Box sizes are fixed: 20 + 216 + (8 + body.length). */
+    * `nFrames` ticks) and one full video track — `tkhd` (16.16
+    * fixed-point width/height, unity matrix) plus `mdia` with a
+    * version-0 `mdhd` (the track's OWN media timescale/duration) and a
+    * `hdlr` declaring the `vide` handler — and an `mdat` carrying
+    * `body` verbatim. Box sizes are fixed: 20 + 289 + (8 + body.length)
+    * = 317 + body. */
   def buildMp4(width: Int, height: Int, nFrames: Int, body: Array[Byte]): Array[Byte] = {
     val ftyp = mp4Box("ftyp", ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
       .put("isom".getBytes(UTF_8)).putInt(0x200).put("isom".getBytes(UTF_8)).array())
@@ -207,7 +216,27 @@ object Multimodal {
         .putInt(height << 16)
       mp4Box("tkhd", b.array())
     }
-    ftyp ++ mp4Box("moov", mvhd ++ mp4Box("trak", tkhd)) ++ mp4Box("mdat", body)
+    val mdhd = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)                 // version 0 + flags
+        .putInt(0).putInt(0)      // creation / modification time
+        .putInt(Mp4Timescale)     // media timescale (track's own clock)
+        .putInt(nFrames)          // media duration in ticks (= frames)
+        .putShort(0x55c4.toShort) // language: 'und' packed ISO-639-2
+        .putShort(0)              // pre_defined
+      mp4Box("mdhd", b.array())
+    }
+    val hdlr = {
+      val b = ByteBuffer.allocate(25).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(0)                 // version 0 + flags
+        .putInt(0)                // pre_defined
+        .put("vide".getBytes(UTF_8))
+        .putInt(0).putInt(0).putInt(0) // reserved
+        .put(0.toByte)            // empty null-terminated name
+      mp4Box("hdlr", b.array())
+    }
+    val trak = mp4Box("trak", tkhd ++ mp4Box("mdia", mdhd ++ hdlr))
+    ftyp ++ mp4Box("moov", mvhd ++ trak) ++ mp4Box("mdat", body)
   }
 
   /** Box-list walk over `[start, end)`: (type, payload offset, payload
@@ -226,12 +255,15 @@ object Multimodal {
     if (off == end) Some(out.result()) else None
   }
 
-  /** Parse (width, height, nFrames) from an mp4's headers: the stream
-    * must lead with `ftyp`; dims come from the first trak's tkhd
-    * (16.16 → integer part), the frame count from the mvhd duration
-    * (ticks; the builder's timescale-=-frame-rate convention). None on
-    * anything that isn't a version-0 ISO-BMFF stream. */
-  def mp4Meta(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+  /** Parse (width, height, nFrames, handler) from an mp4's headers —
+    * the full video-track chain: the stream must lead with `ftyp`;
+    * dims come from the first trak's tkhd (16.16 → integer part), the
+    * frame count from the track's OWN `mdia`/`mdhd` duration (media
+    * timescale ticks; the builder's timescale-=-frame-rate convention),
+    * and the handler type (`vide`) from the `hdlr` box. None on
+    * anything that isn't a version-0 ISO-BMFF stream with a complete
+    * track subtree. */
+  def mp4Meta(bytes: Array[Byte]): Option[(Int, Int, Int, String)] =
     for {
       top <- walkBoxes(bytes, 0, bytes.length)
       if top.headOption.exists(_._1 == "ftyp")
@@ -241,17 +273,23 @@ object Multimodal {
       trak <- kids.find(_._1 == "trak")
       tkids <- walkBoxes(bytes, trak._2, trak._2 + trak._3)
       tkhd <- tkids.find(_._1 == "tkhd")
+      mdia <- tkids.find(_._1 == "mdia")
+      mkids <- walkBoxes(bytes, mdia._2, mdia._2 + mdia._3)
+      mdhd <- mkids.find(_._1 == "mdhd")
+      hdlr <- mkids.find(_._1 == "hdlr")
       meta <- {
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-        if (mvhd._3 < 100 || tkhd._3 < 84) None
-        else if (buf.get(mvhd._2) != 0 || buf.get(tkhd._2) != 0) None // version 0 only
+        if (mvhd._3 < 100 || tkhd._3 < 84 || mdhd._3 < 24 || hdlr._3 < 12) None
+        else if (buf.get(mvhd._2) != 0 || buf.get(tkhd._2) != 0 ||
+          buf.get(mdhd._2) != 0) None // version 0 only
         else {
-          val timescale = buf.getInt(mvhd._2 + 12)
-          val duration = buf.getInt(mvhd._2 + 16)
+          val timescale = buf.getInt(mdhd._2 + 12) // media clock, not movie
+          val duration = buf.getInt(mdhd._2 + 16)
           val w = buf.getInt(tkhd._2 + 76) >>> 16
           val h = buf.getInt(tkhd._2 + 80) >>> 16
+          val handler = new String(bytes, hdlr._2 + 8, 4, UTF_8)
           if (timescale <= 0 || duration < 0 || w <= 0 || h <= 0) None
-          else Some((w, h, duration))
+          else Some((w, h, duration, handler))
         }
       }
     } yield meta
@@ -312,7 +350,8 @@ object Multimodal {
       sample_rate = 0,
       n_frames = if (row.mime.startsWith("video")) (checksum % 240).toInt + 1
                  else if (row.mime.startsWith("audio")) (checksum % 48000).toInt + 1
-                 else 1)
+                 else 1,
+      handler = "")
   }
 
   /** Total per-row decode: real header parse for PNG/WAV/mp4, stub for
@@ -331,9 +370,10 @@ object Multimodal {
             width = 0, height = 0, sample_rate = rate, n_frames = frames)
         }
       case "video/mp4" =>
-        mp4Meta(bytes).map { case (w, h, frames) =>
+        mp4Meta(bytes).map { case (w, h, frames, handler) =>
           stubFeatures(row, checksum).copy(
-            width = w, height = h, sample_rate = 0, n_frames = frames)
+            width = w, height = h, sample_rate = 0, n_frames = frames,
+            handler = handler)
         }
       case _ => None
     }
@@ -374,9 +414,9 @@ object Multimodal {
     // decode runs the REAL codecs — build container, parse header — but
     // every parsed feature has a closed form in (doc_id, text byte
     // length): container overheads are fixed (PNG 57 B, WAV 44 B + frame
-    // truncation, mp4 244 B), dims/rates/frame-counts are the builder
-    // parameters. The oracle recomputes those closed forms in SQL, so a
-    // parser that misread any header field hash-mismatches. The payload
+    // truncation, mp4 317 B), dims/rates/frame-counts/handler are the
+    // builder parameters. The oracle recomputes those closed forms in
+    // SQL, so a parser that misread any header field hash-mismatches. The payload
     // checksum (not SQL-expressible — DuckDB never sees the container
     // bytes) stays spec-pinned in MultimodalSpec instead.
     QueryDef(
@@ -384,7 +424,8 @@ object Multimodal {
       (s, d) => {
         implicit val sp: SparkSession = s
         decodeFeatures(toMedia(Tables.documents(s, d))).toDF()
-          .select("doc_id", "mime", "n_bytes", "width", "height", "sample_rate", "n_frames")
+          .select("doc_id", "mime", "n_bytes", "width", "height", "sample_rate",
+            "n_frames", "handler")
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
@@ -393,7 +434,7 @@ object Multimodal {
              |  CAST(CASE doc_id % 3
              |       WHEN 0 THEN 57 + len
              |       WHEN 1 THEN 44 + GREATEST(ba, (len // ba) * ba)
-             |       ELSE 244 + len END AS INT) AS n_bytes,
+             |       ELSE 317 + len END AS INT) AS n_bytes,
              |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 500
              |       WHEN 1 THEN 0 ELSE 320 + doc_id % 320 END AS INT) AS width,
              |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 300
@@ -405,7 +446,8 @@ object Multimodal {
              |  CAST(CASE doc_id % 3
              |       WHEN 0 THEN 1
              |       WHEN 1 THEN GREATEST(ba, (len // ba) * ba) // ba
-             |       ELSE 24 + doc_id % 240 END AS INT) AS n_frames
+             |       ELSE 24 + doc_id % 240 END AS INT) AS n_frames,
+             |  CASE WHEN doc_id % 3 = 2 THEN 'vide' ELSE '' END AS handler
              |FROM (SELECT doc_id,
              |        octet_length(CAST(text AS BLOB)) AS len,
              |        2 * (1 + doc_id % 2) AS ba

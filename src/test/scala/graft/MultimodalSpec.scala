@@ -31,8 +31,8 @@ class MultimodalSpec extends AnyFunSuite {
     // payload bytes survived intact: the container wraps the ascii text,
     // so n_bytes is the text length plus the fixed container overhead
     // (PNG: 8 sig + 3 chunks × 12 framing + 13 IHDR; WAV: 44-byte
-    // header, data truncated to whole frames; MP4: 20 ftyp + 216 moov
-    // + 8 mdat framing).
+    // header, data truncated to whole frames; MP4: 20 ftyp + 289 moov
+    // incl. the mdia/mdhd/hdlr track subtree + 8 mdat framing).
     val nchars = Tables.documents(spark, sf).select("doc_id", "n_chars")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     feats1.foreach { f =>
@@ -42,7 +42,7 @@ class MultimodalSpec extends AnyFunSuite {
         case "audio/wav" =>
           val ba = Multimodal.expectedWavChannels(f.doc_id) * 2
           assert(f.n_bytes.toLong === 44 + math.max(ba, n / ba * ba))
-        case _ => assert(f.n_bytes.toLong === n + 244)
+        case _ => assert(f.n_bytes.toLong === n + 317)
       }
     }
   }
@@ -65,6 +65,7 @@ class MultimodalSpec extends AnyFunSuite {
           assert((f.width, f.height) === (w, h), s"doc ${f.doc_id}")
           assert(f.n_frames === Multimodal.expectedMp4Frames(f.doc_id), s"doc ${f.doc_id}")
           assert(f.sample_rate === 0)
+          assert(f.handler === "vide", s"doc ${f.doc_id}")
       }
     }
   }
@@ -76,8 +77,8 @@ class MultimodalSpec extends AnyFunSuite {
     val wav = Multimodal.buildWav(44100, 2, Array.fill[Byte](400)(7))
     assert(Multimodal.wavFmt(wav) === Some((44100, 2, 100)))
     val mp4 = Multimodal.buildMp4(1280, 720, 300, "framedata".getBytes("UTF-8"))
-    assert(Multimodal.mp4Meta(mp4) === Some((1280, 720, 300)))
-    assert(mp4.length === 244 + 9) // the documented fixed overhead
+    assert(Multimodal.mp4Meta(mp4) === Some((1280, 720, 300, "vide")))
+    assert(mp4.length === 317 + 9) // the documented fixed overhead
     // malformed: wrong magic, truncation, garbage — None, never a throw
     assert(Multimodal.pngDims("not a png at all".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.pngDims(png.take(10)).isEmpty)
