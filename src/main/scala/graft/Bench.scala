@@ -173,7 +173,10 @@ object Bench {
     // stream-stream join's batch twin
     "q_join_bloom",
     "q_decontaminate_bloom",
-    "q_attrib_last_touch")
+    "q_attrib_last_touch",
+    // round 9: sort-based Pareto frontier (the oracle's O(n²) dominance
+    // anti-join re-expressed as a two-pass prefix max)
+    "q_skyline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -251,6 +251,60 @@ object Relational {
              |  UNION ALL
              |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
              |  FROM lineitem WHERE l_orderkey < 200)
-             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin))
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // -- preference queries -----------------------------------------------
+    // 2-D skyline (Pareto frontier): parts no other part dominates
+    // (cheaper-or-equal price AND larger-or-equal size, strict in at
+    // least one). The textbook operator is an O(n²) dominance anti-join
+    // — the oracle below spells exactly that — but in 2-D the frontier
+    // has a sort-based O(n log n) form: a part is on the frontier iff
+    // its size equals its price-group max AND strictly exceeds the
+    // running max size over all strictly-cheaper groups. The running
+    // max uses the same two-pass trick as the q_text_pack cumsum
+    // (range-partition → per-partition window → bounded per-partition
+    // prefix, broadcast back), so no window ever runs unpartitioned
+    // over the full relation: at 100 TB the only global window covers
+    // one row per range partition, bounded by cluster size.
+    QueryDef(
+      "q_skyline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = Tables.part(s, d).select("p_partkey", "p_retailprice", "p_size")
+        // Same-price strict-size domination collapses to the group max;
+        // this also shrinks the frontier scan to |distinct prices|.
+        // localCheckpoint pins one physical layout for the same reason
+        // distributedCumsumPack does: repartitionByRange SAMPLES its
+        // boundaries, and both downstream branches must agree on pid.
+        val g = p.groupBy("p_retailprice").agg(max("p_size").as("gmax"))
+          .repartitionByRange(8, col("p_retailprice"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint(true)
+        val wLocal = Window.partitionBy("pid").orderBy("p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = g.withColumn("local_prev", max(col("gmax")).over(wLocal))
+        // Exclusive prefix max over per-partition maxes: `pid` rows.
+        val wPrefix = Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = g.groupBy("pid").agg(max("gmax").as("pmax"))
+          .withColumn("poffset", max(col("pmax")).over(wPrefix))
+          .select("pid", "poffset")
+        // greatest() skips nulls, so prevmax is null only for the very
+        // first price group — which is on the frontier by definition.
+        val front = local.join(broadcast(offsets), "pid")
+          .withColumn("prevmax", greatest(col("local_prev"), col("poffset")))
+          .select("p_retailprice", "gmax", "prevmax")
+        p.join(front, Seq("p_retailprice"))
+          .filter(col("p_size") === col("gmax")
+            && (col("prevmax").isNull || col("prevmax") < col("p_size")))
+          .select("p_partkey", "p_retailprice", "p_size")
+          .orderBy("p_retailprice", "p_partkey")
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+             |ORDER BY p_retailprice, p_partkey""".stripMargin))
   )
 }

@@ -38,6 +38,20 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline matches the brute-force dominance filter") {
+    val p = Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = p.filter { case (_, pr, sz) =>
+      !p.exists { case (_, qr, qz) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz) }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q_skyline")(spark, sf)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(brute.nonEmpty)
+    assert(got === brute)
+  }
+
   test("MinHash candidates recover the brute-force near-dup pairs") {
     def pairs(q: String) = SparkEntry.queries(q)(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
