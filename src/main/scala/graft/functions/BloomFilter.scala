@@ -27,23 +27,42 @@ import org.apache.spark.sql.{Encoder, SparkSession, functions => F}
   *
   * Scale design: the aggregate is distributive — `reduce` ORs a key's
   * K bits into the partial bitmap, `merge` ORs two bitmaps — so the
-  * shuffle carries one 32 KiB word array per partition, never the key
-  * stream; the probe is a codegen'd K-probe loop against the broadcast
-  * bitmap (no per-row allocation, no hashing library). The bitmap is
-  * deliberately FIXED-size: 2^18 bits / K=5 gives an FP rate of
-  * (1 − e^(−Kn/m))^K ≈ 1.6·10⁻⁴ at n = 10k keys, ≈ 0.45 at 100k, and
-  * ≈ 0.97 by n = 262k (= the bit count) — as n grows the filter
-  * degrades to a no-op prune (never to wrong answers). A production deployment
-  * sizes `Words` from the build-side COUNT the way the sized ANN
-  * variants do (`Similarity.lshBitsFor`); the fixed size keeps the
-  * driver-checked query deterministic across scales.
+  * shuffle carries one word array per partition, never the key stream;
+  * the probe is a codegen'd K-probe loop against the broadcast bitmap
+  * (no per-row allocation, no hashing library). The bit count is
+  * carried by the bitmap itself (array length), so build and probe
+  * cannot disagree about the size.
+  *
+  * Sizing: callers pass [[BloomHash.wordsFor]] of the build side's
+  * COUNT — the same executed-sizing rule the ANN variants use
+  * (`Similarity.lshBitsFor`). It targets ~9.85 bits/key, the optimum
+  * for K=5 at FP ≈ 1% by (1 − e^(−Kn/m))^K, floored at the 32 KiB
+  * minimum (2^18 bits — FP ≈ 1.6·10⁻⁴ at n = 10k) and capped at
+  * 16 MiB (2^27 bits ≈ 13.6M keys at 1%): past the cap the filter
+  * degrades toward a no-op prune, never to wrong answers, because
+  * false positives only leak rows into the mandatory confirm join.
+  * Round-8 BloomStats measured the cost of NOT sizing: the fixed
+  * 32 KiB bitmap pruned 78.6% of lineitem at sf0.1 (30k build keys)
+  * but only 1.2% at sf1 (300k keys > 262k bits — saturated).
   */
 object BloomHash {
 
-  /** 2^12 longs = 2^18 bits = 32 KiB — broadcast-trivial. */
+  /** 2^12 longs = 2^18 bits = 32 KiB — the sizing floor, and the size
+    * of the SQL-registered `bloom_agg`'s bitmap. */
   val Words = 4096
   val Bits: Long = Words.toLong * 64L
   val K = 5
+
+  /** 2^21 longs = 16 MiB — broadcast stays cheap; FP degrades
+    * gracefully past ~13.6M build keys instead of the state growing. */
+  val MaxWords: Int = 1 << 21
+
+  /** Word count for a build side of `n` keys: ~9.85 bits/key (FP ≈ 1%
+    * at K=5), clamped to [[Words]]..[[MaxWords]]. */
+  def wordsFor(n: Long): Int = {
+    val w = (n * 9.85 / 64.0).ceil.toLong
+    math.min(MaxWords.toLong, math.max(Words.toLong, w)).toInt
+  }
 
   /** SplitMix64 finalizer: the full-avalanche 64-bit mix (public
     * domain, Steele et al., "Fast splittable pseudorandom number
@@ -58,11 +77,12 @@ object BloomHash {
   }
 
   def setBits(buf: Array[Long], key: Long): Unit = {
+    val nbits = buf.length.toLong << 6
     val h = mix(key)
     val h2 = (h >>> 32) | 1L
     var i = 0
     while (i < K) {
-      val bit = (((h + i * h2) & Long.MaxValue) % Bits).toInt
+      val bit = (((h + i * h2) & Long.MaxValue) % nbits).toInt
       buf(bit >> 6) |= 1L << (bit & 63)
       i += 1
     }
@@ -72,13 +92,16 @@ object BloomHash {
     * codegen template calls this static forwarder, the same pattern
     * Spark's own templates use for `DateTimeUtils`) — one source of
     * truth for the bit arithmetic, so eval and codegen cannot drift.
+    * The bit count comes from the bitmap itself, so a probe against a
+    * bitmap built at any size stays correct.
     */
   def mightContain(bits: ArrayData, key: Long): Boolean = {
+    val nbits = bits.numElements().toLong << 6
     val h = mix(key)
     val h2 = (h >>> 32) | 1L
     var i = 0
     while (i < K) {
-      val bit = (((h + i * h2) & Long.MaxValue) % Bits).toInt
+      val bit = (((h + i * h2) & Long.MaxValue) % nbits).toInt
       if ((bits.getLong(bit >> 6) & (1L << (bit & 63))) == 0L) return false
       i += 1
     }
@@ -93,8 +116,9 @@ object BloomHash {
   * matches semi-join null semantics: a null member cannot be probed
   * either.
   */
-class BloomFilterAgg extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
-  override def zero: Array[Long] = new Array[Long](BloomHash.Words)
+class BloomFilterAgg(words: Int = BloomHash.Words)
+    extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] {
+  override def zero: Array[Long] = new Array[Long](words)
   override def reduce(buf: Array[Long], key: java.lang.Long): Array[Long] = {
     if (key != null) BloomHash.setBits(buf, key.longValue())
     buf
@@ -110,12 +134,21 @@ class BloomFilterAgg extends Aggregator[java.lang.Long, Array[Long], Seq[Long]] 
 }
 
 object BloomFilterAgg {
-  /** Register as the SQL aggregate `bloom_agg(key)` (idempotent). */
+  /** Register as the SQL aggregate `bloom_agg(key)` (idempotent).
+    * The SQL-registered form is fixed at the 32 KiB floor (a UDAF's
+    * instance is bound at registration); COUNT-sized call sites use
+    * [[sized]] as a column function instead. */
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.catalog.functionExists("bloom_agg")) {
       spark.udf.register("bloom_agg",
         F.udaf(new BloomFilterAgg(), org.apache.spark.sql.Encoders.LONG))
     }
+
+  /** A bitmap-build aggregate sized for `n` build keys (see
+    * [[BloomHash.wordsFor]]) — callable directly on a Column. */
+  def sized(n: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udaf(new BloomFilterAgg(BloomHash.wordsFor(n)),
+      org.apache.spark.sql.Encoders.LONG)
 }
 
 /** Native probe expression: `bloom_might_contain(bits, key)`. Stays

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * Why this matters at 100 TB: a plain semi-join shuffles (or at best
   * broadcast-hashes) every fact row; the bloom probe rejects the
   * non-matching majority during the scan — before any exchange — for
-  * 32 KiB of broadcast state and ~5 ALU probes per row. False
+  * kilobytes-to-megabytes of COUNT-sized broadcast state
+  * ([[graft.functions.BloomHash.wordsFor]]: ~9.85 bits per build key,
+  * FP ≈ 1%, 32 KiB floor / 16 MiB cap) and ~5 ALU probes per row. False
   * positives only cost a little pruning efficiency (the confirm join
   * removes them; the driver oracle hash-compares against a plain
   * semi-join), and false negatives are impossible by construction, so
@@ -29,7 +31,10 @@ object BloomPrune {
   val defs: Seq[QueryDef] = Seq(
 
     // Semi-join prune: lineitems of urgent orders. The build side
-    // (urgent order keys) aggregates to one 4096-word bitmap; the probe
+    // (urgent order keys) aggregates to one bitmap sized from its own
+    // COUNT (executed sizing, like the ANN variants — the round-8
+    // fixed 32 KiB bitmap saturated at sf1's 300k keys and pruned only
+    // 1.2%; sized, the prune holds ~79% at every scale); the probe
     // side scans lineitem once, keeps ~bloom-positive rows, and the
     // confirm semi-join only sees the pruned stream. Output pins the
     // exact survivor set per returnflag (count + key checksum + exact
@@ -37,12 +42,12 @@ object BloomPrune {
     QueryDef(
       "q_join_bloom",
       (s, d) => {
-        BloomFilterAgg.ensureRegistered(s)
         GraftFunctions.ensureBloomProbe(s)
         val keys = Tables.orders(s, d)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_orderkey"))
-        val bloom = keys.agg(expr("bloom_agg(o_orderkey)").as("bits"))
+        val bloomAgg = BloomFilterAgg.sized(keys.count())
+        val bloom = keys.agg(bloomAgg(col("o_orderkey")).as("bits"))
         val pre = Tables.lineitem(s, d)
           .crossJoin(broadcast(bloom))
           .filter(expr("bloom_might_contain(bits, l_orderkey)"))
@@ -73,13 +78,13 @@ object BloomPrune {
     QueryDef(
       "q_decontaminate_bloom",
       (s, d) => {
-        BloomFilterAgg.ensureRegistered(s)
         GraftFunctions.ensureBloomProbe(s)
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             sha2(col("text"), 256).as("dg"), xxhash64(col("text")).as("k"))
         val ev = docs.filter(col("doc_id") % 97 === 0)
-        val bloom = ev.agg(expr("bloom_agg(k)").as("bits"))
+        val bloomAgg = BloomFilterAgg.sized(ev.count())
+        val bloom = ev.agg(bloomAgg(col("k")).as("bits"))
         val pre = docs.filter(col("doc_id") % 97 =!= 0)
           .crossJoin(broadcast(bloom))
           .filter(expr("bloom_might_contain(bits, k)"))

@@ -560,9 +560,10 @@ object Dedup {
     //
     // The exact-digest screen probes a bloom bitmap BEFORE the confirm
     // semi-join ([[BloomPrune]] machinery): the base corpus's key set
-    // aggregates once into a 32 KiB bitmap — a static, distributively
-    // UPDATABLE index artifact in a real deployment (bloom union is a
-    // bitwise OR, so each admitted batch folds its keys in) — and the
+    // aggregates once into a COUNT-sized bitmap (~9.85 bits/key, FP ≈
+    // 1% — a static, distributively UPDATABLE index artifact in a real
+    // deployment: bloom union is a bitwise OR, so each admitted batch
+    // folds its keys in, and the size is re-derived on compaction) — the
     // arriving delta pays ~5 ALU probes per row during its scan. Only
     // bloom-positive delta rows (true dups + the FP trickle) reach the
     // digest join; false positives are removed there, so the result is
@@ -570,7 +571,6 @@ object Dedup {
     QueryDef(
       "q_dedup_incremental",
       (s, d) => {
-        graft.functions.BloomFilterAgg.ensureRegistered(s)
         graft.functions.GraftFunctions.ensureBloomProbe(s)
         val digests = Tables.documents(s, d)
           .select(col("doc_id"), sha2(col("text"), 256).as("dg"),
@@ -578,7 +578,8 @@ object Dedup {
             (col("doc_id") % 10 === 7).as("is_delta"))
         val delta = digests.filter(col("is_delta"))
         val base = digests.filter(!col("is_delta"))
-        val bloom = base.agg(expr("bloom_agg(k)").as("bits"))
+        val bloomAgg = graft.functions.BloomFilterAgg.sized(base.count())
+        val bloom = base.agg(bloomAgg(col("k")).as("bits"))
         val exact = delta.as("x")
           .crossJoin(broadcast(bloom))
           .filter(expr("bloom_might_contain(bits, k)"))

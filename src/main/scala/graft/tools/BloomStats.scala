@@ -18,7 +18,6 @@ object BloomStats {
   def main(args: Array[String]): Unit = {
     val d = args(0)
     val spark = graft.GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    BloomFilterAgg.ensureRegistered(spark)
     GraftFunctions.ensureBloomProbe(spark)
 
     // q_join_bloom's sides: urgent-order keys vs the lineitem stream.
@@ -26,7 +25,8 @@ object BloomStats {
       val keys = Tables.orders(spark, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
-      val bloom = keys.agg(expr("bloom_agg(o_orderkey)").as("bits"))
+      val bloomAgg = BloomFilterAgg.sized(keys.count())
+      val bloom = keys.agg(bloomAgg(col("o_orderkey")).as("bits"))
       val li = Tables.lineitem(spark, d)
       val scanned = li.count()
       val survivors = li.crossJoin(broadcast(bloom))
@@ -45,7 +45,8 @@ object BloomStats {
         .select(col("doc_id"), sha2(col("text"), 256).as("dg"),
           xxhash64(col("text")).as("k"))
       val ev = docs.filter(col("doc_id") % 97 === 0)
-      val bloom = ev.agg(expr("bloom_agg(k)").as("bits"))
+      val bloomAgg = BloomFilterAgg.sized(ev.count())
+      val bloom = ev.agg(bloomAgg(col("k")).as("bits"))
       val corpus = docs.filter(col("doc_id") % 97 =!= 0)
       val scanned = corpus.count()
       val survivors = corpus.crossJoin(broadcast(bloom))

@@ -77,6 +77,33 @@ class BloomSpec extends AnyFunSuite {
     assert(exact.exceptAll(confirmed).count() === 0L)
   }
 
+  test("COUNT-sized bitmap: wordsFor clamps, and a non-floor size round-trips") {
+    import spark.implicits._
+    // clamping: floor at 32 KiB, ~9.85 bits/key in the working band,
+    // 16 MiB cap with graceful FP degradation past it
+    assert(BloomHash.wordsFor(0L) === BloomHash.Words)
+    assert(BloomHash.wordsFor(10000L) === BloomHash.Words)
+    assert(BloomHash.wordsFor(1000000L) ===
+      math.ceil(1000000L * 9.85 / 64.0).toInt)
+    assert(BloomHash.wordsFor(Long.MaxValue / 1000L) === BloomHash.MaxWords)
+    // a bitmap built at a non-floor size has zero false negatives and
+    // an FP rate near the ~1% target the sizing rule promises
+    val n = 300000L
+    val w = BloomHash.wordsFor(n)
+    assert(w > BloomHash.Words, "test must exercise a non-floor size")
+    val agg = BloomFilterAgg.sized(n)
+    val keys = (0L until n).map(_ * 7919L + 13L)
+    val bloom = keys.toDF("k").agg(agg(col("k")).as("bits"))
+    val words = bloom.select("bits").as[Seq[Long]].head().toArray
+    assert(words.length === w)
+    val bits = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+    assert(keys.take(20000).forall(BloomHash.mightContain(bits, _)))
+    val inserted = keys.toSet
+    val probes = (0L until 40000L).map(_ * 7907L + 5L).filterNot(inserted)
+    val fp = probes.count(BloomHash.mightContain(bits, _))
+    assert(fp.toDouble / probes.size < 0.05, s"fp=$fp/${probes.size}")
+  }
+
   test("bloom_agg skips null keys instead of rejecting the row") {
     import spark.implicits._
     BloomFilterAgg.ensureRegistered(spark)
