@@ -124,6 +124,12 @@ class BloomFilterAgg(words: Int = BloomHash.Words)
     buf
   }
   override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    // The distributive-union contract (bitmap OR across partials AND
+    // across incrementally-admitted batches) only holds for same-sized
+    // bitmaps — a mixed-size OR would silently drop tail bits; fail
+    // loudly instead.
+    require(x.length == y.length,
+      s"bloom bitmap size mismatch: ${x.length} vs ${y.length} words")
     var i = 0
     while (i < x.length) { x(i) |= y(i); i += 1 }
     x

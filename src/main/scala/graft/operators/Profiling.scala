@@ -60,21 +60,30 @@ object Profiling {
     // the HLL *contract* (the q_agg_hll pattern): the sketch estimate
     // itself is engine-specific, so each engine checks its own estimate
     // against its own exact count and the BOOLEAN is the compared
-    // output. The exact reference avoids the Expand too: one two-level
-    // aggregation per column (distinct values shuffle with map-side
-    // partial dedup, then a count) — the scalable exact-cardinality
-    // shape; the four single-column branches are independent stages
-    // that run concurrently under one union. ProfilingSpec additionally
-    // pins the estimates within 5% at two SFs.
+    // output. The exact reference avoids the Expand too — and (round-9
+    // verdict, item 4) scans lineitem ONCE for all four columns instead
+    // of once per column: the scan stacks each row into 4 narrow
+    // (col_name, value) pairs via explode, then a two-level aggregation
+    // (groupBy(col_name, v) partial-deduplicates map-side, so only the
+    // distinct pairs — bounded by Σ per-column cardinality, not rows —
+    // cross the exchange; a second groupBy(col_name) counts them).
+    // That is the scalable exact-cardinality shape: one scan, one
+    // narrow shuffle, no Expand multiplication of the wide row.
+    // ProfilingSpec additionally pins the estimates within 5% at two
+    // SFs.
     QueryDef(
       "q_profile_approx",
       (s, d) => {
         val li = Tables.lineitem(s, d)
-        val exacts = profCols.map { c =>
-          li.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)))
-            .agg(count(lit(1)).as("n_distinct"))
-            .select(lit(c).as("col_name"), col("n_distinct"))
-        }.reduce(_ unionAll _)
+        val stackedPairs = profCols.map { c =>
+          s"struct('$c' AS col_name, CAST($c AS double) AS v)"
+        }.mkString(", ")
+        val exacts = li
+          .selectExpr(s"explode(array($stackedPairs)) AS p")
+          .select("p.*")
+          .filter(col("v").isNotNull)
+          .groupBy("col_name", "v").agg(count(lit(1)))
+          .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
         val aggs = profCols.flatMap { c =>
           Seq(count(col(c)).as(s"__n_$c"),
             approx_count_distinct(col(c), 0.02).as(s"__d_$c"),

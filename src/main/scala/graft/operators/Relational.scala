@@ -266,6 +266,13 @@ object Relational {
     // prefix, broadcast back), so no window ever runs unpartitioned
     // over the full relation: at 100 TB the only global window covers
     // one row per range partition, bounded by cluster size.
+    //
+    // CONTRACT: this sort/prefix-max formulation is 2-D-SPECIFIC — with
+    // a third criterion, "dominated by the running best so far in sort
+    // order" no longer coincides with "dominated by anything" (the
+    // prefix max collapses the remaining dims to one scalar). The d ≥ 3
+    // case is q_skyline_3d below, which uses the general cell-grid
+    // prune instead (round-9 verdict, item 6).
     QueryDef(
       "q_skyline",
       (s, d) => {
@@ -305,6 +312,84 @@ object Relational {
              |  SELECT 1 FROM part q
              |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
              |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-             |ORDER BY p_retailprice, p_partkey""".stripMargin))
+             |ORDER BY p_retailprice, p_partkey""".stripMargin)),
+
+    // d-dimensional skyline (d = 3 here: minimize price, maximize size,
+    // maximize name length) via the standard distributed CELL-GRID
+    // prune — the 2-D prefix-max trick above does not generalize, and a
+    // naive dominance test is an O(n²) cross join. Shape:
+    //  1. orient every criterion as MINIMIZE (negate the max dims) and
+    //     bin each into g fixed-width cells from the global min/max
+    //     (one tiny extrema agg, broadcast back — a stateless per-row
+    //     bin assignment, no shuffle);
+    //  2. cell-level prune on the ≤ g^d non-empty cells: a cell all of
+    //     whose bins are STRICTLY worse than some other non-empty
+    //     cell's is dead — every point of the better cell dominates
+    //     every point of it. Because strict cell-dominance is a strict
+    //     partial order, dominance chains terminate in a live cell, so
+    //     restricting BOTH candidate and dominator sides to live cells
+    //     loses no dominator (transitivity);
+    //  3. exact dominance anti-join over the surviving sliver only,
+    //     banded by the cell coordinates (a dominator's bins are ≤ the
+    //     candidate's in every dim — monotone binning), so each
+    //     candidate compares against a corner of the grid, not the
+    //     relation.
+    // At 100 TB steps 1–2 are one scan + one ≤ g^d-row broadcast; the
+    // anti-join touches only frontier-adjacent cells (skylines are
+    // vanishingly small in practice — g grows with n to keep the
+    // sliver bounded). Oracle = the O(n²) NOT EXISTS dominance twin.
+    QueryDef(
+      "q_skyline_3d",
+      (s, d) => {
+        val g = 8
+        val pts = Tables.part(s, d).select(
+          col("p_partkey"), col("p_retailprice"), col("p_size"),
+          length(col("p_name")).as("name_len"),
+          col("p_retailprice").as("d1"),
+          (-col("p_size")).cast("double").as("d2"),
+          (-length(col("p_name"))).cast("double").as("d3"))
+        val ext = pts.agg(
+          min("d1").as("lo1"), max("d1").as("hi1"),
+          min("d2").as("lo2"), max("d2").as("hi2"),
+          min("d3").as("lo3"), max("d3").as("hi3"))
+        def bin(v: String, lo: String, hi: String) =
+          least(lit(g - 1),
+            floor((col(v) - col(lo)) / (col(hi) - col(lo) + lit(1e-9)) * g))
+            .cast("int")
+        val binned = pts.crossJoin(broadcast(ext))
+          .withColumn("c1", bin("d1", "lo1", "hi1"))
+          .withColumn("c2", bin("d2", "lo2", "hi2"))
+          .withColumn("c3", bin("d3", "lo3", "hi3"))
+          .select("p_partkey", "p_retailprice", "p_size", "name_len",
+            "d1", "d2", "d3", "c1", "c2", "c3")
+        val occ = binned.groupBy("c1", "c2", "c3").agg(count(lit(1)).as("n"))
+        val dominators = occ.select(
+          col("c1").as("o1"), col("c2").as("o2"), col("c3").as("o3"))
+        val alive = occ.join(broadcast(dominators),
+            col("o1") < col("c1") && col("o2") < col("c2") && col("o3") < col("c3"),
+            "left_anti")
+          .select("c1", "c2", "c3")
+        val cand = binned.join(broadcast(alive), Seq("c1", "c2", "c3"))
+        val dom = cand.select(
+          col("d1").as("q1"), col("d2").as("q2"), col("d3").as("q3"),
+          col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
+        cand.join(broadcast(dom),
+            col("b1") <= col("c1") && col("b2") <= col("c2") && col("b3") <= col("c3") &&
+              col("q1") <= col("d1") && col("q2") <= col("d2") && col("q3") <= col("d3") &&
+              (col("q1") < col("d1") || col("q2") < col("d2") || col("q3") < col("d3")),
+            "left_anti")
+          .select("p_partkey", "p_retailprice", "p_size", "name_len")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size,
+             |       LENGTH(p_name) AS name_len
+             |FROM part p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             |    AND LENGTH(q.p_name) >= LENGTH(p.p_name)
+             |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size
+             |         OR LENGTH(q.p_name) > LENGTH(p.p_name)))
+             |ORDER BY p_partkey""".stripMargin))
   )
 }

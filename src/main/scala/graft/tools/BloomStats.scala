@@ -6,16 +6,26 @@ import org.apache.spark.sql.functions._
 
 /** Measures the bloom prune's selectivity for the BASELINE record: how
   * many probe-side rows each bloom query scans, how many survive the
-  * 32 KiB bitmap probe, and how many are true members — so the "reject
-  * the non-matching majority before any exchange" claim is a number,
-  * not a comment (round-8 verdict, item 4).
+  * COUNT-sized bitmap probe ([[BloomFilterAgg.sized]] /
+  * `BloomHash.wordsFor` — the same bitmaps the operators build), and
+  * how many are true members — so the "reject the non-matching
+  * majority before any exchange" claim is a number, not a comment
+  * (round-8 verdict, item 4).
   *
   * Usage: runMain graft.tools.BloomStats <sfDir>
   * Prints one JSON line per bloom query.
   */
 object BloomStats {
 
+  /** NaN is not valid JSON; an empty probe side prunes nothing. */
+  private def prunedFrac(survivors: Long, scanned: Long): Double =
+    if (scanned == 0L) 0.0 else 1.0 - survivors.toDouble / scanned
+
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.tools.BloomStats <sfDir>")
+      sys.exit(2)
+    }
     val d = args(0)
     val spark = graft.GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     GraftFunctions.ensureBloomProbe(spark)
@@ -36,7 +46,7 @@ object BloomStats {
       println(s"""{"query":"q_join_bloom","build_keys":${keys.count()},""" +
         s""""scanned":$scanned,"bloom_survivors":$survivors,""" +
         s""""true_members":$members,""" +
-        s""""pruned_frac":${1.0 - survivors.toDouble / scanned}}""")
+        s""""pruned_frac":${prunedFrac(survivors, scanned)}}""")
     }
 
     // q_decontaminate_bloom's sides: eval-slice digests vs the corpus.
@@ -56,7 +66,7 @@ object BloomStats {
       println(s"""{"query":"q_decontaminate_bloom","build_keys":${ev.count()},""" +
         s""""scanned":$scanned,"bloom_survivors":$survivors,""" +
         s""""true_members":$members,""" +
-        s""""pruned_frac":${1.0 - survivors.toDouble / scanned}}""")
+        s""""pruned_frac":${prunedFrac(survivors, scanned)}}""")
     }
 
     spark.stop()

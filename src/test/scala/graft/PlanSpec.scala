@@ -150,15 +150,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("approx profile has NO Expand anywhere; exact profile pays the documented 5× Expand") {
-    // The contract oracle added exact n_distinct references, but they
-    // are two-level aggregations over single-column pruned scans — the
-    // row-multiplying Expand must never appear. (One profile scan + one
-    // pruned scan per profiled column; each branch reads ONE column.)
+    // The contract oracle added exact n_distinct references; round 10
+    // folded their four per-column scans into ONE stacked scan (explode
+    // to narrow (col_name, v) pairs + two-level aggregation: map-side
+    // partial dedup bounds the exchange by Σ per-column cardinality).
+    // The row-multiplying Expand must never appear, and the whole query
+    // reads lineitem exactly twice: the stats pass + the stacked
+    // distinct pass.
     val approx = plan("q_profile_approx")
     assert(!approx.contains("Expand"),
       s"approx profile must not multiply the scan:\n$approx")
-    assert("FileScan parquet".r.findAllIn(approx).size === 1 + 4,
-      s"approx profile: one stats pass + one pruned scan per column:\n$approx")
+    assert("FileScan parquet".r.findAllIn(approx).size === 2,
+      s"approx profile: one stats pass + one stacked distinct pass:\n$approx")
     val exact = plan("q_profile_table")
     assert(exact.contains("Expand"),
       s"exact distinct profile is expected to Expand (its documented cost):\n$exact")
@@ -252,15 +255,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("incremental dedup never re-pairs the base corpus with itself") {
+    // Default regime at test scale: the base (~4.5k docs) is far below
+    // the 2^20-key break-even, so the bloom bitmap-build pass is GATED
+    // OFF and the delta goes straight to the confirm semi-join — the
+    // round-9 sweep measured the always-on probe at 3.1× the plain join
+    // at this base size.
     val p = finalPlan("q_dedup_incremental")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     // the digest screen is an equi-(semi-)join on the digest key
     assert(p.contains("LeftSemi"), s"expected a semi-join digest screen:\n$p")
-    // ...and the delta scan probes the base-corpus bloom bitmap BEFORE
-    // that join: the only rows entering the confirm semi-join are
-    // bloom-positive (true dups + the FP trickle)
-    assert(p.contains("bloom_might_contain"),
-      s"expected the scan-time bloom probe ahead of the digest join:\n$p")
+    assert(!p.contains("bloom_might_contain"),
+      s"small base must skip the bloom build (gated regime):\n$p")
+    // Large-base regime (forced via the conf knob): the delta scan
+    // probes the base-corpus bloom bitmap BEFORE the confirm join, so
+    // the only rows entering the semi-join are bloom-positive (true
+    // dups + the FP trickle).
+    spark.conf.set("spark.graft.bloom.minKeys", "0")
+    try {
+      val pb = finalPlan("q_dedup_incremental")
+      assert(pb.contains("bloom_might_contain"),
+        s"expected the scan-time bloom probe ahead of the digest join:\n$pb")
+      assert(pb.contains("LeftSemi"),
+        s"the confirm semi-join must still remove the FP trickle:\n$pb")
+    } finally spark.conf.unset("spark.graft.bloom.minKeys")
   }
 
   test("corpus pipeline reuses the memoized pair relation — no stage recomputed") {
