@@ -341,43 +341,13 @@ object Relational {
     QueryDef(
       "q_skyline_3d",
       (s, d) => {
-        val g = 8
         val pts = Tables.part(s, d).select(
           col("p_partkey"), col("p_retailprice"), col("p_size"),
           length(col("p_name")).as("name_len"),
           col("p_retailprice").as("d1"),
           (-col("p_size")).cast("double").as("d2"),
           (-length(col("p_name"))).cast("double").as("d3"))
-        val ext = pts.agg(
-          min("d1").as("lo1"), max("d1").as("hi1"),
-          min("d2").as("lo2"), max("d2").as("hi2"),
-          min("d3").as("lo3"), max("d3").as("hi3"))
-        def bin(v: String, lo: String, hi: String) =
-          least(lit(g - 1),
-            floor((col(v) - col(lo)) / (col(hi) - col(lo) + lit(1e-9)) * g))
-            .cast("int")
-        val binned = pts.crossJoin(broadcast(ext))
-          .withColumn("c1", bin("d1", "lo1", "hi1"))
-          .withColumn("c2", bin("d2", "lo2", "hi2"))
-          .withColumn("c3", bin("d3", "lo3", "hi3"))
-          .select("p_partkey", "p_retailprice", "p_size", "name_len",
-            "d1", "d2", "d3", "c1", "c2", "c3")
-        val occ = binned.groupBy("c1", "c2", "c3").agg(count(lit(1)).as("n"))
-        val dominators = occ.select(
-          col("c1").as("o1"), col("c2").as("o2"), col("c3").as("o3"))
-        val alive = occ.join(broadcast(dominators),
-            col("o1") < col("c1") && col("o2") < col("c2") && col("o3") < col("c3"),
-            "left_anti")
-          .select("c1", "c2", "c3")
-        val cand = binned.join(broadcast(alive), Seq("c1", "c2", "c3"))
-        val dom = cand.select(
-          col("d1").as("q1"), col("d2").as("q2"), col("d3").as("q3"),
-          col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
-        cand.join(broadcast(dom),
-            col("b1") <= col("c1") && col("b2") <= col("c2") && col("b3") <= col("c3") &&
-              col("q1") <= col("d1") && col("q2") <= col("d2") && col("q3") <= col("d3") &&
-              (col("q1") < col("d1") || col("q2") < col("d2") || col("q3") < col("d3")),
-            "left_anti")
+        cellGridSkyline3d(pts, g = 8)
           .select("p_partkey", "p_retailprice", "p_size", "name_len")
           .orderBy("p_partkey")
       },
@@ -392,4 +362,46 @@ object Relational {
              |         OR LENGTH(q.p_name) > LENGTH(p.p_name)))
              |ORDER BY p_partkey""".stripMargin))
   )
+
+  /** Cell-grid 3-D skyline over a frame carrying minimize-oriented
+    * criterion columns `d1, d2, d3` (negate a maximize criterion before
+    * calling) plus any payload columns, which pass through unchanged
+    * for skyline rows. `g` is the per-dimension grid granularity — the
+    * RESULT is g-invariant (the grid only prunes, the final anti-join
+    * is exact; SkylineSpec pins this), only the pruned sliver's size
+    * varies. See q_skyline_3d's header comment for the full shape and
+    * the live-cell transitivity argument.
+    */
+  def cellGridSkyline3d(pts: org.apache.spark.sql.DataFrame, g: Int): org.apache.spark.sql.DataFrame = {
+    val ext = pts.agg(
+      min("d1").as("lo1"), max("d1").as("hi1"),
+      min("d2").as("lo2"), max("d2").as("hi2"),
+      min("d3").as("lo3"), max("d3").as("hi3"))
+    def bin(v: String, lo: String, hi: String) =
+      least(lit(g - 1),
+        floor((col(v) - col(lo)) / (col(hi) - col(lo) + lit(1e-9)) * g))
+        .cast("int")
+    val binned = pts.crossJoin(broadcast(ext))
+      .withColumn("c1", bin("d1", "lo1", "hi1"))
+      .withColumn("c2", bin("d2", "lo2", "hi2"))
+      .withColumn("c3", bin("d3", "lo3", "hi3"))
+      .drop("lo1", "hi1", "lo2", "hi2", "lo3", "hi3")
+    val occ = binned.groupBy("c1", "c2", "c3").agg(count(lit(1)).as("n"))
+    val dominators = occ.select(
+      col("c1").as("o1"), col("c2").as("o2"), col("c3").as("o3"))
+    val alive = occ.join(broadcast(dominators),
+        col("o1") < col("c1") && col("o2") < col("c2") && col("o3") < col("c3"),
+        "left_anti")
+      .select("c1", "c2", "c3")
+    val cand = binned.join(broadcast(alive), Seq("c1", "c2", "c3"))
+    val dom = cand.select(
+      col("d1").as("q1"), col("d2").as("q2"), col("d3").as("q3"),
+      col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
+    cand.join(broadcast(dom),
+        col("b1") <= col("c1") && col("b2") <= col("c2") && col("b3") <= col("c3") &&
+          col("q1") <= col("d1") && col("q2") <= col("d2") && col("q3") <= col("d3") &&
+          (col("q1") < col("d1") || col("q2") < col("d2") || col("q3") < col("d3")),
+        "left_anti")
+      .drop("c1", "c2", "c3")
+  }
 }

@@ -16,6 +16,14 @@ class BloomSpec extends AnyFunSuite {
     assert(keys.forall(BloomHash.mightContain(bits, _)))
   }
 
+  test("bitmap merge fails loudly on a size mismatch (distributive-union contract)") {
+    val agg = new BloomFilterAgg(BloomHash.Words)
+    val ex = intercept[IllegalArgumentException] {
+      agg.merge(new Array[Long](BloomHash.Words), new Array[Long](BloomHash.Words * 2))
+    }
+    assert(ex.getMessage.contains("size mismatch"))
+  }
+
   test("bloom FP rate at 10k keys stays near the sizing formula") {
     val buf = new Array[Long](BloomHash.Words)
     (0L until 10000L).foreach(k => BloomHash.setBits(buf, k * 7919L + 13L))
