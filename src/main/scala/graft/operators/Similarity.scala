@@ -698,6 +698,15 @@ object Similarity {
     // Session-memoized like the shingle frame and the cell assignment:
     // the within-cell join + cosine scoring + per-src ranking ran once
     // per CALLER before — four knn-family queries paid it four times.
+    //
+    // Measured dead end (round 10, sf10, interleaved medians): scoring
+    // each unordered pair once (join on src < dst, then explode into
+    // both directed rows) is NOT faster — 21.5 vs 21.1 s. The quantized
+    // 64-float cosine is a minor share of the build; join-row
+    // materialization and the per-src top-k (whose input row count the
+    // explode restores to exactly today's) dominate, and the generate
+    // overhead cancels the halved scoring. Keep the direct two-sided
+    // join.
     val ranked = graft.FrameCache.memo(s, s"knnedges:$d:$KnnEdgeCap") {
       val cellFrame = cellAssign(s, d, ivfCellsFor(Tables.embeddings(s, d).count()))
       val x = cellFrame.select(col("vec_id").as("src"), col("embedding").as("ea"),
