@@ -176,7 +176,13 @@ object Bench {
     "q_attrib_last_touch",
     // round 9: sort-based Pareto frontier (the oracle's O(n²) dominance
     // anti-join re-expressed as a two-pass prefix max)
-    "q_skyline")
+    "q_skyline",
+    // round 10: the d-dimensional generalization (cell-grid prune +
+    // exact dominance anti-join over the surviving sliver). Entered the
+    // headline AFTER the round-10 sweep was committed, so its first
+    // swept timings land in round 11; cost is bounded by the fixed
+    // 20k-row part table at every current SF.
+    "q_skyline_3d")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
