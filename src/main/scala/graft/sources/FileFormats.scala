@@ -143,6 +143,68 @@ object FileFormats {
              |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
              |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
              |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
-             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Plain-text lines — the rawest corpus interchange (one document
+    // per line, the Common-Crawl-derivative drop format). `read.text`
+    // is also the entry point for "bring your own parser" ingestion at
+    // 100 TB: a text scan is splittable and schema-free, the parse is a
+    // downstream projection. The round-trip (write.text → read.text)
+    // covers line-framing fidelity; the aggregate checksums line count
+    // and total/min/max line length against the source-of-truth table.
+    // (Documents' synthetic text is verified newline-free — a text
+    // round-trip of embedded newlines would honestly split lines, which
+    // is the format's contract, not a bug.)
+    QueryDef(
+      "q_scan_text",
+      (s, d) => {
+        val dir = sliceDir(d, "text")
+        Tables.documents(s, d)
+          .select("text")
+          .write.mode("overwrite").text(dir)
+        s.read.text(dir)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(length(col("value")).cast("long")).as("sum_len"),
+            min(length(col("value"))).as("min_len"),
+            max(length(col("value"))).as("max_len"))
+      },
+      Some("""SELECT COUNT(*) AS n_lines,
+             |  CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+             |  CAST(MIN(len(text)) AS INT) AS min_len,
+             |  CAST(MAX(len(text)) AS INT) AS max_len
+             |FROM documents""".stripMargin)),
+
+    // XML — Spark 4's built-in XML source (merged from spark-xml; no
+    // external connector jar). Feeds/exports still arrive as XML in
+    // enterprise lakes; the round-trip covers element encode/decode —
+    // entity escaping of text content, typed read-back under an
+    // explicit schema (same no-inference posture as csv/jsonl: XML
+    // inference is a full extra pass). rowTag is explicit on both
+    // sides; the aggregate is the per-lang corpus manifest the jsonl
+    // entry pins, so the two interchange formats are held to the
+    // identical contract.
+    QueryDef(
+      "q_scan_xml",
+      (s, d) => {
+        val dir = sliceDir(d, "xml")
+        Tables.documents(s, d)
+          .select("doc_id", "lang", "source", "text", "n_chars")
+          .write.mode("overwrite").option("rowTag", "doc").format("xml").save(dir)
+        s.read
+          .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
+          .option("rowTag", "doc")
+          .format("xml").load(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

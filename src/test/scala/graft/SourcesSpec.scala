@@ -70,6 +70,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(slice.exceptAll(back).count() === 0L)
   }
 
+  test("text source round-trips the newline-free document lines losslessly") {
+    val dir = Files.createTempDirectory("graft_text").toString
+    val slice = Tables.documents(spark, sf).select("text")
+    slice.write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir).withColumnRenamed("value", "text")
+    assert(back.exceptAll(slice).count() === 0L)
+    assert(slice.exceptAll(back).count() === 0L)
+  }
+
+  test("XML source round-trips the documents slice losslessly under an explicit schema") {
+    val dir = Files.createTempDirectory("graft_xml").toString
+    val slice = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text", "n_chars")
+    slice.write.mode("overwrite").option("rowTag", "doc").format("xml").save(dir)
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
+      .option("rowTag", "doc").format("xml").load(dir)
+      .select("doc_id", "lang", "source", "text", "n_chars")
+    assert(back.exceptAll(slice).count() === 0L)
+    assert(slice.exceptAll(back).count() === 0L)
+  }
+
   test("pipe-CSV sink writes header + overwrite and reads back") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val transport = new InMemoryTransport
