@@ -452,6 +452,78 @@ object Multimodal {
              |        octet_length(CAST(text AS BLOB)) AS len,
              |        2 * (1 + doc_id % 2) AS ba
              |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // binaryFile ingestion — the layout multimodal corpora actually
+    // arrive in: one opaque file per asset in an object store, not
+    // blobs pre-packed in parquet. Export side: a bounded slice of
+    // media payloads written one-file-per-row from the executors
+    // (foreachPartition — the distributed object-store PUT shape).
+    // Ingest side: `spark.read.format("binaryFile")` (path, length,
+    // content), the asset id recovered from the file name with
+    // regexp_extract, and the SAME header codecs q_media_decode runs
+    // applied to the read-back bytes — so the oracle is q_media_decode's
+    // closed-form twin restricted to the slice, and any corruption in
+    // the file round-trip (truncation, path-id mismatch, content
+    // mangling) breaks the hash. The slice is doc_id < 200 at every SF:
+    // the file-per-row pattern is for ASSETS (bounded count, large
+    // payloads), not for 100 TB of rows — that contract keeps the
+    // export bounded while exercising the full read path.
+    QueryDef(
+      "q_scan_binaryfile",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_binfiles/" +
+          java.lang.Integer.toHexString(d.hashCode)
+        val base = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(base)
+        // driver-side idempotence: drop stale files before the export
+        val st = java.nio.file.Files.list(base)
+        try st.forEach(p => java.nio.file.Files.delete(p)) finally st.close()
+        toMedia(Tables.documents(s, d).filter(org.apache.spark.sql.functions.col("doc_id") < 200))
+          .foreachPartition { (it: Iterator[MediaRow]) =>
+            it.foreach { m =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"${m.doc_id}.bin"), m.payload)
+            }
+          }
+        val media = s.read.format("binaryFile").load(dir)
+          .selectExpr(
+            """CAST(regexp_extract(path, '([0-9]+)\\.bin$', 1) AS BIGINT) AS doc_id""",
+            "content")
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) => MediaRow(id, bytes, mimeOf(id), Map.empty) }
+        decodeFeatures(media).toDF()
+          .select("doc_id", "mime", "n_bytes", "width", "height", "sample_rate",
+            "n_frames", "handler")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'image/png'
+             |       WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+             |  CAST(CASE doc_id % 3
+             |       WHEN 0 THEN 57 + len
+             |       WHEN 1 THEN 44 + GREATEST(ba, (len // ba) * ba)
+             |       ELSE 317 + len END AS INT) AS n_bytes,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 500
+             |       WHEN 1 THEN 0 ELSE 320 + doc_id % 320 END AS INT) AS width,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 300
+             |       WHEN 1 THEN 0 ELSE 180 + doc_id % 180 END AS INT) AS height,
+             |  CAST(CASE doc_id % 3 WHEN 1 THEN
+             |         CASE (doc_id // 3) % 3 WHEN 0 THEN 8000
+             |              WHEN 1 THEN 16000 ELSE 44100 END
+             |       ELSE 0 END AS INT) AS sample_rate,
+             |  CAST(CASE doc_id % 3
+             |       WHEN 0 THEN 1
+             |       WHEN 1 THEN GREATEST(ba, (len // ba) * ba) // ba
+             |       ELSE 24 + doc_id % 240 END AS INT) AS n_frames,
+             |  CASE WHEN doc_id % 3 = 2 THEN 'vide' ELSE '' END AS handler
+             |FROM (SELECT doc_id,
+             |        octet_length(CAST(text AS BLOB)) AS len,
+             |        2 * (1 + doc_id % 2) AS ba
+             |      FROM documents)
+             |WHERE doc_id < 200
              |ORDER BY doc_id""".stripMargin))
   )
 }
