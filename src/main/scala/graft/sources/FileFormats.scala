@@ -174,6 +174,40 @@ object FileFormats {
              |  CAST(MAX(len(text)) AS INT) AS max_len
              |FROM documents""".stripMargin)),
 
+    // Hive-style partitioned parquet — THE 100 TB scan layout: the
+    // partition column lives in the directory name, so a filter on it
+    // prunes whole directories before any row is read (the plan shows
+    // it as PartitionFilters, distinct from row-group PushedFilters;
+    // ScaleSpec pins both the static and the runtime-DPP mechanism).
+    // This entry makes the layout an ORACLE obligation: write a slice
+    // partitioned by ship year, read it back through the partition-
+    // discovering reader with a year filter, and match the aggregate
+    // DuckDB computes from the unpartitioned original — a reader that
+    // mis-binds the partition column to rows (the classic off-by-one
+    // of directory-derived columns) hash-mismatches.
+    QueryDef(
+      "q_scan_partitioned",
+      (s, d) => {
+        val dir = sliceDir(d, "parted")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity"), year(col("l_shipdate")).as("ship_year"))
+          .write.mode("overwrite").partitionBy("ship_year").parquet(dir)
+        s.read.parquet(dir)
+          .filter(col("ship_year") >= 1996)
+          .groupBy("ship_year", "l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty_int"),
+            min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+          .orderBy("ship_year", "l_returnflag")
+      },
+      Some("""SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_int,
+             |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+             |FROM lineitem WHERE year(l_shipdate) >= 1996
+             |GROUP BY 1, 2 ORDER BY ship_year, l_returnflag""".stripMargin)),
+
     // XML — Spark 4's built-in XML source (merged from spark-xml; no
     // external connector jar). Feeds/exports still arrive as XML in
     // enterprise lakes; the round-trip covers element encode/decode —
