@@ -73,18 +73,33 @@ object Vocab {
     (best.getString(0), best.getString(1), best.getLong(2))
   }
 
-  /** [[bpeMerges]] over an arbitrary `text`-column frame (spec entry). */
+  /** [[bpeMerges]] over an arbitrary `text`-column frame (spec entry).
+    *
+    * Each round's corpus state is CACHED (at most two round states live
+    * at once): without it, round r's argmax re-executes the whole
+    * lineage from the parquet scan — r string rewrites plus the
+    * split/join re-tokenization — so the k-round loop did O(k²)
+    * rewrites and k full re-scans. With the cache each round is one
+    * in-memory replace. The round state is the rewritten corpus
+    * (~bytes of the text column), the same size class FrameCache
+    * already holds for the shingle relation; a 100 TB trainer would
+    * localCheckpoint the round state for the same reason. */
   private[graft] def bpeMergesFrame(s: org.apache.spark.sql.SparkSession,
                                     docs: org.apache.spark.sql.DataFrame,
                                     k: Int): org.apache.spark.sql.DataFrame = {
     var txt = docs
       .selectExpr("concat(' ', array_join(split(text, ' '), '  '), ' ') AS t2")
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     val rows = (1 to k).map { r =>
-      val (w1, w2, n) = bpeBest(txt)
-      txt = txt.select(org.apache.spark.sql.functions.replace(col("t2"),
+      val cur = txt.cache()
+      val (w1, w2, n) = bpeBest(cur) // materializes cur off prev's cache
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
+      txt = cur.select(org.apache.spark.sql.functions.replace(col("t2"),
         lit(s" $w1  $w2 "), lit(s" $w1+$w2 ")).as("t2"))
       (r, w1, w2, n)
     }
+    prev.foreach(_.unpersist())
     import s.implicits._
     rows.toDF("merge_round", "w1", "w2", "n")
       .selectExpr("merge_round", "w1", "w2", "concat(w1, '+', w2) AS merged", "n")
@@ -102,12 +117,19 @@ object Vocab {
     * the training argmax and the encode share the same corpus state). */
   private[graft] def bpeEncode(s: org.apache.spark.sql.SparkSession, d: String,
                                k: Int): org.apache.spark.sql.DataFrame = {
+    // Same round-state cache as [[bpeMergesFrame]]; the LAST round's
+    // cache stays live because the returned frame reads it — released
+    // with the session (the 100 TB shape would checkpoint per round).
     var txt = Tables.documents(s, d)
       .selectExpr("doc_id", "size(split(text, ' ')) AS n_tok_before",
         "concat(' ', array_join(split(text, ' '), '  '), ' ') AS t2")
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     for (_ <- 1 to k) {
-      val (w1, w2, _) = bpeBest(txt)
-      txt = txt.select(col("doc_id"), col("n_tok_before"),
+      val cur = txt.cache()
+      val (w1, w2, _) = bpeBest(cur)
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
+      txt = cur.select(col("doc_id"), col("n_tok_before"),
         org.apache.spark.sql.functions.replace(col("t2"),
           lit(s" $w1  $w2 "), lit(s" $w1+$w2 ")).as("t2"))
     }
