@@ -171,23 +171,15 @@ object GraftFunctions {
   }
 
   /** [[BloomMightContain]] fallback for extension-less sessions: same
-    * [[BloomHash]] probe over the boxed bitmap. */
+    * [[BloomHash]] probe over the boxed bitmap. The bit count comes
+    * from the bitmap itself (like the native expression) — probing a
+    * COUNT-sized bitmap modulo the fixed floor size would read the
+    * wrong positions and could return false NEGATIVES. */
   def ensureBloomProbe(spark: SparkSession): Unit = {
     if (!spark.catalog.functionExists("bloom_might_contain")) {
       spark.udf.register("bloom_might_contain", (bits: Seq[Long], key: Long) => {
         if (bits == null) null
-        else {
-          val h = BloomHash.mix(key)
-          val h2 = (h >>> 32) | 1L
-          var i = 0
-          var ok = true
-          while (ok && i < BloomHash.K) {
-            val bit = (((h + i * h2) & Long.MaxValue) % BloomHash.Bits).toInt
-            ok = (bits(bit >> 6) & (1L << (bit & 63))) != 0L
-            i += 1
-          }
-          java.lang.Boolean.valueOf(ok)
-        }
+        else java.lang.Boolean.valueOf(BloomHash.mightContainBoxed(bits, key))
       }: java.lang.Boolean)
     }
   }

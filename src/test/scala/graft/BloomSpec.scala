@@ -16,6 +16,24 @@ class BloomSpec extends AnyFunSuite {
     assert(keys.forall(BloomHash.mightContain(bits, _)))
   }
 
+  test("boxed fallback probe derives the bit count from the bitmap — no false negatives at non-floor sizes") {
+    // a COUNT-sized bitmap twice the floor: keys whose bits land in the
+    // upper half would be missed by a probe that mods by the fixed
+    // floor size (the pre-round-10 fallback bug)
+    val words = BloomHash.Words * 2
+    val buf = new Array[Long](words)
+    val keys = (0L until 20000L).map(_ * 6361L + 7L)
+    keys.foreach(BloomHash.setBits(buf, _))
+    val boxed: Seq[Long] = buf.toSeq
+    assert(keys.forall(BloomHash.mightContainBoxed(boxed, _)),
+      "boxed probe must see every inserted key at a non-floor bitmap size")
+    // and it agrees with the native probe on negatives too
+    val bits = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+    val probes = (0L until 5000L).map(_ * 7919L + 3L)
+    assert(probes.forall(k =>
+      BloomHash.mightContainBoxed(boxed, k) === BloomHash.mightContain(bits, k)))
+  }
+
   test("bitmap merge fails loudly on a size mismatch (distributive-union contract)") {
     val agg = new BloomFilterAgg(BloomHash.Words)
     val ex = intercept[IllegalArgumentException] {
