@@ -116,6 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      (children: Seq[Expression]) => NearestCell(children.head, children(1))))
   }
 }
 
@@ -181,6 +185,39 @@ object GraftFunctions {
         if (bits == null) null
         else java.lang.Boolean.valueOf(BloomHash.mightContainBoxed(bits, key))
       }: java.lang.Boolean)
+    }
+  }
+
+  /** [[NearestCell]] fallback for extension-less sessions: the same
+    * argmax over a boxed centroid table (Row structs arrive in array
+    * order — ids ascending by the caller's contract). */
+  def ensureNearestCell(spark: SparkSession): Unit = {
+    if (!spark.catalog.functionExists("nearest_cell")) {
+      spark.udf.register("nearest_cell",
+        (x: Seq[Float], cents: Seq[org.apache.spark.sql.Row]) => {
+          if (x == null || cents == null) null
+          else {
+            var best = Double.NegativeInfinity
+            var bestId = -1L
+            cents.foreach { r =>
+              val y = r.getSeq[Float](1)
+              if (y.length == x.length) {
+                var d = 0L; var na = 0L; var nb = 0L
+                var i = 0
+                while (i < x.length) {
+                  val xv = x(i).toDouble; val yv = y(i).toDouble
+                  d += math.floor(xv * yv * 1.0e14).toLong
+                  na += math.floor(xv * xv * 1.0e14).toLong
+                  nb += math.floor(yv * yv * 1.0e14).toLong
+                  i += 1
+                }
+                val c = (d / 1.0e14) / (math.sqrt(na / 1.0e14) * math.sqrt(nb / 1.0e14))
+                if (c > best) { best = c; bestId = r.getLong(0) }
+              }
+            }
+            if (bestId < 0) null else java.lang.Long.valueOf(bestId)
+          }
+        }: java.lang.Long)
     }
   }
 

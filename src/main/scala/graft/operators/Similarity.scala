@@ -171,18 +171,56 @@ object Similarity {
   private[graft] def cellAssign(s: org.apache.spark.sql.SparkSession, d: String,
                                 cells: Int): org.apache.spark.sql.DataFrame =
     graft.FrameCache.memo(s, s"ivf_cells:$d:$cells") {
-      graft.functions.GraftFunctions.ensureCosine(s)
       val e = Tables.embeddings(s, d)
-      val cent = e.filter(col("vec_id") < cells)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("cent_id"))
-      e.join(broadcast(cent))
-        .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      if (cells <= graft.functions.NearestCell.MaxCents)
+        assignByExpression(s, e, cells)
+      else
+        assignByJoin(s, e, cells)
     }
+
+  /** Expression-shaped argmax (round 10, the small-centroid-set
+    * regime): collect the bounded centroid table (the k-means-model
+    * pattern — model state on the driver, bounded by `cells`), embed it
+    * as one reference literal, and pick each vector's cell in a tight
+    * per-row loop — the same quantized cosines as the join path with
+    * zero extra rows, zero sort, zero shuffle. [[graft.functions.NearestCell]]
+    * scans ids ascending with strict `>`, bit-identical to
+    * `row_number() OVER (ORDER BY c_cos DESC, cent_id) = 1`, so both
+    * regimes and the DuckDB twin agree exactly (CellAssignSpec pins
+    * regime equality). */
+  private[graft] def assignByExpression(s: org.apache.spark.sql.SparkSession,
+                                        e: org.apache.spark.sql.DataFrame,
+                                        cells: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.ensureNearestCell(s)
+    import s.implicits._
+    val cent: Seq[(Long, Seq[Float])] = e.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .as[(Long, Seq[Float])].collect().toSeq
+    e.select(col("vec_id"), col("embedding"),
+      call_function("nearest_cell", col("embedding"), typedlit(cent)).as("cell"))
+  }
+
+  /** Join-shaped assignment — the 100 TB regime where the centroid
+    * relation is itself data-sized and must never land on the driver:
+    * broadcast join + per-vector top-1 window. This path materializes
+    * N·cells rows carrying the full embedding through a per-partition
+    * SORT before the partial window group-limit — at sf10 that was 350M
+    * wide rows sorted for a top-1, the dominant cost of the shared cell
+    * assignment, which is why the expression regime exists. */
+  private[graft] def assignByJoin(s: org.apache.spark.sql.SparkSession,
+                                  e: org.apache.spark.sql.DataFrame,
+                                  cells: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.ensureCosine(s)
+    val cent = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    e.join(broadcast(cent))
+      .selectExpr("vec_id", "embedding", "cent_id", "cosine_sim(embedding, cent_emb) AS c_cos")
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
 
   /** DuckDB twin of [[cellAssign]], ending in `cells$sfx(vec_id,
     * embedding, cell)`; `sfx` disambiguates CTE names when several cell

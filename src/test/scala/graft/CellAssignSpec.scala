@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two cell-assignment regimes must be interchangeable: the
+  * expression-shaped argmax (collected centroid literal, per-row loop)
+  * and the join-shaped top-1 window are the SAME operator at different
+  * centroid scales, so on the same inputs every vector must land in the
+  * same cell — the tie-break (`c_cos DESC, cent_id ASC` vs ascending
+  * scan with strict `>`) and the quantized cosine arithmetic are
+  * replicated, not approximated.
+  */
+class CellAssignSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def assignments(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("expression regime and join regime assign every vector the same cell") {
+    val e = Tables.embeddings(spark, sf)
+    for (cells <- Seq(4, 7, 32)) {
+      val viaExpr = assignments(Similarity.assignByExpression(spark, e, cells))
+      val viaJoin = assignments(Similarity.assignByJoin(spark, e, cells))
+      assert(viaExpr === viaJoin, s"regimes diverged at cells=$cells")
+      assert(viaExpr.nonEmpty)
+    }
+  }
+
+  test("every assigned cell is a valid centroid id below the cell count") {
+    val e = Tables.embeddings(spark, sf)
+    val cells = 8
+    val a = assignments(Similarity.assignByExpression(spark, e, cells))
+    assert(a.values.forall(c => c >= 0 && c < cells))
+    // centroid vectors assign to themselves (cosine 1 beats everything,
+    // ties resolve to the centroid's own id only when it IS the argmax
+    // — for the self pair the cosine is exactly 1)
+    (0L until cells.toLong).foreach { id =>
+      assert(a(id) === id, s"centroid $id must self-assign")
+    }
+  }
+}
