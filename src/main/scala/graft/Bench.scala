@@ -182,7 +182,17 @@ object Bench {
     // headline AFTER the round-10 sweep was committed, so its first
     // swept timings land in round 11; cost is bounded by the fixed
     // 20k-row part table at every current SF.
-    "q_skyline_3d")
+    "q_skyline_3d",
+    // round 10, second wave: both-sides-large retrieval (the cell
+    // equi-join of two data-sized relations — rides the same memoized
+    // assignment the knn family warms, so the timed cost is the join +
+    // rank, which is the claim), the frozen-index delta-absorb pass,
+    // and the small-files maintenance rewrite (timed end-to-end:
+    // fragment + coalesce rewrite + manifest read-back — maintenance
+    // I/O is a real cost a 100 TB table pays continuously)
+    "q_ann_join",
+    "q_semdedup_incremental",
+    "q_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -114,6 +114,46 @@ object Layout {
     // gives ±√n balance per shard with no planning pass. The query
     // reports the per-shard envelope (docs, tokens, membership checksum)
     // — the balance evidence a shard writer would assert before commit.
+    // Compaction as an ORACLE obligation, not just LayoutSpec's file
+    // count check: fragment the documents table into 32 per-trigger-
+    // sized files (the shape a micro-batch sink leaves behind), rewrite
+    // through [[compact]] at a quarter-of-total target, and read the
+    // COMPACTED copy back through the per-lang manifest the interchange
+    // entries (q_scan_jsonl / q_scan_xml) pin — DuckDB computes the
+    // same manifest from the original parquet, so a compactor that
+    // drops, duplicates, or truncates rows hash-mismatches. The file-
+    // count contract (fewer files out than in, matching compact()'s
+    // return) is require()d inside the query: a violated maintenance
+    // invariant surfaces as a query error in CORRECTNESS, not a silent
+    // pass. Same tmpdir-keyed idempotent slice convention as the
+    // format round-trips.
+    QueryDef(
+      "q_compact",
+      (s, d) => {
+        val key = java.lang.Integer.toHexString(d.hashCode)
+        val frag = s"${sys.props("java.io.tmpdir")}/graft_compact/frag_$key"
+        val dst = s"${sys.props("java.io.tmpdir")}/graft_compact/dst_$key"
+        Tables.documents(s, d).repartition(32)
+          .write.mode("overwrite").parquet(frag)
+        val conf = s.sparkContext.hadoopConfiguration
+        val fragPath = new org.apache.hadoop.fs.Path(frag)
+        val totalBytes = fragPath.getFileSystem(conf).getContentSummary(fragPath).getLength
+        val written = compact(s, frag, dst, targetBytes = math.max(1L, totalBytes / 4))
+        require(written < 32, s"compaction wrote $written files from 32 fragments")
+        s.read.parquet(dst)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef(
       "q_shard_assign",
       (s, d) => Tables.documents(s, d)

@@ -1148,6 +1148,113 @@ object Similarity {
               |SELECT cc.v AS vec_id, cc.cluster AS cluster, sizes.cluster_size,
               |       CAST(cc.v = cc.cluster AS INT) AS keep
               |FROM cc JOIN sizes ON cc.cluster = sizes.cluster
-              |ORDER BY vec_id""".stripMargin))
+              |ORDER BY vec_id""".stripMargin)),
+
+    // ANN JOIN — both sides LARGE. The probe entries (q_sim_ivf*,
+    // q_sim_lsh*) broadcast a fixed 20-query set; the production
+    // retrieval shape is a join between two data-sized relations
+    // (candidate passages × training queries, corpus × corpus for
+    // cross-dataset linking) where neither side fits a broadcast. The
+    // cell index is the join strategy: both sides route through the
+    // SAME sized coarse quantizer (the memoized [[cellAssign]] the knn
+    // family fills — this entry adds zero build work when it runs after
+    // them), the join is a plain equi-join ON CELL (one hash shuffle of
+    // each side, keyed by ~√N cells), and each left row ranks only its
+    // cell's ~√N right-side candidates — N·√N dots total, never N².
+    // Left = odd vec_ids, right = even (a deterministic 50/50 split
+    // standing in for two tables; at 100 TB the two sides are separate
+    // relations assigned through the same frozen centroid set). Output
+    // is per-left-row top-1 with the candidate count it was ranked
+    // from — left rows whose cell holds no right-side row drop (an
+    // inner retrieval join; the asof/left variants are a filter away).
+    QueryDef(
+      "q_ann_join",
+      (s, d) => {
+        val cellFrame = cellAssign(s, d, ivfCellsFor(Tables.embeddings(s, d).count()))
+        val q = cellFrame.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+        val c = cellFrame.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("cell").as("c_cell"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+        q.join(c, col("cell") === col("c_cell"))
+          .selectExpr("q_id", "cell", "c_id", "cosine_sim(q_emb, c_emb) AS cosine")
+          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("q_id")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("q_id", "cell", "c_id", "cosine", "n_cand")
+          .orderBy("q_id")
+      },
+      Some(s"""WITH sizedc AS (
+              |  SELECT GREATEST(4, CAST(floor(sqrt(COUNT(*))) AS INT)) AS c FROM embeddings),
+              |${duckCellCtesExpr("(SELECT c FROM sizedc)")},
+              |probe AS (
+              |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS c_id,
+              |    ${duckDot("q.embedding", "c.embedding")}
+              |      / (sqrt(${duckDot("q.embedding", "q.embedding")})
+              |         * sqrt(${duckDot("c.embedding", "c.embedding")})) AS cosine
+              |  FROM cells q JOIN cells c ON q.cell = c.cell
+              |  WHERE q.vec_id % 2 = 1 AND c.vec_id % 2 = 0)
+              |SELECT q_id, cell, c_id, cosine, n_cand FROM (
+              |  SELECT *, COUNT(*) OVER (PARTITION BY q_id) AS n_cand,
+              |         ROW_NUMBER() OVER (PARTITION BY q_id
+              |                  ORDER BY cosine DESC, c_id) AS rn FROM probe)
+              |WHERE rn = 1 ORDER BY q_id""".stripMargin)),
+
+    // Incremental semantic dedup — the embedding-space twin of
+    // q_dedup_incremental: a frozen index absorbs a delta batch WITHOUT
+    // a rebuild. The centroid set is derived from the BASE slice only
+    // (first ⌊9N/10⌋ ids — the already-curated corpus; the centroids
+    // are its first ⌊√N_base⌋ vectors, so the index state predates the
+    // delta by construction), the delta assigns against those frozen
+    // centroids in one broadcast-argmax map pass, and each delta vector
+    // ranks only its cell's base members — ~Δ·√N dots, vs the Δ·N a
+    // brute delta-vs-base scan pays and the (N+Δ)^1.5 a full re-index
+    // pays. Both sides reuse the memoized [[cellAssign]] at the
+    // base-derived cell count (assignment to a FIXED centroid set is
+    // order-independent: new rows never perturb old cells — the same
+    // append-stability q_shard_assign pins for hash sharding). Output
+    // = per-delta-vector nearest base member + the dedup verdict at
+    // the q_dedup_embed near-dup threshold (0.3); delta vectors landing in a base-empty
+    // cell drop (no candidate ⇒ trivially novel — at 100 TB those
+    // route to the survivor set without scoring).
+    QueryDef(
+      "q_semdedup_incremental",
+      (s, d) => {
+        val n = Tables.embeddings(s, d).count()
+        val cut = 9L * n / 10L
+        val asg = cellAssign(s, d, ivfCellsFor(cut))
+        val base = asg.filter(col("vec_id") < cut)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("cell").as("c_cell"))
+        val delta = asg.filter(col("vec_id") >= cut)
+          .select(col("vec_id").as("delta_id"), col("embedding").as("q_emb"), col("cell"))
+        val w = Window.partitionBy("delta_id").orderBy(col("cosine").desc, col("c_id"))
+        delta.join(base, col("cell") === col("c_cell"))
+          .selectExpr("delta_id", "cell", "c_id", "cosine_sim(q_emb, c_emb) AS cosine")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .selectExpr("delta_id", "cell", "c_id AS nn_id", "cosine",
+            "CAST(cosine >= 0.3 AS INT) AS is_dup")
+          .orderBy("delta_id")
+      },
+      Some(s"""WITH cutoff AS (SELECT 9 * COUNT(*) // 10 AS cut FROM embeddings),
+              |sizedc AS (
+              |  SELECT GREATEST(4, CAST(floor(sqrt(cut)) AS INT)) AS c FROM cutoff),
+              |${duckCellCtesExpr("(SELECT c FROM sizedc)")},
+              |probe AS (
+              |  SELECT q.vec_id AS delta_id, q.cell AS cell, c.vec_id AS c_id,
+              |    ${duckDot("q.embedding", "c.embedding")}
+              |      / (sqrt(${duckDot("q.embedding", "q.embedding")})
+              |         * sqrt(${duckDot("c.embedding", "c.embedding")})) AS cosine
+              |  FROM cells q JOIN cells c ON q.cell = c.cell
+              |  WHERE q.vec_id >= (SELECT cut FROM cutoff)
+              |    AND c.vec_id < (SELECT cut FROM cutoff))
+              |SELECT delta_id, cell, nn_id, cosine, is_dup FROM (
+              |  SELECT delta_id, cell, c_id AS nn_id, cosine,
+              |         CAST(cosine >= 0.3 AS INT) AS is_dup,
+              |         ROW_NUMBER() OVER (PARTITION BY delta_id
+              |                  ORDER BY cosine DESC, c_id) AS rn FROM probe)
+              |WHERE rn = 1 ORDER BY delta_id""".stripMargin))
   )
 }

@@ -41,4 +41,25 @@ class CellAssignSpec extends AnyFunSuite {
       assert(a(id) === id, s"centroid $id must self-assign")
     }
   }
+
+  test("assignment against a frozen centroid set is append-stable") {
+    // q_semdedup_incremental's contract: the index state is derived
+    // from the BASE slice, so appending a delta batch must not perturb
+    // any base vector's cell — assignment is a pure per-row function
+    // of (vector, centroid set), with no data-dependent re-fit. Pin it
+    // by assigning the base-only relation and the full relation through
+    // the same base-derived centroids and comparing the base rows.
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val cut = 9L * n / 10L
+    val cells = Similarity.ivfCellsFor(cut)
+    val full = assignments(Similarity.assignByExpression(spark, e, cells))
+    val baseOnly = assignments(
+      Similarity.assignByExpression(spark, e.filter(col("vec_id") < cut), cells))
+    assert(baseOnly.nonEmpty && baseOnly.size < full.size)
+    baseOnly.foreach { case (id, cell) =>
+      assert(full(id) === cell, s"appending the delta moved base vector $id")
+    }
+  }
 }

@@ -245,6 +245,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected q_knn_cluster to consume cached/checkpointed inputs:\n$pc")
   }
 
+  test("ann join rides the memoized cell assignment and equi-joins on the cell") {
+    // both-sides-large retrieval: the only join of the two data-sized
+    // sides must be a HASH equi-join on the cell key (the index IS the
+    // join strategy — a re-score would surface as a nested loop), and
+    // the sized cell assignment must come from the session memo the knn
+    // family fills, not a fresh scoring pass
+    operators.Similarity.knnEdges(spark, sf, 3).count() // memo warm, as in a session
+    val p = finalPlan("q_ann_join")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the memoized cell assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("HashJoin"), s"expected hash equi-join on cell:\n$p")
+  }
+
+  test("incremental semantic dedup scores the delta only against base cells") {
+    // the delta-vs-base pair stage is an equi-join on the frozen-index
+    // cell key; the base never re-pairs with itself and no unbounded
+    // nested loop appears (the bounded centroid argmax lives inside the
+    // cached assignment, not this plan)
+    val p = finalPlan("q_semdedup_incremental")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("HashJoin"), s"expected hash equi-join on cell:\n$p")
+    // rank-1 pick cuts map-side, same contract as the knn top-k
+    assert(p.contains("WindowGroupLimit"), s"expected map-side top-1 cut:\n$p")
+  }
+
   test("corpus balance is a stateless scan filter over broadcast per-lang stats") {
     val p = finalPlan("q_corpus_balance")
     // no window, no sort of the corpus; the per-lang counts and the min
