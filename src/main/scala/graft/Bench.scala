@@ -192,7 +192,12 @@ object Bench {
     // I/O is a real cost a 100 TB table pays continuously)
     "q_ann_join",
     "q_semdedup_incremental",
-    "q_compact")
+    "q_compact",
+    // round 10, fourth wave: the trained curation model — k full-batch
+    // GD rounds, each one map-side-combined aggregate over the cached
+    // feature frame (the treeAggregate shape); the timed cost is the
+    // feature scan + k tiny agg jobs
+    "q_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

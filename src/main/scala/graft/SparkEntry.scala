@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Incremental.defs ++
       operators.Profiling.defs ++
       operators.Quality.defs ++
+      operators.Classifier.defs ++
       functions.Vocab.defs ++
       functions.Ranking.defs ++
       functions.Fuzzy.defs ++

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{FrameCache, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — the fastText/CCNet-style curation model
+  * every production corpus pass runs: score each document against a
+  * logistic model and keep/weight by the score. The reference has no ML
+  * surface at all (four stock-Spark scripts, SURVEY.md §0), so this is
+  * extension surface; the point here is the DISTRIBUTED TRAINING shape,
+  * not the model class.
+  *
+  * Training is full-batch gradient descent: k iterations, each ONE
+  * map-side-combined aggregate over the cached feature frame (per-row
+  * gradient contributions collapse to 4 longs + a count per partition —
+  * the `treeAggregate` shape MLlib's linear models use, with nothing on
+  * the driver but the 4-double weight vector between jobs; the same
+  * bounded-driver-state discipline as the BPE argmax rounds). At 100 TB
+  * the expensive part is the feature scan, paid ONCE into the cache; each
+  * GD round then reads the narrow (y, x0..x3) frame and ships ~40 bytes
+  * per partition to the driver. The learned weights ride into the scoring
+  * pass as literals (a broadcast model, like the trigram LM).
+  *
+  * Cross-engine determinism (the DuckDB oracle recomputes the identical
+  * training run in chained CTEs): the sigmoid is the only transcendental,
+  * so it is µ-quantized to 1e-6 BEFORE entering the gradient (an ulp of
+  * `exp` cannot flip a 1e-6 grid cell except within ~1e-10 of a cell
+  * edge); every per-row gradient term is then `round(x_j * (σq - y) *
+  * 1e9)` on bit-identical doubles, summed EXACTLY as BIGINT — partial-sum
+  * order cannot matter. The weight update is a fixed left-associative
+  * double expression over those exact integers, so Spark's and DuckDB's
+  * weights agree bit-for-bit; published weights are µ-quantized BIGINTs
+  * (micro-units), accuracy is an integer count of `z >= 0` sign
+  * agreements (no transcendental in the decision rule).
+  */
+object Classifier {
+
+  private val lr = 2.0
+  private val iters = 3
+
+  /** Binary label: "long-form" (n_chars ≥ 300) — a synthetic target the
+    * features genuinely encode, so the oracle can assert the training
+    * MOVED (481/500 here vs a 256/500 majority-class floor; a
+    * lang-derived label was tried first and the synthetic corpus's
+    * features don't separate it — accuracy collapsed to the base rate,
+    * which demonstrates nothing about the optimizer). In production the
+    * label column comes from human/LLM quality annotations; only the
+    * feature SELECT changes. Features: intercept, scaled length,
+    * stopword ratio, distinct-token ratio. */
+  private def feats(s: SparkSession, d: String): DataFrame =
+    FrameCache.memo(s, s"clf-feats:$d") {
+      Tables.documents(s, d).selectExpr(
+        "CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y",
+        "1.0 AS x0",
+        "CAST(n_chars AS DOUBLE) / 1000.0 AS x1",
+        s"CAST(size(filter(split(text, ' '), w -> w IN (${graft.functions.TextAnalysis.stopSql}))) AS DOUBLE) " +
+          "/ size(split(text, ' ')) AS x2",
+        "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) " +
+          "/ size(split(text, ' ')) AS x3")
+    }
+
+  /** z = w·x as a left-associative Column (must mirror the oracle's
+    * `b0*x0 + b1*x1 + b2*x2 + b3*x3` exactly — same op order, same
+    * literal doubles). */
+  private def zCol(w: Array[Double]): Column =
+    lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+  /** σ(z) µ-quantized to the 1e-6 grid, as a double back in [0,1]. */
+  private def sigmaQ(w: Array[Double]): Column =
+    round((lit(1.0) / (lit(1.0) + exp(-zCol(w)))) * lit(1000000.0))
+      .cast("long") / lit(1000000.0)
+
+  /** Runs the k-iteration GD and returns (weights, nRows, nCorrect). */
+  def train(s: SparkSession, d: String): (Array[Double], Long, Long) = {
+    val f = feats(s, d)
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    var n = 0L
+    for (_ <- 1 to iters) {
+      val sq = sigmaQ(w)
+      val aggs = (0 to 3).map(j =>
+        sum(round(col(s"x$j") * (sq - col("y")) * lit(1000000000.0))
+          .cast("long")).as(s"g$j")) :+ count(lit(1)).as("n")
+      val row = f.agg(aggs.head, aggs.tail: _*).head()
+      n = row.getAs[Long]("n")
+      for (j <- 0 to 3)
+        w(j) = w(j) - lr * (row.getAs[Long](s"g$j").toDouble / 1.0e9 / n)
+    }
+    val nCorrect = f
+      .agg(sum(when((zCol(w) >= 0) === (col("y") === 1.0), 1L)
+        .otherwise(0L)).as("nc"))
+      .head().getAs[Long]("nc")
+    (w, n, nCorrect)
+  }
+
+  /** One DuckDB gradient CTE + weight-update CTE pair for iteration t,
+    * reading weights from CTE `$prev` (columns b0..b3). */
+  private def duckIter(t: Int, prev: String): String = {
+    val sig = s"(CAST(round((1.0 / (1.0 + exp(-(b0*x0 + b1*x1 + b2*x2 + b3*x3)))) * 1000000.0) " +
+      "AS BIGINT) / 1000000.0)"
+    val gs = (0 to 3).map(j =>
+      s"SUM(CAST(round((x$j * ($sig - y)) * 1000000000.0) AS BIGINT)) AS g$j")
+      .mkString(",\n    ")
+    val ws = (0 to 3).map(j =>
+      s"b$j - $lr * (CAST(g$j AS DOUBLE) / 1.0e9 / n) AS b$j").mkString(", ")
+    s"""g$t AS (SELECT $gs,
+       |    COUNT(*) AS n
+       |  FROM f, $prev),
+       |w$t AS (SELECT $ws FROM g$t, $prev)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_quality_classifier",
+      (s, d) => {
+        val (w, n, nCorrect) = train(s, d)
+        // exact-int publication; HALF_UP (away from zero) matches both
+        // engines' round() — scala math.round floors negative halves
+        val micro = w.map(x =>
+          BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        import s.implicits._
+        (Seq(("n_correct", nCorrect), ("n_rows", n)) ++
+          micro.zipWithIndex.map { case (m, j) => (s"w$j", m) })
+          .toDF("metric", "value")
+          .orderBy("metric")
+      },
+      Some {
+        val featSql =
+          s"""f AS (SELECT
+             |  CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+             |  1.0 AS x0,
+             |  CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |       w -> w IN (${graft.functions.TextAnalysis.stopSql}))) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS x2,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS x3
+             |FROM documents)""".stripMargin
+        val chain = (1 to iters)
+          .map(t => duckIter(t, if (t == 1) "w0" else s"w${t - 1}"))
+          .mkString(",\n")
+        s"""WITH $featSql,
+           |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
+           |$chain,
+           |acc AS (SELECT
+           |    SUM(CASE WHEN ((b0*x0 + b1*x1 + b2*x2 + b3*x3) >= 0) = (y = 1.0)
+           |             THEN 1 ELSE 0 END) AS n_correct,
+           |    COUNT(*) AS n
+           |  FROM f, w$iters)
+           |SELECT metric, value FROM (
+           |  SELECT 'n_correct' AS metric, CAST(n_correct AS BIGINT) AS value FROM acc
+           |  UNION ALL SELECT 'n_rows', n FROM acc
+           |  UNION ALL SELECT 'w0', CAST(round(b0 * 1000000.0) AS BIGINT) FROM w$iters
+           |  UNION ALL SELECT 'w1', CAST(round(b1 * 1000000.0) AS BIGINT) FROM w$iters
+           |  UNION ALL SELECT 'w2', CAST(round(b2 * 1000000.0) AS BIGINT) FROM w$iters
+           |  UNION ALL SELECT 'w3', CAST(round(b3 * 1000000.0) AS BIGINT) FROM w$iters)
+           |ORDER BY metric""".stripMargin
+      }))
+}

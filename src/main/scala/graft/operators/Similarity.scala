@@ -476,6 +476,102 @@ object Similarity {
     (ctes, select)
   }
 
+  // ---- random projection (Johnson–Lindenstrauss) ------------------------
+
+  /** Fixed ±1 projection matrix (64 → [[rpProjDim]]), signs derived from
+    * md5("rp:i:j") — data-independent constants, generated once at class
+    * load and embedded as literal expression text in BOTH engines, so
+    * the projection costs zero hashing at runtime and any two cluster
+    * runs agree. A ±1 (Achlioptas) matrix satisfies the JL guarantee
+    * like a Gaussian one, and keeps every arithmetic op exact-sign
+    * double addition — no transcendental anywhere. */
+  private val rpMaxDim = 32
+  private lazy val rpSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(64, rpMaxDim) { (i, j) =>
+      if ((md.digest(s"rp:$i:$j".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** The projected vector as engine-neutral expression text: each output
+    * coordinate is a left-associative chain `(0.0 ± e1 ± e2 …)` — same
+    * op order in both engines, so the projected doubles agree
+    * bit-for-bit (float→double casts are exact, addition is IEEE).
+    * Lower-dim projections are PREFIXES of the 32-dim one (same signs),
+    * so the recall curve isolates the dimension knob, not matrix luck. */
+  private def rpProjTerms(projDim: Int, elem: Int => String): Seq[String] =
+    (0 until projDim).map { j =>
+      val terms = (0 until 64).map { i =>
+        val sgn = if (rpSigns(i)(j) > 0) "+" else "-"
+        s"$sgn CAST(${elem(i + 1)} AS DOUBLE)"
+      }.mkString(" ")
+      s"(0.0 $terms)"
+    }
+
+  /** Recall@k of brute-force top-k in the PROJECTED space vs the exact
+    * space — the dimensionality-reduction axis of the recall surface
+    * (LSH: bits×tables; IVF: cells/nprobe; PQ: ADC; this: the dot-cost
+    * knob). The candidate set is identical (all pairs); what the
+    * projection buys is a 64→16 per-dot cost cut for any downstream
+    * consumer (the knn edge build, the ANN join), and what it costs is
+    * exactly the recall printed here. At 100 TB the projection is a
+    * map-only pass fused into the scan (16 sign-sum expressions, no
+    * shuffle, no model to broadcast), so reduced-space vectors are
+    * ~4× cheaper to score AND to shuffle. */
+  def rpRecall(s: org.apache.spark.sql.SparkSession, d: String, projDim: Int,
+               k: Int = 5, queryLimit: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(projDim <= rpMaxDim, s"projDim $projDim exceeds the sign matrix ($rpMaxDim)")
+    val n = withNorm(s, d)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    val qn = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cn = n.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val brute = cn.join(broadcast(qn.filter(col("q_id") < queryLimit)), col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id")
+    val proj = n.selectExpr("vec_id",
+      s"array(${rpProjTerms(projDim, i => s"element_at(embedding, $i)").mkString(", ")}) AS p")
+      .selectExpr("vec_id", "p", s"sqrt(${sparkDot("p", "p")}) AS pnrm")
+    val qp = proj.filter(col("vec_id") < queryLimit).select(
+      col("vec_id").as("q_id"), col("p").as("q_p"), col("pnrm").as("q_pnrm"))
+    val cp = proj.select(
+      col("vec_id").as("c_id"), col("p").as("c_p"), col("pnrm").as("c_pnrm"))
+    val approx = cp.join(broadcast(qp), col("q_id") =!= col("c_id"))
+      .selectExpr("q_id", "c_id", s"${sparkDot("q_p", "c_p")} / (q_pnrm * c_pnrm) AS cosine")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id")
+    brute.agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_brute"))
+      .crossJoin(brute.join(approx, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_matched")))
+      .selectExpr(s"$projDim AS proj_dim", "n_queries", "n_matched",
+        "CAST(n_matched AS DOUBLE) / n_brute AS recall_at_k")
+  }
+
+  /** DuckDB twin of one [[rpRecall]] setting (CTEs suffixed `_<dim>`). */
+  private def rpRecallOracleCtes(projDim: Int): (String, String) = {
+    val sfx = s"_$projDim"
+    val pList = rpProjTerms(projDim, i => s"embedding[$i]").mkString(", ")
+    val ctes =
+      s"""proj$sfx AS (
+         |  SELECT vec_id, p, sqrt(${duckDot("p", "p")}) AS pnrm
+         |  FROM (SELECT vec_id, [$pList] AS p FROM embeddings)),
+         |approx$sfx AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |  FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |               ${duckDot("q.p", "c.p")} / (q.pnrm * c.pnrm) AS cosine
+         |        FROM proj$sfx q JOIN proj$sfx c ON q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < 100)) WHERE rnk <= 5)""".stripMargin
+    val select =
+      s"""SELECT $projDim AS proj_dim,
+         |  (SELECT COUNT(DISTINCT q_id) FROM brute) AS n_queries,
+         |  COUNT(*) AS n_matched,
+         |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM brute) AS recall_at_k
+         |FROM brute JOIN approx$sfx USING (q_id, c_id)""".stripMargin
+    (ctes, select)
+  }
+
   /** Recall@k of the IVF index against the brute-force baseline — the
     * cells-axis twin of [[annRecall]] (every index family ships its
     * recall measurement: LSH has bits×tables, PQ has the ADC rank
@@ -971,6 +1067,25 @@ object Similarity {
                 |${parts.map(_._1).mkString(",\n")}
                 |${parts.map(_._2).mkString("\nUNION ALL\n")}
                 |ORDER BY nprobe""".stripMargin)
+      }),
+
+    // Random-projection (JL) recall curve: top-k in the ±1-projected
+    // 8/16/32-dim spaces vs exact 64-dim top-k — measures what each
+    // dot-cost cut (8×/4×/2×) costs in recall ([[rpRecall]]). The
+    // lower dims are prefixes of the same sign matrix, so the curve
+    // isolates the dimension knob.
+    QueryDef(
+      "q_rp_recall",
+      (s, d) => rpRecall(s, d, projDim = 8)
+        .unionAll(rpRecall(s, d, projDim = 16))
+        .unionAll(rpRecall(s, d, projDim = 32))
+        .orderBy("proj_dim"), {
+        val parts = Seq(8, 16, 32).map(rpRecallOracleCtes)
+        Some(s"""WITH $duckNormCte,
+                |${recallOracleBruteCte()},
+                |${parts.map(_._1).mkString(",\n")}
+                |${parts.map(_._2).mkString("\nUNION ALL\n")}
+                |ORDER BY proj_dim""".stripMargin)
       }),
 
     // Embedding-cosine near-dup pairs, brute force (verify-scale

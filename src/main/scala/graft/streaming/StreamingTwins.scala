@@ -133,6 +133,28 @@ object StreamingTwins {
              |  WHERE rn = 1)
              |SELECT doc_id, lang, source FROM first_d
              |WHERE dg NOT IN (SELECT dg FROM dg WHERE doc_id % 10 <> 7)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Stream-static enrichment twin: the events fact joined with the
+    // customer dimension snapshot through the SAME code path the
+    // streaming spec drives ([[EventStreams.enrichWithDim]] — broadcast
+    // hash join per micro-batch, no join state), folded to per-segment×
+    // type counts so the deliverable is stable. StreamingSpec pins
+    // row-level stream==batch parity; this makes the join's SEMANTICS
+    // (inner on user_id=c_custkey, dimension attributes attached) a
+    // DuckDB obligation too. At 100 TB the dimension broadcasts —
+    // the fact side never shuffles for the join, only for the fold.
+    QueryDef(
+      "q_stream_enrich",
+      (s, d) => EventStreams
+        .enrichWithDim(Tables.events(s, d), Tables.customer(s, d))
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("segment", "event_type"),
+      Some("""SELECT c_mktsegment AS segment, event_type,
+             |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin))
   )
 }

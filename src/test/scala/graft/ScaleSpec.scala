@@ -295,6 +295,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(rec8x4 > rec8x1, s"tables=4 recall $rec8x4 !> tables=1 $rec8x1")
   }
 
+  test("random-projection recall rises with the projected dimension") {
+    import operators.Similarity
+    def rec(dim: Int): Double =
+      Similarity.rpRecall(spark, sf, projDim = dim).head.getAs[Double]("recall_at_k")
+    val (r8, r16, r32) = (rec(8), rec(16), rec(32))
+    // the lower dims are prefixes of the same sign matrix, so more
+    // dimensions can only refine the distance estimate on average —
+    // the curve must rise across the 4× span even if single steps tie
+    assert(r8 <= r16 && r16 <= r32, s"recall must not drop: $r8, $r16, $r32")
+    assert(r32 > r8, s"proj_dim=32 recall $r32 must beat proj_dim=8 $r8")
+  }
+
   test("distributed ntile matches the built-in global-window ntile exactly") {
     import org.apache.spark.sql.expressions.Window
     val builtin = Tables.orders(spark, sf)
