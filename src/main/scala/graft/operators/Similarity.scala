@@ -523,16 +523,25 @@ object Similarity {
     require(projDim <= rpMaxDim, s"projDim $projDim exceeds the sign matrix ($rpMaxDim)")
     val n = withNorm(s, d)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
-    val qn = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val cn = n.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val brute = cn.join(broadcast(qn.filter(col("q_id") < queryLimit)), col("q_id") =!= col("c_id"))
-      .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("q_id", "c_id")
-    val proj = n.selectExpr("vec_id",
-      s"array(${rpProjTerms(projDim, i => s"element_at(embedding, $i)").mkString(", ")}) AS p")
-      .selectExpr("vec_id", "p", s"sqrt(${sparkDot("p", "p")}) AS pnrm")
+    // the exact-space baseline is setting-independent — memoized so the
+    // three-dim curve pays the 64-dim brute force once, not per setting
+    val brute = graft.FrameCache.memo(s, s"rp-brute:$d:$k:$queryLimit") {
+      val qn = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val cn = n.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      cn.join(broadcast(qn.filter(col("q_id") < queryLimit)), col("q_id") =!= col("c_id"))
+        .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("q_id", "c_id")
+    }
+    // cache the projected vectors: the 2048-term projection expression
+    // would otherwise be re-planned and re-evaluated on BOTH sides of
+    // the self-join (and its codegen cost dominates the tiny data)
+    val proj = graft.FrameCache.memo(s, s"rp-proj:$d:$projDim") {
+      n.selectExpr("vec_id",
+        s"array(${rpProjTerms(projDim, i => s"element_at(embedding, $i)").mkString(", ")}) AS p")
+        .selectExpr("vec_id", "p", s"sqrt(${sparkDot("p", "p")}) AS pnrm")
+    }
     val qp = proj.filter(col("vec_id") < queryLimit).select(
       col("vec_id").as("q_id"), col("p").as("q_p"), col("pnrm").as("q_pnrm"))
     val cp = proj.select(
