@@ -197,7 +197,10 @@ object Bench {
     // GD rounds, each one map-side-combined aggregate over the cached
     // feature frame (the treeAggregate shape); the timed cost is the
     // feature scan + k tiny agg jobs
-    "q_quality_classifier")
+    "q_quality_classifier",
+    // hilbert layout: same write-cost shape as q_zorder (per-row
+    // integer encode + the envelope fold), tighter envelopes
+    "q_hilbert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,6 +43,34 @@ object Layout {
   private[graft] def q8(x: String, xmax: String): String =
     s"CAST(floor($x * 256.0 / ($xmax + 1)) AS BIGINT)"
 
+  /** One step of the iterative 2-D Hilbert encode (grid n = 256) over
+    * state columns `(x, y, d)` — the Wikipedia xy2d loop body with the
+    * quadrant term `(3·rx) XOR ry` written as a CASE (DuckDB has no `^`
+    * xor operator, and rx/ry are single bits so the table is 4 rows).
+    * All three outputs read the PREVIOUS step's columns (one SELECT =
+    * one simultaneous assignment), so chaining 8 of these unrolls the
+    * loop with no mutable state anywhere. Dialect-neutral text: integer
+    * `&`, CASE, arithmetic only. */
+  private[graft] def hilbertStep(s: Int): Seq[String] = Seq(
+    s"d + ${s * s} * (CASE WHEN (x & $s) > 0 AND (y & $s) > 0 THEN 2 " +
+      s"WHEN (x & $s) > 0 THEN 3 WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d",
+    s"CASE WHEN (y & $s) > 0 THEN x WHEN (x & $s) > 0 THEN 255 - y ELSE y END AS x",
+    s"CASE WHEN (y & $s) > 0 THEN y WHEN (x & $s) > 0 THEN 255 - x ELSE x END AS y")
+
+  private[graft] val hilbertSteps = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+
+  /** Applies the unrolled xy2d chain to a frame with integer columns
+    * `x`, `y` in [0, 256), carrying `keep` through; returns `keep :+ d`
+    * (the Hilbert index in [0, 65536)). 8 chained projections — one
+    * codegen stage, no shuffle. */
+  private[graft] def hilbertD(df: org.apache.spark.sql.DataFrame,
+                              keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    var cur = df.selectExpr(keep ++ Seq("x", "y", "CAST(0 AS BIGINT) AS d"): _*)
+    for (step <- hilbertSteps)
+      cur = cur.selectExpr(keep ++ hilbertStep(step): _*)
+    cur.selectExpr(keep :+ "d": _*)
+  }
+
   /** Small-file compaction — the table-maintenance pass every streaming
     * or micro-batch ingest needs: a sink that commits per trigger leaves
     * thousands of KB-sized files, and at 100 TB the resulting
@@ -103,6 +131,56 @@ object Layout {
               |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
               |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
               |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hilbert-cluster lineitem on the same (l_partkey, l_suppkey) pair
+    // and report the same 32-range envelope statistics as q_zorder —
+    // the two curves are directly comparable from CORRECTNESS output.
+    // Hilbert preserves locality strictly better than Morton (every
+    // curve step is an adjacent grid cell; Morton takes quadrant-sized
+    // jumps), so range envelopes are tighter for the same write cost:
+    // the encode is still a pure per-row integer expression (8 chained
+    // SELECTs = the unrolled xy2d loop, all inside whole-stage codegen,
+    // no UDF), and clustering a 100 TB table is the identical
+    // repartitionByRange(hval) + sortWithinPartitions write-time sort.
+    // LayoutSpec quantifies the claim: summed envelope area vs Morton.
+    QueryDef(
+      "q_hilbert",
+      (s, d) => {
+        val dims = Tables.lineitem(s, d)
+          .agg(max(col("l_partkey")).as("pmax"), max(col("l_suppkey")).as("smax"))
+        val quantized = Tables.lineitem(s, d)
+          .crossJoin(broadcast(dims))
+          .selectExpr("l_partkey", "l_suppkey",
+            s"${q8("l_partkey", "pmax")} AS x",
+            s"${q8("l_suppkey", "smax")} AS y")
+        hilbertD(quantized, Seq("l_partkey", "l_suppkey"))
+          .selectExpr("CAST(d / 2048 AS BIGINT) AS h_bucket",
+            "l_partkey", "l_suppkey")
+          .groupBy("h_bucket")
+          .agg(count(lit(1)).as("n"),
+            min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+            min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+          .orderBy("h_bucket")
+      },
+      Some {
+        val chain = hilbertSteps.zipWithIndex.map { case (step, i) =>
+          s"h${i + 1} AS (SELECT l_partkey, l_suppkey,\n  " +
+            hilbertStep(step).mkString(",\n  ") + s"\n  FROM h$i)"
+        }.mkString(",\n")
+        s"""WITH dims AS (
+           |  SELECT MAX(l_partkey) AS pmax, MAX(l_suppkey) AS smax FROM lineitem),
+           |h0 AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    ${q8("l_partkey", "pmax")} AS x,
+           |    ${q8("l_suppkey", "smax")} AS y,
+           |    CAST(0 AS BIGINT) AS d
+           |  FROM lineitem CROSS JOIN dims),
+           |$chain
+           |SELECT CAST(d // 2048 AS BIGINT) AS h_bucket, COUNT(*) AS n,
+           |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+           |FROM h${hilbertSteps.size} GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // Deterministic output sharding: every document lands in shard
     // md5(doc_id) % 16 — a pure row function, so the assignment is

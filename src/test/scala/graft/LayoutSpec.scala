@@ -70,6 +70,46 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert encode is a bijection whose consecutive positions are grid-adjacent") {
+    // the DEFINING curve property — this is what makes q_hilbert a
+    // Hilbert curve rather than any bijective bit-mix (the DuckDB
+    // oracle shares the expression text, so only a property pin can
+    // catch a shared algorithmic bug): all 65536 cells map to distinct
+    // d, and |Δx| + |Δy| = 1 between every consecutive pair of d.
+    // gx/gy carry the ORIGINAL coordinates through the chain (the
+    // x/y state columns are rotated in place by the encode)
+    val grid = spark.range(65536L).selectExpr(
+      "CAST(id / 256 AS BIGINT) AS gx", "CAST(id % 256 AS BIGINT) AS gy",
+      "CAST(id / 256 AS BIGINT) AS x", "CAST(id % 256 AS BIGINT) AS y")
+    val byD = operators.Layout.hilbertD(grid, Seq("gx", "gy"))
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("gx"), r.getAs[Long]("gy")))
+      .sortBy(_._1)
+    assert(byD.length === 65536)
+    assert(byD.head._1 === 0L && byD.last._1 === 65535L)
+    assert(byD.map(_._1).distinct.length === 65536, "d is not a bijection")
+    byD.sliding(2).foreach {
+      case Array((d1, x1, y1), (_, x2, y2)) =>
+        val manhattan = math.abs(x2 - x1) + math.abs(y2 - y1)
+        assert(manhattan === 1L, s"curve jumps at d=$d1: ($x1,$y1)->($x2,$y2)")
+      case _ =>
+    }
+  }
+
+  test("hilbert range envelopes are no looser than morton's on the same keys") {
+    def num(r: org.apache.spark.sql.Row, i: Int): Double =
+      r.getAs[Number](i).doubleValue
+    def meanArea(q: String): Double = {
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      val areas = rows.map(r => (num(r, 3) - num(r, 2) + 1) * (num(r, 5) - num(r, 4) + 1))
+      areas.sum / areas.length
+    }
+    val (h, z) = (meanArea("q_hilbert"), meanArea("q_zorder"))
+    // locality claim, quantified: strict adjacency buys envelopes at
+    // least as tight as the quadrant-jumping morton curve (small slack:
+    // 32 coarse ranges blur the asymptotic advantage at sf0.001)
+    assert(h <= z * 1.1, s"hilbert mean envelope area $h vs morton $z")
+  }
+
   test("compaction rewrites a fragmented table into size-targeted files, content intact") {
     import java.nio.file.Files
     val frag = Files.createTempDirectory("graft_frag").toString
