@@ -200,7 +200,9 @@ object Bench {
     "q_quality_classifier",
     // hilbert layout: same write-cost shape as q_zorder (per-row
     // integer encode + the envelope fold), tighter envelopes
-    "q_hilbert")
+    "q_hilbert",
+    // count-min matrix build + probes: the fixed-state sketch pass
+    "q_cm_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.DecimalType
 object Aggregates {
   import Parity._
 
+  /** q_cm_sketch probe keys: frequent corpus words, two rarer ones, and
+    * one guaranteed-absent key (exercises the empty-cell/0-estimate
+    * path). Static literals — both engines hash the same strings. */
+  private val cmProbes = Seq("join", "hash", "row", "the", "a", "zzz_absent")
+
   /** Exact interpolated percentiles (quantile_cont semantics) with
     * bounded executor state at ANY input size.
     *
@@ -552,6 +557,78 @@ object Aggregates {
               |        ${sqlDsum("l_quantity * l_extendedprice", 4)} AS sxy
               |      FROM lineitem GROUP BY l_linestatus)
               |ORDER BY l_linestatus""".stripMargin)),
+
+    // Count-min sketch: the mergeable frequency sketch for vocabularies
+    // that don't fit anywhere — a FIXED d×w counter matrix (4×16 here;
+    // w deliberately SMALLER than the 31-word vocabulary so collisions
+    // are guaranteed and the overcount bound is exercised, not
+    // vacuously zero) regardless of corpus size, built in ONE pass
+    // (explode tokens ×d
+    // hash rows → groupBy count; map-side combine collapses every
+    // partition to ≤ d·w cells before the only exchange, so the shuffle
+    // is O(d·w·partitions) bytes no matter how many tokens stream by).
+    // Point queries cost d lookups against the broadcast matrix:
+    // est(key) = min_j cell(j, h_j(key)) — an OVERCOUNT by construction
+    // (collisions only add), which is the published guarantee. All
+    // integer arithmetic end-to-end: the oracle rebuilds the identical
+    // matrix (the md5 row hashes are engine-shared), and the output
+    // carries est, exact, and the overcount so the guarantee est ≥
+    // exact is a checked VALUE, not a comment. A probe key absent from
+    // some row's cell (or from the corpus entirely) estimates 0 via the
+    // 4-cells-matched gate / left-join coalesce.
+    QueryDef(
+      "q_cm_sketch",
+      (s, d) => {
+        import graft.functions.TextAnalysis.tokHash
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+        val cells = toks
+          .selectExpr("explode(array(0, 1, 2, 3)) AS j", "w")
+          .selectExpr("j",
+            s"${tokHash("concat('cm', CAST(j AS STRING), ':', w)")} % 16 AS bucket")
+          .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+        val probes = cmProbes.toDF("word")
+        val est = broadcast(probes).crossJoin(cells)
+          .filter(expr(
+            s"bucket = ${tokHash("concat('cm', CAST(j AS STRING), ':', word)")} % 16"))
+          .groupBy("word")
+          .agg(when(count(lit(1)) === 4, min(col("cnt"))).otherwise(0L).as("est"))
+        val exact = toks.groupBy("w").agg(count(lit(1)).as("exact"))
+          .withColumnRenamed("w", "word")
+        probes
+          .join(est, Seq("word"), "left")
+          .join(exact, Seq("word"), "left")
+          .selectExpr("word",
+            "COALESCE(est, 0) AS est",
+            "COALESCE(exact, 0) AS exact",
+            "COALESCE(est, 0) - COALESCE(exact, 0) AS overcount")
+          .orderBy("word")
+      },
+      Some {
+        import graft.functions.TextAnalysis.duckTokHash
+        val probeList = cmProbes.map(w => s"'$w'").mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+           |cells AS (
+           |  SELECT j,
+           |    ${duckTokHash("concat('cm', CAST(j AS VARCHAR), ':', w)")} % 16 AS bucket,
+           |    COUNT(*) AS cnt
+           |  FROM toks CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j)
+           |  GROUP BY 1, 2),
+           |probes AS (SELECT UNNEST([$probeList]) AS word),
+           |est AS (
+           |  SELECT word,
+           |    CASE WHEN COUNT(*) = 4 THEN MIN(cnt) ELSE 0 END AS est
+           |  FROM probes p JOIN cells c
+           |    ON c.bucket = ${duckTokHash("concat('cm', CAST(c.j AS VARCHAR), ':', p.word)")} % 16
+           |  GROUP BY word),
+           |exact AS (SELECT w AS word, COUNT(*) AS exact FROM toks GROUP BY 1)
+           |SELECT p.word AS word, COALESCE(est, 0) AS est, COALESCE(exact, 0) AS exact,
+           |  COALESCE(est, 0) - COALESCE(exact, 0) AS overcount
+           |FROM probes p LEFT JOIN est USING (word) LEFT JOIN exact USING (word)
+           |ORDER BY word""".stripMargin
+      }),
 
     // SpaceSaving sketch driven through its SQL surface, in the exact
     // regime: capacity (32) exceeds the vocabulary (31 words), where the

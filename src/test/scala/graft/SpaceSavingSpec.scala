@@ -48,4 +48,23 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(out.head._1 === "hot")
     assert(out.head._2 >= 6L)
   }
+
+  test("count-min estimates never undercount; collisions genuinely overcount at w=16") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("q_cm_sketch")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the one-sided CM guarantee, checked per probe
+    rows.foreach { case (w, est, exact, over) =>
+      assert(est >= exact, s"$w undercounts: est=$est exact=$exact")
+      assert(over === est - exact)
+    }
+    // the absent key exists (exercises the 0-exact path)...
+    val absent = rows.find(_._1 == "zzz_absent").get
+    assert(absent._3 === 0L)
+    // ...and with w=16 < the 31-word vocabulary, at least one probe
+    // must land in an occupied cell in all 4 rows (the honest regime —
+    // otherwise the published guarantee is vacuous equality)
+    assert(rows.exists(_._4 > 0L), s"no overcount anywhere: $rows")
+  }
 }
