@@ -414,6 +414,70 @@ object Dedup {
       Some(s"""WITH $duckVerifiedPairsCtes
               |SELECT a, b, jaccard FROM verified ORDER BY a, b""".stripMargin)),
 
+    // Split-leakage audit: how many verified near-dup pairs CROSS the
+    // train/test boundary — the eval-contamination number a holdout
+    // split must drive to zero (a test doc with a near-duplicate in
+    // train is a leaked answer). Audited under TWO deterministic
+    // policies: the per-document hash split (q_split_holdout's rule)
+    // and a source-grouped hash split (all docs of a source share a
+    // split — the standard leak-proofing move when duplication is
+    // group-correlated, e.g. crawls of one domain). On THIS corpus the
+    // pair relation is measurably cross-source (1/25 same-source at
+    // sf0.01), so grouping does NOT reduce crossings — which is
+    // exactly what the audit is for: it tells you whether your
+    // grouping key captures the duplication structure before you bet
+    // the eval on it; pair-based decontamination (q_decontaminate)
+    // remains necessary when it doesn't. Rides the memoized pair
+    // relation (sixth consumer) + one broadcast-joined split label per
+    // side; counts are pure integers.
+    QueryDef(
+      "q_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d).selectExpr("doc_id",
+          s"CASE WHEN ${tokHash("CAST(doc_id AS STRING)")} % 100 >= 90 THEN 1 ELSE 0 END AS t_doc",
+          s"CASE WHEN ${tokHash("source")} % 100 >= 90 THEN 1 ELSE 0 END AS t_src")
+        val joined = minhashPairs(s, d).select("a", "b")
+          .join(docs.selectExpr("doc_id AS a", "t_doc AS ta_doc", "t_src AS ta_src"), "a")
+          .join(docs.selectExpr("doc_id AS b", "t_doc AS tb_doc", "t_src AS tb_src"), "b")
+        joined.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(expr("CASE WHEN ta_doc + tb_doc = 1 THEN 1 ELSE 0 END")).as("c_doc"),
+          sum(expr("CASE WHEN ta_doc = 0 AND tb_doc = 0 THEN 1 ELSE 0 END")).as("tr_doc"),
+          sum(expr("CASE WHEN ta_doc = 1 AND tb_doc = 1 THEN 1 ELSE 0 END")).as("te_doc"),
+          sum(expr("CASE WHEN ta_src + tb_src = 1 THEN 1 ELSE 0 END")).as("c_src"),
+          sum(expr("CASE WHEN ta_src = 0 AND tb_src = 0 THEN 1 ELSE 0 END")).as("tr_src"),
+          sum(expr("CASE WHEN ta_src = 1 AND tb_src = 1 THEN 1 ELSE 0 END")).as("te_src"))
+          .selectExpr("""stack(2,
+            'doc_hash', n_pairs, c_doc, tr_doc, te_doc,
+            'source_hash', n_pairs, c_src, tr_src, te_src)
+            AS (policy, n_pairs, n_cross, n_train_internal, n_test_internal)""")
+          .orderBy("policy")
+      },
+      Some(s"""WITH $duckVerifiedPairsCtes,
+              |lbl AS (SELECT doc_id,
+              |    CASE WHEN ${duckTokHash("CAST(doc_id AS VARCHAR)")} % 100 >= 90 THEN 1 ELSE 0 END AS t_doc,
+              |    CASE WHEN ${duckTokHash("source")} % 100 >= 90 THEN 1 ELSE 0 END AS t_src
+              |  FROM documents),
+              |j AS (SELECT xa.t_doc AS ta_doc, xb.t_doc AS tb_doc,
+              |             xa.t_src AS ta_src, xb.t_src AS tb_src
+              |      FROM verified JOIN lbl xa ON xa.doc_id = verified.a
+              |                    JOIN lbl xb ON xb.doc_id = verified.b),
+              |agg AS (SELECT COUNT(*) AS n_pairs,
+              |    CAST(SUM(CASE WHEN ta_doc + tb_doc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_doc,
+              |    CAST(SUM(CASE WHEN ta_doc = 0 AND tb_doc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tr_doc,
+              |    CAST(SUM(CASE WHEN ta_doc = 1 AND tb_doc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS te_doc,
+              |    CAST(SUM(CASE WHEN ta_src + tb_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_src,
+              |    CAST(SUM(CASE WHEN ta_src = 0 AND tb_src = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tr_src,
+              |    CAST(SUM(CASE WHEN ta_src = 1 AND tb_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS te_src
+              |  FROM j)
+              |SELECT policy, n_pairs, n_cross, n_train_internal, n_test_internal FROM (
+              |  SELECT 'doc_hash' AS policy, n_pairs,
+              |         c_doc AS n_cross, tr_doc AS n_train_internal, te_doc AS n_test_internal
+              |  FROM agg
+              |  UNION ALL
+              |  SELECT 'source_hash', n_pairs, c_src, tr_src, te_src FROM agg)
+              |ORDER BY policy""".stripMargin)),
+
     // SimHash near-dup: banded equi-join in Spark, brute force in the
     // oracle — same result set. Classic 32-bit/8-bit-band setting; its
     // N²/2⁹ band-collision term saturates near N ≈ 10⁵ (19.4 s at sf3),

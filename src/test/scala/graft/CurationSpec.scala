@@ -128,4 +128,26 @@ class CurationSpec extends AnyFunSuite {
     assert(sizes.length === 16)
     assert(sizes.min > 0L)
   }
+
+  test("split-leakage audit partitions the pair relation and matches an independent recount") {
+    val rows = SparkEntry.queries("q_split_leakage")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("doc_hash", "source_hash"))
+    // every pair is exactly one of: crossing, train-internal, test-internal
+    rows.foreach { case (p, (n, cross, tr, te)) =>
+      assert(cross + tr + te === n, s"$p: $cross + $tr + $te != $n")
+    }
+    // n_pairs IS the near-dup relation's size (same memoized frame)
+    val nPairs = operators.Dedup.minhashPairs(spark, sf).count()
+    assert(rows("doc_hash")._1 === nPairs)
+    // independent recount of the doc_hash crossings from the raw pieces
+    val test = Tables.documents(spark, sf)
+      .selectExpr("doc_id",
+        s"${graft.functions.TextAnalysis.tokHash("CAST(doc_id AS STRING)")} % 100 >= 90 AS t")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cross = operators.Dedup.minhashPairs(spark, sf).select("a", "b").collect()
+      .count(r => test(r.getLong(0)) != test(r.getLong(1)))
+    assert(rows("doc_hash")._2 === cross.toLong)
+  }
 }
