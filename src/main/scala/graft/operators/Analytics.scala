@@ -91,6 +91,42 @@ object Analytics {
               |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
               |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
 
+    // Q17: small-quantity-order revenue — the CORRELATED-subquery
+    // shape (per-part threshold 0.2·avg(l_quantity)), decorrelated the
+    // way Catalyst/every MPP engine does it: the inner aggregate
+    // becomes a grouped frame joined back on the correlation key. Plan
+    // discipline at 100 TB: the brand filter prunes part FIRST and the
+    // surviving keys broadcast into both fact passes (threshold agg +
+    // probe), so the FACT ROWS NEVER SHUFFLE — the only exchange
+    // anywhere is the map-side-combined per-part avg (~parts-per-brand
+    // rows), which broadcasts back as the threshold. Two pruned scans
+    // beat one windowed pass here: a window over l_partkey would push
+    // every branded fact row through a shuffle to attach its
+    // threshold. No per-row subquery re-execution anywhere.
+    // Decimal-exact avg (Parity) keeps the threshold bit-equal to
+    // DuckDB's correlated evaluation.
+    QueryDef(
+      "q_tpch_q17",
+      (s, d) => {
+        val branded = Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#12").select("p_partkey")
+        val li = Tables.lineitem(s, d)
+          .join(broadcast(branded), col("l_partkey") === col("p_partkey"))
+        val thr = li.groupBy("l_partkey")
+          .agg((lit(0.2) * davg(col("l_quantity"), 2)).as("q_thr"))
+          .withColumnRenamed("l_partkey", "t_partkey")
+        li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("q_thr"))
+          .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
+      },
+      Some(s"""SELECT ${sqlDsum("l_extendedprice", 2)} / 7.0 AS avg_yearly
+              |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              |WHERE p.p_brand = 'Brand#12'
+              |  AND l.l_quantity < (
+              |    SELECT 0.2 * ${sqlDavg("l2.l_quantity", 2)}
+              |    FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+              |    WHERE l2.l_partkey = p.p_partkey AND p2.p_brand = 'Brand#12')""".stripMargin)),
+
     // -- behavioral / growth analytics over the event log ----------------
     // The query family every event pipeline runs at scale; all three
     // reduce the raw log with a per-user aggregate FIRST (one keyed
