@@ -249,6 +249,93 @@ object Sampling {
               |WHERE ${duckTokHash("CAST(doc_id AS VARCHAR)")} < CAST(floor(LEAST(1.0,
               |  ((CAST(t_target AS DOUBLE) * CAST(sw AS DOUBLE)) / CAST(sumw AS DOUBLE))
               |  / CAST(n_before AS DOUBLE)) * 4294967296.0) AS BIGINT)
-              |GROUP BY lang, n_before ORDER BY lang""".stripMargin))
+              |GROUP BY lang, n_before ORDER BY lang""".stripMargin)),
+
+    // Neyman-optimal stratified allocation: split a fixed sample budget
+    // (k = 200) across strata ∝ N_h·σ_h — the variance-minimizing
+    // allocation for estimating a population mean, and the pass a
+    // data-profiling sampler runs instead of proportional allocation
+    // when strata variances differ (high-variance strata need more
+    // rows). Three combinable passes at 100 TB: (1) per-stratum
+    // count/Σ/Σ² (one map-side-combined agg — σ_h comes from the
+    // closed form, the q_agg_stddev discipline), (2) the allocation
+    // arithmetic on the STRATA frame (rows = #strata, bounded; the
+    // only unpartitioned window ever runs over it), (3) the actual
+    // draw: hash-ordered row_number per stratum against the joined
+    // allocation — WindowGroupLimit-shaped, O(k) rows survive.
+    // Integer-exact everywhere it matters: N_h·σ_h is µ-quantized to
+    // BIGINT before the Σ weights, the floor allocation and its
+    // largest-remainder top-up are pure integer arithmetic (remainder
+    // ties broken by stratum name), so Σ n_alloc = k EXACTLY and both
+    // engines agree bit-for-bit; the sample membership is pinned by a
+    // key checksum, not just counts.
+    QueryDef(
+      "q_sample_neyman",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 200
+        val stats = Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+              .cast("double").as("sx"),
+            sum((col("l_quantity") * col("l_quantity"))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+              .cast("double").as("sxx"))
+          .selectExpr("l_returnflag", "n_rows",
+            "CAST(round(sqrt((n_rows * sxx - sx * sx) / (n_rows * (n_rows - 1.0))) * 1e6) AS BIGINT) AS sigma_q")
+          .withColumn("wq", expr("n_rows * sigma_q"))
+        val tot = stats.agg(sum(col("wq")).as("sumw"))
+        val wRem = Window.orderBy(col("rem").desc, col("l_returnflag"))
+        val alloc = stats.crossJoin(broadcast(tot))
+          .selectExpr("l_returnflag", "n_rows", "sigma_q",
+            s"$k * wq DIV sumw AS base", s"$k * wq % sumw AS rem")
+          .withColumn("leftover",
+            lit(k) - sum(col("base")).over(
+              Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("rk", row_number().over(wRem))
+          .selectExpr("l_returnflag", "n_rows", "sigma_q",
+            "base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS n_alloc")
+        val wDraw = Window.partitionBy("l_returnflag")
+          .orderBy(expr(tokHash(rowKey)).asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        Tables.lineitem(s, d)
+          .withColumn("rn", row_number().over(wDraw))
+          .join(broadcast(alloc), "l_returnflag")
+          .filter(col("rn") <= col("n_alloc"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_drawn"),
+            sum(col("l_orderkey") * 7 + col("l_linenumber")).cast("bigint").as("key_checksum"))
+          .join(alloc, "l_returnflag")
+          .select("l_returnflag", "n_rows", "sigma_q", "n_alloc", "n_drawn", "key_checksum")
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT l_returnflag, COUNT(*) AS n_rows,
+              |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+              |  FROM lineitem GROUP BY l_returnflag),
+              |sq AS (SELECT l_returnflag, n_rows,
+              |    CAST(round(sqrt((n_rows * sxx - sx * sx) / (n_rows * (n_rows - 1.0))) * 1e6) AS BIGINT) AS sigma_q
+              |  FROM stats),
+              |wq AS (SELECT *, n_rows * sigma_q AS wq FROM sq),
+              |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS sumw FROM wq),
+              |alloc0 AS (SELECT l_returnflag, n_rows, sigma_q,
+              |    200 * wq // sumw AS base, 200 * wq % sumw AS rem
+              |  FROM wq CROSS JOIN tot),
+              |alloc AS (SELECT l_returnflag, n_rows, sigma_q,
+              |    base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, l_returnflag)
+              |      <= 200 - (SELECT CAST(SUM(base) AS BIGINT) FROM alloc0) THEN 1 ELSE 0 END) AS n_alloc
+              |  FROM alloc0),
+              |drawn AS (
+              |  SELECT l_returnflag, COUNT(*) AS n_drawn,
+              |    CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_checksum
+              |  FROM (SELECT l.l_returnflag, l_orderkey, l_linenumber,
+              |          ROW_NUMBER() OVER (PARTITION BY l.l_returnflag
+              |            ORDER BY ${duckTokHash(rowKey)}, l_orderkey, l_linenumber) AS rn,
+              |          a.n_alloc
+              |        FROM lineitem l JOIN alloc a ON a.l_returnflag = l.l_returnflag)
+              |  WHERE rn <= n_alloc GROUP BY l_returnflag)
+              |SELECT l_returnflag, n_rows, sigma_q, n_alloc, n_drawn, key_checksum
+              |FROM alloc JOIN drawn USING (l_returnflag)
+              |ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -150,4 +150,22 @@ class CurationSpec extends AnyFunSuite {
       .count(r => test(r.getLong(0)) != test(r.getLong(1)))
     assert(rows("doc_hash")._2 === cross.toLong)
   }
+
+  test("neyman allocation spends the budget exactly and fills every stratum's draw") {
+    val rows = SparkEntry.queries("q_sample_neyman")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the largest-remainder top-up makes the integer allocations sum to
+    // the budget EXACTLY — floor alone would underspend
+    assert(rows.map(_._4).sum === 200L, rows.mkString(","))
+    // every stratum draw is filled to its allocation (n ≥ alloc here)
+    rows.foreach { case (st, n, sigma, alloc, drawn) =>
+      assert(drawn === alloc, s"$st drew $drawn of $alloc")
+      assert(alloc <= n)
+      assert(sigma > 0L)
+    }
+    // deterministic: a re-run reproduces the identical membership
+    val a = SparkEntry.queries("q_sample_neyman")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_sample_neyman")(spark, sf).collect().toSeq
+    assert(a === b)
+  }
 }
