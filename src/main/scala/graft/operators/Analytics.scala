@@ -265,6 +265,35 @@ object Analytics {
               |  CAST(SUM(date_diff('second', s_ts, p_ts)) AS BIGINT) AS total_latency_s,
               |  ${sqlDsum("value")} AS sum_value
               |FROM p LEFT JOIN last USING (purchase_id)
-              |GROUP BY CAST(p_ts AS DATE) ORDER BY day""".stripMargin))
+              |GROUP BY CAST(p_ts AS DATE) ORDER BY day""".stripMargin)),
+
+    // Market-basket co-occurrence: the top-20 part pairs bought in the
+    // same order — the support-counting core of frequent-itemset
+    // mining. The self-join keys on l_orderkey, so BOTH sides shuffle
+    // on the same key (one exchange, reused) and the quadratic term is
+    // per-BASKET, not per-table: an order with B distinct parts emits
+    // B(B-1)/2 pairs (~6 here; a production run caps pathological
+    // baskets first, the q_dedup_substring frequency-cap move). The
+    // pair counts aggregate map-side; TakeOrdered keeps 20.
+    QueryDef(
+      "q_basket_pairs",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val x = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val y = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
+        x.join(y, col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+          .groupBy("pa", "pb")
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS support
+             |FROM items x JOIN items y
+             |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+             |GROUP BY 1, 2
+             |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin))
   )
 }

@@ -162,6 +162,54 @@ object Cdc {
              |  FROM sess GROUP BY user_id, session_idx)
              |SELECT session_len, COUNT(*) AS n_sessions,
              |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
-             |FROM per GROUP BY session_len ORDER BY session_len""".stripMargin))
+             |FROM per GROUP BY session_len ORDER BY session_len""".stripMargin)),
+
+    // Snapshot diff: classify every key across two table versions as
+    // added / removed / changed / unchanged — the table-history audit
+    // every lakehouse maintenance job runs (and the input to an
+    // incremental downstream refresh: 'changed ∪ added' is the delta to
+    // reprocess). Versions derive deterministically from the documents
+    // table (base drops doc_id%10=7; next drops %10=4 and rewrites the
+    // text of %10=3), so all four classes are non-empty and the oracle
+    // rebuilds them exactly. The diff itself is ONE full-outer hash
+    // join on the key with digest comparison — both sides shuffle once
+    // on doc_id; at 100 TB the digests are precomputed manifest
+    // columns, so the join moves (key, 32B) pairs, never documents.
+    QueryDef(
+      "q_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), sha2(col("text"), 256).as("dg_base"))
+        val next = docs.filter(col("doc_id") % 10 =!= 4)
+          .selectExpr("doc_id",
+            "CASE WHEN doc_id % 10 = 3 THEN sha2(concat(text, '!'), 256) " +
+              "ELSE sha2(text, 256) END AS dg_next")
+        base.join(next, Seq("doc_id"), "full_outer")
+          .selectExpr("doc_id",
+            """CASE WHEN dg_base IS NULL THEN 'added'
+              |     WHEN dg_next IS NULL THEN 'removed'
+              |     WHEN dg_base <> dg_next THEN 'changed'
+              |     ELSE 'unchanged' END AS status""".stripMargin)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .orderBy("status")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, sha256(text) AS dg_base FROM documents WHERE doc_id % 10 <> 7),
+             |next AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 3 THEN sha256(text || '!') ELSE sha256(text) END AS dg_next
+             |  FROM documents WHERE doc_id % 10 <> 4)
+             |SELECT status, COUNT(*) AS n, CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+             |FROM (
+             |  SELECT COALESCE(base.doc_id, next.doc_id) AS doc_id,
+             |    CASE WHEN dg_base IS NULL THEN 'added'
+             |         WHEN dg_next IS NULL THEN 'removed'
+             |         WHEN dg_base <> dg_next THEN 'changed'
+             |         ELSE 'unchanged' END AS status
+             |  FROM base FULL OUTER JOIN next ON base.doc_id = next.doc_id)
+             |GROUP BY status ORDER BY status""".stripMargin))
   )
 }
