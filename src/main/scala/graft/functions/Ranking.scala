@@ -37,6 +37,54 @@ object Ranking {
       .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
+  /** The BM25-scored frame (doc_id, dl, score) for the fixed probe —
+    * q_bm25 orders and cuts it; the RRF fusion re-ranks it. */
+  private[graft] def bm25Scored(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val terms = bm25Terms
+    val tf = termFreq(s, d)
+    val df = tf.filter(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = Tables.documents(s, d)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS dl")
+    val stats = dl.agg(sum(col("dl")).cast("bigint").as("total_toks"),
+      count(lit(1)).as("n_docs"))
+    tf.filter(col("tok").isin(terms: _*))
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro", expr(
+        "CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1e6, 0) AS BIGINT)"))
+      .withColumn("part_micro", expr(
+        "CAST(round((idf_micro / 1e6) * tf * 2.2 / " +
+          "(tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_toks AS DOUBLE) / n_docs))) * 1e6, 0) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"),
+        round(sum(col("part_micro")) / 1e6, 6).as("score"))
+  }
+
+  /** Shared DuckDB CTE chain ending in `bm(doc_id, dl, score)` — the
+    * oracle twin of [[bm25Scored]]. */
+  private def duckBm25Ctes: String =
+    s"""tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf
+       |       WHERE tok IN ($termsSql) GROUP BY tok),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_toks, COUNT(*) AS n_docs FROM dl),
+       |parts AS (
+       |  SELECT tf.doc_id, dl.dl,
+       |    CAST(round((CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT) / 1e6)
+       |      * tf * 2.2
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_toks AS DOUBLE) / n_docs))) * 1e6) AS BIGINT) AS part_micro
+       |  FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  WHERE tok IN ($termsSql)),
+       |bm AS (SELECT doc_id, MAX(dl) AS dl, round(SUM(part_micro) / 1e6, 6) AS score
+       |       FROM parts GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-document top-3 TF-IDF terms. Rank by (tf DESC, tok) — integer
@@ -85,49 +133,87 @@ object Ranking {
     // by score is total with the doc_id tie-break.
     QueryDef(
       "q_bm25",
-      (s, d) => {
-        val terms = bm25Terms
-        val tf = termFreq(s, d)
-        val df = tf.filter(col("tok").isin(terms: _*))
-          .groupBy("tok").agg(count(lit(1)).as("df"))
-        val dl = Tables.documents(s, d)
-          .selectExpr("doc_id", "size(split(text, ' ')) AS dl")
-        val stats = dl.agg(sum(col("dl")).cast("bigint").as("total_toks"),
-          count(lit(1)).as("n_docs"))
-        tf.filter(col("tok").isin(terms: _*))
-          .join(broadcast(df), "tok")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("idf_micro", expr(
-            "CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1e6, 0) AS BIGINT)"))
-          .withColumn("part_micro", expr(
-            "CAST(round((idf_micro / 1e6) * tf * 2.2 / " +
-              "(tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_toks AS DOUBLE) / n_docs))) * 1e6, 0) AS BIGINT)"))
-          .groupBy("doc_id")
-          .agg(max(col("dl")).as("dl"),
-            round(sum(col("part_micro")) / 1e6, 6).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some(s"""WITH tf AS (
-              |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
-              |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
-              |  GROUP BY doc_id, tok),
-              |df AS (SELECT tok, COUNT(*) AS df FROM tf
-              |       WHERE tok IN ($termsSql) GROUP BY tok),
-              |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-              |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_toks, COUNT(*) AS n_docs FROM dl),
-              |parts AS (
-              |  SELECT tf.doc_id, dl.dl,
-              |    CAST(round((CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT) / 1e6)
-              |      * tf * 2.2
-              |      / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_toks AS DOUBLE) / n_docs))) * 1e6) AS BIGINT) AS part_micro
-              |  FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
-              |  CROSS JOIN stats
-              |  WHERE tok IN ($termsSql))
-              |SELECT doc_id, MAX(dl) AS dl, round(SUM(part_micro) / 1e6, 6) AS score
-              |FROM parts GROUP BY doc_id
+      (s, d) => bm25Scored(s, d)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH $duckBm25Ctes
+              |SELECT doc_id, dl, score FROM bm
               |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Reciprocal-rank fusion — the hybrid-retrieval combiner (lexical
+    // BM25 list ⊕ semantic embedding-cosine list, the standard RAG
+    // serving shape): fused(d) = Σ_lists 1/(60 + rank_d), which
+    // rewards agreement between retrievers without ever comparing
+    // their incommensurable scores. Plan discipline: each list is cut
+    // to its top-40 by TakeOrderedAndProject FIRST (distributed), the
+    // re-rank window then covers ≤ 40 rows, and the fusion is a
+    // full-outer join of two 40-row frames — nothing global ever
+    // touches more than k rows. 40-deep lists make the retrievers
+    // OVERLAP on this corpus (the synthetic embeddings are
+    // uncorrelated with the text, so 20-deep lists were disjoint and
+    // the both-retrievers-agree term never fired — the fused head
+    // must exercise it, it is RRF's whole point). The reciprocal terms are µ-quantized
+    // integers (exact rationals — no float sum ordering), so the
+    // fused ordering is total and engine-identical. vec_id indexes
+    // doc_id (the testdata convention); the semantic probe is vec 0's
+    // embedding, the lexical probe the fixed BM25 query.
+    QueryDef(
+      "q_rrf_fusion",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wScore = Window.orderBy(col("score").desc, col("doc_id"))
+        val lex = bm25Scored(s, d)
+          .orderBy(col("score").desc, col("doc_id")).limit(40)
+          .withColumn("lex_rank", row_number().over(wScore))
+          .select("doc_id", "lex_rank")
+        val e = Tables.embeddings(s, d)
+        graft.functions.GraftFunctions.ensureDot(s)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        val dot = graft.operators.Similarity.sparkDot _
+        val wCos = Window.orderBy(col("cos").desc, col("doc_id"))
+        val sem = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .selectExpr("vec_id AS doc_id",
+            s"${dot("embedding", "q_emb")} / (sqrt(${dot("embedding", "embedding")}) " +
+              s"* sqrt(${dot("q_emb", "q_emb")})) AS cos")
+          .orderBy(col("cos").desc, col("doc_id")).limit(40)
+          .withColumn("sem_rank", row_number().over(wCos))
+          .select("doc_id", "sem_rank")
+        val wFused = Window.orderBy(col("rrf_micro").desc, col("doc_id"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .selectExpr("doc_id", "lex_rank", "sem_rank",
+            "COALESCE(CAST(round(1000000.0 / (60 + lex_rank)) AS BIGINT), 0) + " +
+              "COALESCE(CAST(round(1000000.0 / (60 + sem_rank)) AS BIGINT), 0) AS rrf_micro")
+          .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+          .withColumn("fused_rank", row_number().over(wFused))
+          .select("fused_rank", "doc_id", "rrf_micro", "lex_rank", "sem_rank")
+          .orderBy("fused_rank")
+      },
+      Some {
+        import graft.operators.Similarity.duckDot
+        s"""WITH $duckBm25Ctes,
+           |lex AS (SELECT doc_id, lex_rank FROM (
+           |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+           |  FROM bm) WHERE lex_rank <= 40),
+           |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+           |sem0 AS (
+           |  SELECT vec_id AS doc_id,
+           |    ${duckDot("embedding", "q_emb")} / (sqrt(${duckDot("embedding", "embedding")})
+           |      * sqrt(${duckDot("q_emb", "q_emb")})) AS cos
+           |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+           |sem AS (SELECT doc_id, sem_rank FROM (
+           |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+           |  FROM sem0) WHERE sem_rank <= 40),
+           |fused AS (
+           |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+           |    COALESCE(CAST(round(1000000.0 / (60 + lex_rank)) AS BIGINT), 0) +
+           |    COALESCE(CAST(round(1000000.0 / (60 + sem_rank)) AS BIGINT), 0) AS rrf_micro
+           |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+           |SELECT ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS fused_rank,
+           |  doc_id, rrf_micro, lex_rank, sem_rank
+           |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+      }),
 
     // PMI co-occurrence head: top-30 unordered token pairs by document
     // co-occurrence count (integer rank), with the pointwise mutual
