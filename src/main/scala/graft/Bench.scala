@@ -203,7 +203,9 @@ object Bench {
     // integer encode + the envelope fold), tighter envelopes
     "q_hilbert",
     // count-min matrix build + probes: the fixed-state sketch pass
-    "q_cm_sketch")
+    "q_cm_sketch",
+    // the custom-planned broadcast range join (log m probe vs BNLJ)
+    "q_join_range_bcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

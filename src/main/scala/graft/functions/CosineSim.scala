@@ -120,6 +120,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
       (children: Seq[Expression]) => NearestCell(children.head, children(1))))
+    // whole-operator extension: the broadcast range join's planner
+    // strategy (custom LogicalPlan → custom SparkPlan; graft.plans)
+    ext.injectPlannerStrategy(_ => graft.plans.BroadcastRangeJoinStrategy)
   }
 }
 

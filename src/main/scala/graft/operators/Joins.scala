@@ -138,6 +138,33 @@ object Joins {
               |  AND l_shipdate >= o_orderdate
               |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY""".stripMargin)),
 
+    // Pure range join through the CUSTOM PLANNED OPERATOR
+    // ([[graft.plans.BroadcastRangeJoin]] — logical node → strategy →
+    // exec, the engine-extension rung of the preference ladder):
+    // lineitem shipdates probed against ~24 month-start blackout
+    // windows. Stock Spark plans this no-equi-key join as
+    // BroadcastNestedLoopJoin (every probe row × every window); the
+    // custom exec binary-searches a lo-sorted broadcast index —
+    // O(log m + k) per probe row, probe never moves. RangeJoinSpec
+    // pins the plan node, BNLJ-equality, and edge semantics; the
+    // DuckDB oracle runs the declarative range join.
+    QueryDef(
+      "q_join_range_bcast",
+      (s, d) => {
+        val win = Tables.orders(s, d)
+          .selectExpr("date_trunc('month', o_orderdate) AS lo").distinct()
+          .selectExpr("lo", "lo + INTERVAL 3 DAYS AS hi")
+        val probe = Tables.lineitem(s, d).select("l_shipdate", "l_extendedprice")
+        graft.plans.RangeJoins
+          .broadcastRangeJoin(probe, win, "l_shipdate", "lo", "hi")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_price"))
+      },
+      Some(s"""WITH win AS (
+              |  SELECT DISTINCT date_trunc('month', o_orderdate) AS lo FROM orders),
+              |w2 AS (SELECT lo, lo + INTERVAL 3 DAY AS hi FROM win)
+              |SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice", 2)} AS sum_price
+              |FROM lineitem JOIN w2 ON l_shipdate >= lo AND l_shipdate <= hi""".stripMargin)),
+
     // Pure theta (non-equi) join on a small dimension — BroadcastNestedLoop
     // territory; kept dimension-sized on purpose (a 100 TB BNLJ is a bug,
     // not an operator).

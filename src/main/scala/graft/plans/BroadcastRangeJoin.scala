@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator extension (the SURVEY §2 preference ladder's last
+  * resort before mapPartitions): a broadcast RANGE join planned through
+  * a custom logical node + [[SparkStrategy]] + [[SparkPlan]], registered
+  * by [[graft.functions.GraftExtensions]].
+  *
+  * Why it exists: Spark plans a pure `point BETWEEN lo AND hi` join
+  * with no equi-key as BroadcastNestedLoopJoin — O(|probe|·|build|)
+  * comparisons. When the build side is an interval table that fits in a
+  * broadcast, sorting it by `lo` once lets every probe row find its
+  * matches in O(log m + k): binary-search the last interval starting
+  * at-or-before the point, then walk left no further than the widest
+  * interval reaches (any interval with `lo < point - maxWidth` has
+  * `hi ≤ lo + maxWidth < point`). The probe side is NEVER moved: no
+  * shuffle, no nested loop — a per-partition stream against an indexed
+  * broadcast, the same cost shape as a broadcast hash join.
+  *
+  * Scope (enforced, not assumed): INNER join, point/lo/hi of integral,
+  * date, or timestamp type (all carried as Int/Long internally). The
+  * declarative interval-bin alternative (q_join_interval) remains the
+  * pure-DataFrame formulation; this node is the engine-extension
+  * formulation of the same semantics, and the oracle + RangeJoinSpec
+  * pin them equal.
+  */
+case class BroadcastRangeJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    point: Expression,
+    lo: Expression,
+    hi: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BroadcastRangeJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[BroadcastRangeJoin]] to its exec; every other node falls
+  * through to the built-in strategies. */
+object BroadcastRangeJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BroadcastRangeJoin(l, r, point, lo, hi) =>
+      BroadcastRangeJoinExec(point, lo, hi, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class BroadcastRangeJoinExec(
+    point: Expression,
+    lo: Expression,
+    hi: Expression,
+    left: SparkPlan,
+    right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Date is Int days, Timestamp is Long micros, integrals widen — one
+    * comparable axis for the whole supported type scope. */
+  private def toLong(v: Any): Long = v match {
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long    => l.longValue
+    case s: java.lang.Short   => s.longValue
+    case b: java.lang.Byte    => b.longValue
+    case other => throw new IllegalArgumentException(
+      s"broadcast range join supports integral/date/timestamp keys, got $other")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Build: collect + sort by lo ON THE DRIVER (the build side is
+    // broadcast-small by contract), ship one sorted index to every
+    // probe partition. maxWidth bounds the leftward walk.
+    val boundLo = BindReferences.bindReference(lo, right.output)
+    val boundHi = BindReferences.bindReference(hi, right.output)
+    val collected = right.executeCollect().flatMap { row =>
+      val loV = boundLo.eval(row)
+      val hiV = boundHi.eval(row)
+      // NULL bounds match nothing, same as any join predicate
+      if (loV == null || hiV == null) None
+      else Some((toLong(loV), toLong(hiV), row))
+    }
+    val entries = collected.sortBy(_._1)
+    val los = entries.map(_._1)
+    val maxWidth =
+      if (entries.isEmpty) 0L
+      else entries.iterator.map(e => e._2 - e._1).max.max(0L)
+    val bc = session.sparkContext.broadcast((los, entries))
+
+    val boundPoint = BindReferences.bindReference(point, left.output)
+    val attrs = output
+    left.execute().mapPartitions { iter =>
+      val (sortedLos, sorted) = bc.value
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(attrs, attrs)
+      iter.flatMap { probeRow =>
+        val pv = boundPoint.eval(probeRow)
+        if (pv == null || sorted.isEmpty) Iterator.empty
+        else {
+          val p = toLong(pv)
+          // last index with lo <= p (exclusive upper bound search)
+          var leftI = 0
+          var rightI = sortedLos.length
+          while (leftI < rightI) {
+            val mid = (leftI + rightI) >>> 1
+            if (sortedLos(mid) <= p) leftI = mid + 1 else rightI = mid
+          }
+          val start = leftI - 1
+          val floor = p - maxWidth
+          new Iterator[InternalRow] {
+            private var j = start
+            private var ready: InternalRow = null
+            private def advance(): Unit = {
+              while (ready == null && j >= 0 && sorted(j)._1 >= floor) {
+                val e = sorted(j)
+                j -= 1
+                if (e._2 >= p) ready = e._3
+              }
+            }
+            override def hasNext: Boolean = { advance(); ready != null }
+            override def next(): InternalRow = {
+              advance()
+              val r = ready; ready = null
+              proj(joined(probeRow, r))
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level API over the custom node (column names resolved
+  * against each side's analyzed output — no Column internals). */
+object RangeJoins {
+  def broadcastRangeJoin(probe: org.apache.spark.sql.DataFrame,
+                         build: org.apache.spark.sql.DataFrame,
+                         point: String, lo: String, hi: String)
+      : org.apache.spark.sql.DataFrame = {
+    val l = probe.queryExecution.analyzed
+    val r = build.queryExecution.analyzed
+    def attr(plan: LogicalPlan, n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val custom = org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
+      BroadcastRangeJoin(l, r, attr(l, point), attr(r, lo), attr(r, hi)))
+    // Degraded mode (the GraftFunctions.ensure* convention): a session
+    // built without GraftExtensions has no strategy for the node and
+    // fails at PLANNING — force planning now and fall back to the
+    // built-in BNLJ formulation there, identical semantics.
+    try { custom.queryExecution.executedPlan; custom }
+    catch {
+      case _: Exception =>
+        import org.apache.spark.sql.functions.col
+        probe.join(build,
+          col(point) >= col(lo) && col(point) <= col(hi))
+    }
+  }
+}
