@@ -123,6 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: the broadcast range join's planner
     // strategy (custom LogicalPlan → custom SparkPlan; graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastRangeJoinStrategy)
+    // and its optimizer rule: single-sided filters pushed through the
+    // custom node (Catalyst stops at operators it doesn't know)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinFilterPushdown)
   }
 }
 

@@ -145,6 +145,45 @@ case class BroadcastRangeJoinExec(
   }
 }
 
+/** Optimizer extension for the custom node: Catalyst's own filter
+  * pushdown stops at operators it doesn't know, so `Filter(cond,
+  * BroadcastRangeJoin(...))` would evaluate `cond` AFTER the join and
+  * the probe scan would read every row. This [[org.apache.spark.sql
+  * .catalyst.rules.Rule]] splits the conjunction and pushes each
+  * single-sided deterministic predicate into its side — from where the
+  * built-in FileSourceStrategy carries it all the way into the parquet
+  * scan's PushedFilters (RangeJoinSpec pins that end state). Mixed-side
+  * and non-deterministic conjuncts stay above the join. Registered via
+  * `injectOptimizerRule` — with the expressions, the planner strategy,
+  * and this rule, every SparkSessionExtensions extension point the
+  * engine needs is exercised.
+  */
+object RangeJoinFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: BroadcastRangeJoin) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (leftOnly, rest1) = conjuncts.partition(p =>
+        p.deterministic && p.references.subsetOf(j.left.outputSet))
+      val (rightOnly, keep) = rest1.partition(p =>
+        p.deterministic && p.references.subsetOf(j.right.outputSet))
+      if (leftOnly.isEmpty && rightOnly.isEmpty) f
+      else {
+        val newLeft =
+          if (leftOnly.isEmpty) j.left else Filter(leftOnly.reduce(And), j.left)
+        val newRight =
+          if (rightOnly.isEmpty) j.right else Filter(rightOnly.reduce(And), j.right)
+        val pushed = j.copy(left = newLeft, right = newRight)
+        if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
+      }
+  }
+}
+
 /** DataFrame-level API over the custom node (column names resolved
   * against each side's analyzed output — no Column internals). */
 object RangeJoins {

@@ -63,4 +63,32 @@ class RangeJoinSpec extends AnyFunSuite {
     val build = Seq.empty[(Long, Long)].toDF("lo", "hi")
     assert(broadcastRangeJoin(probe, build, "p", "lo", "hi").count() === 0L)
   }
+
+  test("the optimizer rule pushes single-sided filters through the node into the scan") {
+    val win = Tables.orders(spark, sf)
+      .selectExpr("date_trunc('month', o_orderdate) AS lo").distinct()
+      .selectExpr("lo", "lo + INTERVAL 3 DAYS AS hi")
+    val probe = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    val filtered = broadcastRangeJoin(probe, win, "l_shipdate", "lo", "hi")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 24)
+    // the probe-side predicate must cross the custom node and land in
+    // the parquet scan — without RangeJoinFilterPushdown it evaluates
+    // post-join and PushedFilters stays empty for l_quantity
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,24"), plan)
+    // and the optimized logical plan has no Filter above the join node
+    val optimized = filtered.queryExecution.optimizedPlan
+    val joinIsTop = optimized.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[plans.BroadcastRangeJoin] => f
+    }
+    assert(joinIsTop.isEmpty, s"filter still above the range join:\n$optimized")
+    // semantics unchanged: equals the unpushed formulation
+    val expect = probe.filter(org.apache.spark.sql.functions.col("l_quantity") > 24)
+      .join(win, org.apache.spark.sql.functions.col("l_shipdate") >= org.apache.spark.sql.functions.col("lo")
+        && org.apache.spark.sql.functions.col("l_shipdate") <= org.apache.spark.sql.functions.col("hi"))
+      .count()
+    assert(filtered.count() === expect)
+  }
 }
