@@ -205,7 +205,9 @@ object Bench {
     // count-min matrix build + probes: the fixed-state sketch pass
     "q_cm_sketch",
     // the custom-planned broadcast range join (log m probe vs BNLJ)
-    "q_join_range_bcast")
+    "q_join_range_bcast",
+    // the same exec in asof mode, oracle'd against DuckDB's ASOF JOIN
+    "q_join_asof_bcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -165,6 +165,33 @@ object Joins {
               |SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice", 2)} AS sum_price
               |FROM lineitem JOIN w2 ON l_shipdate >= lo AND l_shipdate <= hi""".stripMargin)),
 
+    // As-of enrichment through the SAME custom exec in asof mode: each
+    // lineitem row picks the latest quarter-start version at-or-before
+    // its shipdate — one binary search per probe row against the
+    // broadcast version index, probe never moves (the union-trick /
+    // window formulations q_join_asof uses pay a shuffle of the fact).
+    // The oracle is DuckDB's NATIVE `ASOF JOIN` — the custom operator
+    // must reproduce the reference engine's dedicated operator
+    // semantics exactly, including dropping pre-first-version rows.
+    QueryDef(
+      "q_join_asof_bcast",
+      (s, d) => {
+        val versions = Tables.orders(s, d)
+          .selectExpr("date_trunc('quarter', o_orderdate) AS vt").distinct()
+        val probe = Tables.lineitem(s, d).select("l_shipdate", "l_extendedprice")
+        graft.plans.RangeJoins
+          .broadcastAsofJoin(probe, versions, "l_shipdate", "vt")
+          .groupBy("vt")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("sum_price"))
+          .orderBy("vt")
+      },
+      Some(s"""WITH v AS (
+              |  SELECT DISTINCT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS vt
+              |  FROM orders)
+              |SELECT vt, COUNT(*) AS n, ${sqlDsum("l_extendedprice", 2)} AS sum_price
+              |FROM lineitem l ASOF JOIN v ON l.l_shipdate >= v.vt
+              |GROUP BY vt ORDER BY vt""".stripMargin)),
+
     // Pure theta (non-equi) join on a small dimension — BroadcastNestedLoop
     // territory; kept dimension-sized on purpose (a 100 TB BNLJ is a bug,
     // not an operator).

@@ -37,7 +37,8 @@ case class BroadcastRangeJoin(
     right: LogicalPlan,
     point: Expression,
     lo: Expression,
-    hi: Expression)
+    hi: Expression,
+    asof: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -51,8 +52,8 @@ case class BroadcastRangeJoin(
   * through to the built-in strategies. */
 object BroadcastRangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BroadcastRangeJoin(l, r, point, lo, hi) =>
-      BroadcastRangeJoinExec(point, lo, hi, planLater(l), planLater(r)) :: Nil
+    case BroadcastRangeJoin(l, r, point, lo, hi, asof) =>
+      BroadcastRangeJoinExec(point, lo, hi, asof, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -61,6 +62,7 @@ case class BroadcastRangeJoinExec(
     point: Expression,
     lo: Expression,
     hi: Expression,
+    asof: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -121,6 +123,12 @@ case class BroadcastRangeJoinExec(
             if (sortedLos(mid) <= p) leftI = mid + 1 else rightI = mid
           }
           val start = leftI - 1
+          if (asof) {
+            // the single build row with the greatest lo <= p (ties on
+            // lo broken by build order — keep lo unique for totality)
+            if (start < 0) Iterator.empty
+            else Iterator.single(proj(joined(probeRow, sorted(start)._3)))
+          } else {
           val floor = p - maxWidth
           new Iterator[InternalRow] {
             private var j = start
@@ -138,6 +146,7 @@ case class BroadcastRangeJoinExec(
               val r = ready; ready = null
               proj(joined(probeRow, r))
             }
+          }
           }
         }
       }
@@ -187,6 +196,41 @@ object RangeJoinFilterPushdown
 /** DataFrame-level API over the custom node (column names resolved
   * against each side's analyzed output — no Column internals). */
 object RangeJoins {
+  /** As-of enrichment against a broadcast-small versioned dimension:
+    * each probe row joins the single build row with the greatest
+    * `t` <= its `point` (probe rows before every version drop, inner
+    * semantics — DuckDB's ASOF JOIN, which the oracle runs). Same
+    * sorted-index exec in asof mode: O(log m) per probe row, probe
+    * never moves. Keep `t` unique per build row — lo-ties would be
+    * order-broken. */
+  def broadcastAsofJoin(probe: org.apache.spark.sql.DataFrame,
+                        build: org.apache.spark.sql.DataFrame,
+                        point: String, t: String)
+      : org.apache.spark.sql.DataFrame = {
+    val l = probe.queryExecution.analyzed
+    val r = build.queryExecution.analyzed
+    def attr(plan: LogicalPlan, n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"column '$n' not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val tA = attr(r, t)
+    val custom = org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
+      BroadcastRangeJoin(l, r, attr(l, point), tA, tA, asof = true))
+    try { custom.queryExecution.executedPlan; custom }
+    catch {
+      case _: Exception =>
+        // degraded twin: candidates at-or-before, keep the latest per
+        // probe row (identified by an execution-scoped row id)
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
+        val keyed = probe.withColumn("__rid", monotonically_increasing_id())
+        val w = Window.partitionBy("__rid").orderBy(col(t).desc)
+        keyed.join(build, col(point) >= col(t))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__rid")
+    }
+  }
+
   def broadcastRangeJoin(probe: org.apache.spark.sql.DataFrame,
                          build: org.apache.spark.sql.DataFrame,
                          point: String, lo: String, hi: String)

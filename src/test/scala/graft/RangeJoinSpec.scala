@@ -64,6 +64,18 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(broadcastRangeJoin(probe, build, "p", "lo", "hi").count() === 0L)
   }
 
+  test("asof mode picks exactly the latest version at-or-before, dropping pre-first rows") {
+    import spark.implicits._
+    import plans.RangeJoins.broadcastAsofJoin
+    val probe = Seq(5L, 10L, 15L, 2L).toDF("p")
+    val build = Seq((3L, "v1"), (10L, "v2"), (12L, "v3")).toDF("t", "ver")
+    val got = broadcastAsofJoin(probe, build, "p", "t")
+      .select("p", "ver").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    // 2 precedes every version and drops; 10 matches v2 exactly (<=);
+    // 15 takes v3, 5 takes v1
+    assert(got.toSeq === Seq((5L, "v1"), (10L, "v2"), (15L, "v3")))
+  }
+
   test("the optimizer rule pushes single-sided filters through the node into the scan") {
     val win = Tables.orders(spark, sf)
       .selectExpr("date_trunc('month', o_orderdate) AS lo").distinct()
