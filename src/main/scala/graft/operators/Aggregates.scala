@@ -562,40 +562,41 @@ object Aggregates {
     // that don't fit anywhere — a FIXED d×w counter matrix (4×16 here;
     // w deliberately SMALLER than the 31-word vocabulary so collisions
     // are guaranteed and the overcount bound is exercised, not
-    // vacuously zero) regardless of corpus size, built in ONE pass
-    // (explode tokens ×d
-    // hash rows → groupBy count; map-side combine collapses every
-    // partition to ≤ d·w cells before the only exchange, so the shuffle
-    // is O(d·w·partitions) bytes no matter how many tokens stream by).
-    // Point queries cost d lookups against the broadcast matrix:
-    // est(key) = min_j cell(j, h_j(key)) — an OVERCOUNT by construction
-    // (collisions only add), which is the published guarantee. All
-    // integer arithmetic end-to-end: the oracle rebuilds the identical
-    // matrix (the md5 row hashes are engine-shared), and the output
-    // carries est, exact, and the overcount so the guarantee est ≥
-    // exact is a checked VALUE, not a comment. A probe key absent from
-    // some row's cell (or from the corpus entirely) estimates 0 via the
-    // 4-cells-matched gate / left-join coalesce.
+    // vacuously zero) regardless of corpus size. TWO-LEVEL build: the
+    // token stream first collapses to per-DISTINCT-token counts (one
+    // map-side-combined agg — each partition ships ≤ vocab rows), then
+    // hashing touches only the VOCABULARY: one 128-bit md5 per distinct
+    // token, sliced into the d=4 row hashes (32 hex bits each) — the
+    // d-explode and the digest cost scale with |vocab|, never with the
+    // corpus (the v1 draft hashed per TOKEN OCCURRENCE ×d: 6.5 s at
+    // sf1 vs ~token-count-agg cost now). Point queries cost d slices
+    // of one digest against the broadcast matrix: est(key) = min_j
+    // cell(j, h_j(key)) — an OVERCOUNT by construction (collisions
+    // only add), which is the published guarantee. All integer
+    // arithmetic end-to-end; the output carries est, exact, and the
+    // overcount so est ≥ exact is a checked VALUE, not a comment. A
+    // probe key absent from some row's cell (or from the corpus)
+    // estimates 0 via the 4-cells-matched gate / left-join coalesce.
     QueryDef(
       "q_cm_sketch",
       (s, d) => {
-        import graft.functions.TextAnalysis.tokHash
         import s.implicits._
-        val toks = Tables.documents(s, d)
+        val counts = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("w"))
-        val cells = toks
-          .selectExpr("explode(array(0, 1, 2, 3)) AS j", "w")
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val cells = counts
+          .selectExpr("c", "md5(concat('cm:', w)) AS dg")
+          .selectExpr("c", "dg", "explode(array(0, 1, 2, 3)) AS j")
           .selectExpr("j",
-            s"${tokHash("concat('cm', CAST(j AS STRING), ':', w)")} % 16 AS bucket")
-          .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+            "CAST(conv(substr(dg, 1 + 8 * j, 8), 16, 10) AS BIGINT) % 16 AS bucket", "c")
+          .groupBy("j", "bucket").agg(sum(col("c")).as("cnt"))
         val probes = cmProbes.toDF("word")
         val est = broadcast(probes).crossJoin(cells)
           .filter(expr(
-            s"bucket = ${tokHash("concat('cm', CAST(j AS STRING), ':', word)")} % 16"))
+            "bucket = CAST(conv(substr(md5(concat('cm:', word)), 1 + 8 * j, 8), 16, 10) AS BIGINT) % 16"))
           .groupBy("word")
           .agg(when(count(lit(1)) === 4, min(col("cnt"))).otherwise(0L).as("est"))
-        val exact = toks.groupBy("w").agg(count(lit(1)).as("exact"))
-          .withColumnRenamed("w", "word")
+        val exact = counts.select(col("w").as("word"), col("c").as("exact"))
         probes
           .join(est, Seq("word"), "left")
           .join(exact, Seq("word"), "left")
@@ -606,24 +607,26 @@ object Aggregates {
           .orderBy("word")
       },
       Some {
-        import graft.functions.TextAnalysis.duckTokHash
         val probeList = cmProbes.map(w => s"'$w'").mkString(", ")
-        s"""WITH toks AS (
-           |  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+        s"""WITH counts AS (
+           |  SELECT w, COUNT(*) AS c FROM (
+           |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY w),
+           |dgs AS (SELECT c, md5('cm:' || w) AS dg FROM counts),
            |cells AS (
            |  SELECT j,
-           |    ${duckTokHash("concat('cm', CAST(j AS VARCHAR), ':', w)")} % 16 AS bucket,
-           |    COUNT(*) AS cnt
-           |  FROM toks CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j)
+           |    CAST(('0x' || substr(dg, 1 + 8 * j, 8)) AS BIGINT) % 16 AS bucket,
+           |    CAST(SUM(c) AS BIGINT) AS cnt
+           |  FROM dgs CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j)
            |  GROUP BY 1, 2),
            |probes AS (SELECT UNNEST([$probeList]) AS word),
            |est AS (
            |  SELECT word,
            |    CASE WHEN COUNT(*) = 4 THEN MIN(cnt) ELSE 0 END AS est
            |  FROM probes p JOIN cells c
-           |    ON c.bucket = ${duckTokHash("concat('cm', CAST(c.j AS VARCHAR), ':', p.word)")} % 16
+           |    ON c.bucket = CAST(('0x' || substr(md5('cm:' || p.word), 1 + 8 * c.j, 8)) AS BIGINT) % 16
            |  GROUP BY word),
-           |exact AS (SELECT w AS word, COUNT(*) AS exact FROM toks GROUP BY 1)
+           |exact AS (SELECT w AS word, c AS exact FROM counts)
            |SELECT p.word AS word, COALESCE(est, 0) AS est, COALESCE(exact, 0) AS exact,
            |  COALESCE(est, 0) - COALESCE(exact, 0) AS overcount
            |FROM probes p LEFT JOIN est USING (word) LEFT JOIN exact USING (word)
