@@ -694,6 +694,47 @@ object Clustering {
               |FROM e e1 JOIN e e2 ON e1.b = e2.a
               |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)),
 
+    // Global clustering coefficient (transitivity) — the triangle
+    // count's denominator: C = 3·triangles / wedges, where the wedge
+    // count needs only the DEGREE distribution (Σ deg·(deg−1)/2 over
+    // the undirected graph — one keyed agg over the doubled edge list,
+    // no path enumeration). Everything is exact integer arithmetic
+    // until the single final division (deg·(deg−1) is even, so the
+    // halving stays integer — both engines use integer division).
+    QueryDef(
+      "q_graph_clustercoef",
+      (s, d) => {
+        val e = Dedup.minhashPairs(s, d).select("a", "b")
+        val deg = e.selectExpr("a AS v").unionAll(e.selectExpr("b AS v"))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val wedges = deg.agg(
+          sum(expr("deg * (deg - 1) DIV 2")).cast("bigint").as("n_wedges"),
+          count(lit(1)).as("n_vertices"))
+        val wedgePaths = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        val tri = wedgePaths.join(e.as("e3"),
+            col("x") === col("e3.a") && col("z") === col("e3.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        wedges.crossJoin(tri)
+          .selectExpr("n_vertices", "n_wedges", "n_triangles",
+            "CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE) " +
+              "ELSE CAST(3.0 AS DOUBLE) * n_triangles / n_wedges END AS transitivity")
+      },
+      Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+              |e AS (SELECT a, b FROM verified),
+              |deg AS (SELECT v, COUNT(*) AS deg FROM (
+              |  SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+              |w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+              |             COUNT(*) AS n_vertices FROM deg),
+              |t AS (SELECT COUNT(*) AS n_triangles
+              |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+              |                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+              |SELECT n_vertices, n_wedges, n_triangles,
+              |  CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE)
+              |       ELSE CAST(3.0 AS DOUBLE) * n_triangles / n_wedges END AS transitivity
+              |FROM w CROSS JOIN t""".stripMargin)),
+
     // PageRank (3 unrolled damped iterations) over the near-dup graph —
     // "which documents sit at the center of a duplication cluster". Each
     // iteration is one keyed join + one combinable sum; contributions are
