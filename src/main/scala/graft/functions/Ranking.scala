@@ -38,9 +38,15 @@ object Ranking {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
   /** The BM25-scored frame (doc_id, dl, score) for the fixed probe —
-    * q_bm25 orders and cuts it; the RRF fusion re-ranks it. */
+    * q_bm25 orders and cuts it; the RRF fusion re-ranks it. Memoized:
+    * two consumers, one scoring pipeline (the FrameCache convention
+    * every shared intermediate in this codebase follows). */
   private[graft] def bm25Scored(s: org.apache.spark.sql.SparkSession,
-                                d: String): org.apache.spark.sql.DataFrame = {
+                                d: String): org.apache.spark.sql.DataFrame =
+    graft.FrameCache.memo(s, s"bm25:$d")(bm25ScoredUncached(s, d))
+
+  private def bm25ScoredUncached(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
     val terms = bm25Terms
     val tf = termFreq(s, d)
     val df = tf.filter(col("tok").isin(terms: _*))

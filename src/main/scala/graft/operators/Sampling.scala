@@ -266,7 +266,10 @@ object Sampling {
     // Integer-exact everywhere it matters: N_h·σ_h is µ-quantized to
     // BIGINT before the Σ weights, the floor allocation and its
     // largest-remainder top-up are pure integer arithmetic (remainder
-    // ties broken by stratum name), so Σ n_alloc = k EXACTLY and both
+    // ties broken by stratum name, allocations CAPPED at the
+    // stratum's row count with a one-round remainder-ranked
+    // redistribution of any capped surplus), so Σ n_alloc = k EXACTLY
+    // whenever one round can place the surplus, and both
     // engines agree bit-for-bit; the sample membership is pinned by a
     // key checksum, not just counts.
     QueryDef(
@@ -286,15 +289,28 @@ object Sampling {
           .withColumn("wq", expr("n_rows * sigma_q"))
         val tot = stats.agg(sum(col("wq")).as("sumw"))
         val wRem = Window.orderBy(col("rem").desc, col("l_returnflag"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // first round: floor + largest-remainder top-up, CAPPED at the
+        // stratum's own row count (a small high-variance stratum cannot
+        // be allocated more rows than it has); the capped surplus then
+        // redistributes ONE round by the same remainder rank among
+        // strata with capacity left — exact budget whenever one round
+        // can place it (the spec pins Σ = k on the fixture); a residual
+        // past that would need the iterative waterfill
+        val wRem2 = Window.orderBy(
+          (col("alloc1") < col("n_rows")).desc, col("rem").desc, col("l_returnflag"))
         val alloc = stats.crossJoin(broadcast(tot))
           .selectExpr("l_returnflag", "n_rows", "sigma_q",
             s"$k * wq DIV sumw AS base", s"$k * wq % sumw AS rem")
-          .withColumn("leftover",
-            lit(k) - sum(col("base")).over(
-              Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("leftover", lit(k) - sum(col("base")).over(wAll))
           .withColumn("rk", row_number().over(wRem))
+          .withColumn("alloc1", expr(
+            "least(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END), n_rows)"))
+          .withColumn("residual", lit(k) - sum(col("alloc1")).over(wAll))
+          .withColumn("rk2", row_number().over(wRem2))
           .selectExpr("l_returnflag", "n_rows", "sigma_q",
-            "base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS n_alloc")
+            "least(alloc1 + (CASE WHEN alloc1 < n_rows AND rk2 <= residual " +
+              "THEN 1 ELSE 0 END), n_rows) AS n_alloc")
         val wDraw = Window.partitionBy("l_returnflag")
           .orderBy(expr(tokHash(rowKey)).asc, col("l_orderkey").asc, col("l_linenumber").asc)
         Tables.lineitem(s, d)
@@ -321,10 +337,17 @@ object Sampling {
               |alloc0 AS (SELECT l_returnflag, n_rows, sigma_q,
               |    200 * wq // sumw AS base, 200 * wq % sumw AS rem
               |  FROM wq CROSS JOIN tot),
-              |alloc AS (SELECT l_returnflag, n_rows, sigma_q,
-              |    base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, l_returnflag)
-              |      <= 200 - (SELECT CAST(SUM(base) AS BIGINT) FROM alloc0) THEN 1 ELSE 0 END) AS n_alloc
+              |a1 AS (SELECT l_returnflag, n_rows, sigma_q, rem,
+              |    LEAST(base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, l_returnflag)
+              |      <= 200 - (SELECT CAST(SUM(base) AS BIGINT) FROM alloc0) THEN 1 ELSE 0 END),
+              |      n_rows) AS alloc1
               |  FROM alloc0),
+              |alloc AS (SELECT l_returnflag, n_rows, sigma_q,
+              |    LEAST(alloc1 + (CASE WHEN alloc1 < n_rows AND
+              |        ROW_NUMBER() OVER (ORDER BY (alloc1 < n_rows) DESC, rem DESC, l_returnflag)
+              |          <= 200 - (SELECT CAST(SUM(alloc1) AS BIGINT) FROM a1)
+              |      THEN 1 ELSE 0 END), n_rows) AS n_alloc
+              |  FROM a1),
               |drawn AS (
               |  SELECT l_returnflag, COUNT(*) AS n_drawn,
               |    CAST(SUM(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_checksum

@@ -176,11 +176,18 @@ object RangeJoinFilterPushdown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: BroadcastRangeJoin) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val (leftOnly, rest1) = conjuncts.partition(p =>
-        p.deterministic && p.references.subsetOf(j.left.outputSet))
-      val (rightOnly, keep) = rest1.partition(p =>
-        p.deterministic && p.references.subsetOf(j.right.outputSet))
+      // only the DETERMINISTIC PREFIX may move (Catalyst's own
+      // PushDownPredicates rule's span(_.deterministic) contract):
+      // pushing a deterministic conjunct past an earlier
+      // non-deterministic one changes which row stream the
+      // non-deterministic predicate observes
+      val (candidates, tail) =
+        splitConjunctivePredicates(cond).span(_.deterministic)
+      val (leftOnly, rest1) = candidates.partition(p =>
+        p.references.subsetOf(j.left.outputSet))
+      val (rightOnly, keepPrefix) = rest1.partition(p =>
+        p.references.subsetOf(j.right.outputSet))
+      val keep = keepPrefix ++ tail
       if (leftOnly.isEmpty && rightOnly.isEmpty) f
       else {
         val newLeft =
@@ -196,6 +203,50 @@ object RangeJoinFilterPushdown
 /** DataFrame-level API over the custom node (column names resolved
   * against each side's analyzed output — no Column internals). */
 object RangeJoins {
+
+  private def attr(plan: LogicalPlan, n: String): Attribute =
+    plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+      s"column '$n' not in [${plan.output.map(_.name).mkString(", ")}]"))
+
+  /** The build side re-aliased with FRESH exprIds. A hand-built binary
+    * node bypasses the analyzer's self-join deduplication, so a build
+    * side sharing an unaliased column with the probe would put
+    * duplicate exprIds in `output` — the projection then binds the
+    * build column to the probe ordinal and silently mirrors the probe
+    * value. One cheap Project makes every build attribute fresh. */
+  private def freshened(r: LogicalPlan): LogicalPlan =
+    org.apache.spark.sql.catalyst.plans.logical.Project(
+      r.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), r)
+
+  /** The time/number axis must be ONE representation family: Date
+    * evals to Int DAYS, both timestamp types to Long MICROS, integrals
+    * to their numeric value — a mixed pair (e.g. a date probe against
+    * timestamp bounds) would compare days against micros and silently
+    * match nothing, so it is rejected here instead. */
+  private def requireSameType(kind: String, exprs: Expression*): Unit = {
+    import org.apache.spark.sql.types._
+    def family(dt: DataType): String = dt match {
+      case DateType                          => "days"
+      case TimestampType | TimestampNTZType  => "micros"
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => throw new IllegalArgumentException(
+        s"$kind join key type $other unsupported (integral/date/timestamp only)")
+    }
+    val fams = exprs.map(e => family(e.dataType)).distinct
+    require(fams.size == 1,
+      s"$kind key columns must share one time/number family, got " +
+        exprs.map(_.dataType).mkString(", "))
+  }
+
+  /** True when this session's planner carries the custom strategy —
+    * the GraftFunctions.ensure* degraded-mode convention, decided
+    * up-front instead of swallowing planning exceptions (a catch-all
+    * would also mask real planning bugs in the exec). */
+  private def hasStrategy(spark: org.apache.spark.sql.SparkSession): Boolean =
+    org.apache.spark.sql.GraftSqlBridge.plannerStrategies(spark)
+      .exists(_ eq BroadcastRangeJoinStrategy)
+
   /** As-of enrichment against a broadcast-small versioned dimension:
     * each probe row joins the single build row with the greatest
     * `t` <= its `point` (probe rows before every version drop, inner
@@ -207,27 +258,24 @@ object RangeJoins {
                         build: org.apache.spark.sql.DataFrame,
                         point: String, t: String)
       : org.apache.spark.sql.DataFrame = {
-    val l = probe.queryExecution.analyzed
-    val r = build.queryExecution.analyzed
-    def attr(plan: LogicalPlan, n: String): Attribute =
-      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"column '$n' not in [${plan.output.map(_.name).mkString(", ")}]"))
-    val tA = attr(r, t)
-    val custom = org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
-      BroadcastRangeJoin(l, r, attr(l, point), tA, tA, asof = true))
-    try { custom.queryExecution.executedPlan; custom }
-    catch {
-      case _: Exception =>
-        // degraded twin: candidates at-or-before, keep the latest per
-        // probe row (identified by an execution-scoped row id)
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
-        val keyed = probe.withColumn("__rid", monotonically_increasing_id())
-        val w = Window.partitionBy("__rid").orderBy(col(t).desc)
-        keyed.join(build, col(point) >= col(t))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn", "__rid")
+    if (hasStrategy(probe.sparkSession)) {
+      val l = probe.queryExecution.analyzed
+      val r = freshened(build.queryExecution.analyzed)
+      val (pA, tA) = (attr(l, point), attr(r, t))
+      requireSameType("asof", pA, tA)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
+        BroadcastRangeJoin(l, r, pA, tA, tA, asof = true))
+    } else {
+      // degraded twin: candidates at-or-before, keep the latest per
+      // probe row (identified by an execution-scoped row id)
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
+      val keyed = probe.withColumn("__rid", monotonically_increasing_id())
+      val w = Window.partitionBy("__rid").orderBy(col(t).desc)
+      keyed.join(build, col(point) >= col(t))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__rid")
     }
   }
 
@@ -235,23 +283,17 @@ object RangeJoins {
                          build: org.apache.spark.sql.DataFrame,
                          point: String, lo: String, hi: String)
       : org.apache.spark.sql.DataFrame = {
-    val l = probe.queryExecution.analyzed
-    val r = build.queryExecution.analyzed
-    def attr(plan: LogicalPlan, n: String): Attribute =
-      plan.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"column '$n' not in [${plan.output.map(_.name).mkString(", ")}]"))
-    val custom = org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
-      BroadcastRangeJoin(l, r, attr(l, point), attr(r, lo), attr(r, hi)))
-    // Degraded mode (the GraftFunctions.ensure* convention): a session
-    // built without GraftExtensions has no strategy for the node and
-    // fails at PLANNING — force planning now and fall back to the
-    // built-in BNLJ formulation there, identical semantics.
-    try { custom.queryExecution.executedPlan; custom }
-    catch {
-      case _: Exception =>
-        import org.apache.spark.sql.functions.col
-        probe.join(build,
-          col(point) >= col(lo) && col(point) <= col(hi))
+    if (hasStrategy(probe.sparkSession)) {
+      val l = probe.queryExecution.analyzed
+      val r = freshened(build.queryExecution.analyzed)
+      val (pA, loA, hiA) = (attr(l, point), attr(r, lo), attr(r, hi))
+      requireSameType("range", pA, loA, hiA)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
+        BroadcastRangeJoin(l, r, pA, loA, hiA))
+    } else {
+      import org.apache.spark.sql.functions.col
+      probe.join(build,
+        col(point) >= col(lo) && col(point) <= col(hi))
     }
   }
 }
