@@ -52,6 +52,7 @@ object Bench {
     "q_tpch_q5",
     "q_tpch_q6",
     "q_tpch_q17",
+    "q_tpch_q18",
     "q_sort_limit",
     "q_topk",
     "q_union_all",

@@ -127,6 +127,39 @@ object Analytics {
               |    FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
               |    WHERE l2.l_partkey = p.p_partkey AND p2.p_brand = 'Brand#12')""".stripMargin)),
 
+    // Q18: large-volume customers — the group-HAVING-semi-join
+    // composition (orders whose lineitems sum past a quantity
+    // threshold, joined back to customer detail). Plan discipline: the
+    // HAVING aggregate runs FIRST and produces a qualifying-key frame
+    // (map-side-combined sum over l_orderkey, then the filter) that
+    // joins back into the detail chain — the fact table is aggregated
+    // once and never re-scanned for the detail rows' quantities (the
+    // per-order sum rides the qualifying frame). No broadcast hint:
+    // the threshold decides the qualifying cardinality, so AQE picks
+    // broadcast only when the runtime size actually fits.
+    QueryDef(
+      "q_tpch_q18",
+      (s, d) => {
+        val qualifying = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        Tables.orders(s, d)
+          .join(qualifying, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""WITH q AS (
+              |  SELECT l_orderkey, ${sqlDsum("l_quantity", 2)} AS total_qty
+              |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150)
+              |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+              |FROM orders JOIN q ON o_orderkey = q.l_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // -- behavioral / growth analytics over the event log ----------------
     // The query family every event pipeline runs at scale; all three
     // reduce the raw log with a per-user aggregate FIRST (one keyed
