@@ -120,6 +120,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
       (children: Seq[Expression]) => NearestCell(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_d"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_d"),
+      (children: Seq[Expression]) => HilbertIndex(children.head, children(1))))
     // whole-operator extension: the broadcast range join's planner
     // strategy (custom LogicalPlan → custom SparkPlan; graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastRangeJoinStrategy)
@@ -152,6 +156,27 @@ object GraftFunctions {
           java.lang.Double.valueOf(d / 1.0e14)
         }
       }: java.lang.Double)
+    }
+  }
+
+  /** [[HilbertIndex]] fallback for extension-less sessions: the same
+    * xy2d loop as a Scala UDF. */
+  def ensureHilbert(spark: SparkSession): Unit = {
+    if (!spark.catalog.functionExists("hilbert_d")) {
+      spark.udf.register("hilbert_d", (x0: Long, y0: Long) => {
+        var x = x0; var y = y0; var d = 0L; var s = 128L
+        while (s > 0) {
+          val rx = if ((x & s) > 0) 1L else 0L
+          val ry = if ((y & s) > 0) 1L else 0L
+          d += s * s * ((3L * rx) ^ ry)
+          if (ry == 0) {
+            if (rx == 1) { x = 255L - x; y = 255L - y }
+            val t = x; x = y; y = t
+          }
+          s >>= 1
+        }
+        d
+      })
     }
   }
 

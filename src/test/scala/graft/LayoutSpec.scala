@@ -95,6 +95,19 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("native hilbert_d equals the chained-projection formulation on the full grid") {
+    // the DuckDB oracle runs the chain; the hot path runs the native
+    // codegen loop — they must agree on every one of the 65536 cells
+    val grid = spark.range(65536L).selectExpr(
+      "CAST(id / 256 AS BIGINT) AS gx", "CAST(id % 256 AS BIGINT) AS gy",
+      "CAST(id / 256 AS BIGINT) AS x", "CAST(id % 256 AS BIGINT) AS y")
+    val native = operators.Layout.hilbertD(grid, Seq("gx", "gy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val chained = operators.Layout.hilbertDChained(grid, Seq("gx", "gy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(native === chained)
+  }
+
   test("hilbert range envelopes are no looser than morton's on the same keys") {
     def num(r: org.apache.spark.sql.Row, i: Int): Double =
       r.getAs[Number](i).doubleValue
