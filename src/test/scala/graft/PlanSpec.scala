@@ -132,6 +132,20 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), s"expected a bin equi-join:\n$p")
   }
 
+  test("TPC-H Q17's fact rows never shuffle — every join broadcasts, exchanges are agg-only") {
+    val p = plan("q_tpch_q17")
+    // the decorrelated threshold joins BACK via broadcast; a
+    // SortMergeJoin/ShuffledHashJoin here means lineitem rows moved
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact rows shuffled:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    // the only exchanges are the per-part avg fan-in and the final
+    // single-row aggregate — never a join exchange
+    val exchanges = "Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(p).length
+    assert(exchanges <= 2, s"unexpected exchange count $exchanges:\n$p")
+  }
+
   test("ANN recall scoring joins candidates on the bucket key — no cartesian anywhere") {
     val p = plan("q_sim_recall")
     // the brute-force ground truth is a deliberate broadcast loop over
