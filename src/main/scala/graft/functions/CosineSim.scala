@@ -163,20 +163,8 @@ object GraftFunctions {
     * xy2d loop as a Scala UDF. */
   def ensureHilbert(spark: SparkSession): Unit = {
     if (!spark.catalog.functionExists("hilbert_d")) {
-      spark.udf.register("hilbert_d", (x0: Long, y0: Long) => {
-        var x = x0; var y = y0; var d = 0L; var s = 128L
-        while (s > 0) {
-          val rx = if ((x & s) > 0) 1L else 0L
-          val ry = if ((y & s) > 0) 1L else 0L
-          d += s * s * ((3L * rx) ^ ry)
-          if (ry == 0) {
-            if (rx == 1) { x = 255L - x; y = 255L - y }
-            val t = x; x = y; y = t
-          }
-          s >>= 1
-        }
-        d
-      })
+      spark.udf.register("hilbert_d",
+        (x0: Long, y0: Long) => HilbertIndex.xy2d(x0, y0))
     }
   }
 

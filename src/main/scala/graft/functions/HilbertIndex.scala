@@ -21,6 +21,27 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * values outside the grid are the caller's bug, same contract as the
   * chain. Null in → null out.
   */
+object HilbertIndex {
+  /** The one interpreted xy2d loop — shared by [[HilbertIndex
+    * .nullSafeEval]] and the [[GraftFunctions.ensureHilbert]] UDF
+    * fallback so the two cannot drift (the codegen template remains a
+    * second, spec-pinned copy by necessity). */
+  def xy2d(x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L; var s = 128L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 255L - x; y = 255L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
 case class HilbertIndex(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -45,23 +66,8 @@ case class HilbertIndex(left: Expression, right: Expression)
     case _           => v.asInstanceOf[Long]
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = asLong(left, a)
-    var y = asLong(right, b)
-    var d = 0L
-    var s = 128L
-    while (s > 0) {
-      val rx = if ((x & s) > 0) 1L else 0L
-      val ry = if ((y & s) > 0) 1L else 0L
-      d += s * s * ((3L * rx) ^ ry)
-      if (ry == 0) {
-        if (rx == 1) { x = 255L - x; y = 255L - y }
-        val t = x; x = y; y = t
-      }
-      s >>= 1
-    }
-    d
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertIndex.xy2d(asLong(left, a), asLong(right, b))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (xv, yv) => {

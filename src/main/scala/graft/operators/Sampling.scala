@@ -311,16 +311,34 @@ object Sampling {
           .selectExpr("l_returnflag", "n_rows", "sigma_q",
             "least(alloc1 + (CASE WHEN alloc1 < n_rows AND rk2 <= residual " +
               "THEN 1 ELSE 0 END), n_rows) AS n_alloc")
+        // the allocation frame is #strata rows — collect it (bounded
+        // driver state, the BPE-argmax discipline) and make the budget
+        // invariant LOUD: data where the one-round redistribution can't
+        // place the capped surplus must fail here as a query error (the
+        // q_compact convention), never ship an undershot "k-row" sample
+        val allocRows = alloc.collect()
+        val spent = allocRows.map(_.getAs[Long]("n_alloc")).sum
+        require(spent == k.toLong,
+          s"neyman allocation spent $spent of $k — capped surplus exceeds " +
+            "one redistribution round; use an iterative waterfill for this data")
+        // re-plan the collected allocation as a literal frame: the two
+        // downstream joins then read a LocalRelation instead of
+        // re-running the stats aggregate per reference
+        import s.implicits._
+        val allocLit = allocRows.toSeq
+          .map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+            r.getAs[Long]("sigma_q"), r.getAs[Long]("n_alloc")))
+          .toDF("l_returnflag", "n_rows", "sigma_q", "n_alloc")
         val wDraw = Window.partitionBy("l_returnflag")
           .orderBy(expr(tokHash(rowKey)).asc, col("l_orderkey").asc, col("l_linenumber").asc)
         Tables.lineitem(s, d)
           .withColumn("rn", row_number().over(wDraw))
-          .join(broadcast(alloc), "l_returnflag")
+          .join(broadcast(allocLit), "l_returnflag")
           .filter(col("rn") <= col("n_alloc"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_drawn"),
             sum(col("l_orderkey") * 7 + col("l_linenumber")).cast("bigint").as("key_checksum"))
-          .join(alloc, "l_returnflag")
+          .join(allocLit, "l_returnflag")
           .select("l_returnflag", "n_rows", "sigma_q", "n_alloc", "n_drawn", "key_checksum")
           .orderBy("l_returnflag")
       },

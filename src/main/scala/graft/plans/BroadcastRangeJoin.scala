@@ -223,21 +223,30 @@ object RangeJoins {
     * evals to Int DAYS, both timestamp types to Long MICROS, integrals
     * to their numeric value — a mixed pair (e.g. a date probe against
     * timestamp bounds) would compare days against micros and silently
-    * match nothing, so it is rejected here instead. */
-  private def requireSameType(kind: String, exprs: Expression*): Unit = {
+    * match nothing, so it is rejected instead. Checked from the
+    * SCHEMAS, before the custom/degraded branch, so both modes agree
+    * on rejection (the degraded built-in join would otherwise coerce
+    * and return rows the custom path never could). */
+  private def requireSameType(kind: String,
+                              fields: org.apache.spark.sql.types.StructField*): Unit = {
     import org.apache.spark.sql.types._
-    def family(dt: DataType): String = dt match {
+    def family(f: StructField): String = f.dataType match {
       case DateType                          => "days"
       case TimestampType | TimestampNTZType  => "micros"
       case ByteType | ShortType | IntegerType | LongType => "integral"
       case other => throw new IllegalArgumentException(
-        s"$kind join key type $other unsupported (integral/date/timestamp only)")
+        s"$kind join key ${f.name}: $other unsupported (integral/date/timestamp only)")
     }
-    val fams = exprs.map(e => family(e.dataType)).distinct
+    val fams = fields.map(family).distinct
     require(fams.size == 1,
       s"$kind key columns must share one time/number family, got " +
-        exprs.map(_.dataType).mkString(", "))
+        fields.map(f => s"${f.name}: ${f.dataType}").mkString(", "))
   }
+
+  private def field(df: org.apache.spark.sql.DataFrame,
+                    n: String): org.apache.spark.sql.types.StructField =
+    df.schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+      s"column '$n' not in [${df.schema.fieldNames.mkString(", ")}]"))
 
   /** True when this session's planner carries the custom strategy —
     * the GraftFunctions.ensure* degraded-mode convention, decided
@@ -258,11 +267,11 @@ object RangeJoins {
                         build: org.apache.spark.sql.DataFrame,
                         point: String, t: String)
       : org.apache.spark.sql.DataFrame = {
+    requireSameType("asof", field(probe, point), field(build, t))
     if (hasStrategy(probe.sparkSession)) {
       val l = probe.queryExecution.analyzed
       val r = freshened(build.queryExecution.analyzed)
       val (pA, tA) = (attr(l, point), attr(r, t))
-      requireSameType("asof", pA, tA)
       org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
         BroadcastRangeJoin(l, r, pA, tA, tA, asof = true))
     } else {
@@ -283,11 +292,12 @@ object RangeJoins {
                          build: org.apache.spark.sql.DataFrame,
                          point: String, lo: String, hi: String)
       : org.apache.spark.sql.DataFrame = {
+    requireSameType("range",
+      field(probe, point), field(build, lo), field(build, hi))
     if (hasStrategy(probe.sparkSession)) {
       val l = probe.queryExecution.analyzed
       val r = freshened(build.queryExecution.analyzed)
       val (pA, loA, hiA) = (attr(l, point), attr(r, lo), attr(r, hi))
-      requireSameType("range", pA, loA, hiA)
       org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
         BroadcastRangeJoin(l, r, pA, loA, hiA))
     } else {

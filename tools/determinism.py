@@ -27,6 +27,8 @@ def canon(con, d):
 
 
 def main():
+    if len(sys.argv) != 3:
+        sys.exit("usage: determinism.py <outdirA> <outdirB>")
     a, b = Path(sys.argv[1]), Path(sys.argv[2])
     con = duckdb.connect()
     names = sorted(p.name for p in a.iterdir() if p.is_dir())
@@ -36,8 +38,15 @@ def main():
             print(f"MISSING-B {q}")
             n_fail += 1
             continue
-        ca, ra = canon(con, a / q)
-        cb, rb = canon(con, b / q)
+        try:
+            ca, ra = canon(con, a / q)
+            cb, rb = canon(con, b / q)
+        except Exception as e:
+            # an unreadable tree (interrupted run) is ONE failure, not
+            # an abort of the whole report
+            print(f"UNREADABLE {q}: {e}")
+            n_fail += 1
+            continue
         if ca != cb:
             print(f"SCHEMA-DIFF {q}: {ca} vs {cb}")
             n_fail += 1
