@@ -152,6 +152,40 @@ object TimeSeries {
              |SELECT user_id, COUNT(*) AS n_scored,
              |  CAST(SUM(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
              |  CAST(SUM(CASE WHEN abs(z) > 2 THEN event_id ELSE 0 END) AS BIGINT) AS flag_checksum
-             |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Exponentially-decayed trending score per event type — the
+    // "what's hot NOW" ranking every event-analytics surface serves
+    // (half-life = 1 day: today's event counts in full, yesterday's
+    // half, a month ago ≈ nothing). The decay term is INTEGER-EXACT by
+    // construction: with whole-day ages, 0.5^age · 2³⁰ = 2³⁰ >> age —
+    // a BIGINT shift, no pow(), no float sum, no quantization step at
+    // all (ages past 30 days contribute exactly 0, which IS the decay
+    // semantics). One map-side-combined aggregate after a broadcast
+    // "now" row; both plain and decayed counts are published so the
+    // re-ranking decay causes is visible in the output, not asserted.
+    QueryDef(
+      "q_ts_trending",
+      (s, d) => {
+        val now = Tables.events(s, d).agg(max(col("ts")).as("now_ts"))
+        Tables.events(s, d)
+          .crossJoin(broadcast(now))
+          .selectExpr("event_type",
+            "datediff(CAST(now_ts AS DATE), CAST(ts AS DATE)) AS dd")
+          .selectExpr("event_type",
+            "CASE WHEN dd <= 30 THEN shiftright(CAST(1073741824 AS BIGINT), " +
+              "CAST(dd AS INT)) ELSE CAST(0 AS BIGINT) END AS term")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum(col("term")).as("decayed_u"))
+          .orderBy(col("decayed_u").desc, col("event_type"))
+      },
+      Some("""WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN dd <= 30 THEN CAST(1073741824 AS BIGINT) >> dd
+             |           ELSE 0 END) AS BIGINT) AS decayed_u
+             |FROM (SELECT event_type,
+             |        datediff('day', CAST(ts AS DATE), CAST(now_ts AS DATE)) AS dd
+             |      FROM events CROSS JOIN now_t)
+             |GROUP BY event_type ORDER BY decayed_u DESC, event_type""".stripMargin))
   )
 }
