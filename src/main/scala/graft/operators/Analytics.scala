@@ -160,6 +160,45 @@ object Analytics {
               |JOIN customer ON o_custkey = c_custkey
               |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // Audience overlap: |users(A) ∩ users(B)| for every unordered pair
+    // of event types — the segment-intersection matrix a growth team
+    // reads before targeting (do purchasers also view? do errors hit
+    // signups?). The distinct (user, type) relation self-joins on
+    // user_id with ta < tb, so the quadratic term is per-USER (≤ 5
+    // types → ≤ 10 pairs per user), keyed by user — never cross-user.
+    // Sizes ride along; jaccard = inter / (na + nb − inter) is one
+    // exact integer division published as double.
+    QueryDef(
+      "q_audience_overlap",
+      (s, d) => {
+        val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+        val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val pairs = ut.as("a")
+          .join(ut.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(sizes.select(col("event_type").as("ta"), col("n").as("na"))), "ta")
+          .join(broadcast(sizes.select(col("event_type").as("tb"), col("n").as("nb"))), "tb")
+          .selectExpr("ta", "tb", "na", "nb", "inter",
+            "CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard")
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |sizes AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS inter
+             |  FROM ut a JOIN ut b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, sa.n AS na, sb.n AS nb, inter,
+             |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+             |FROM pairs JOIN sizes sa ON sa.event_type = ta
+             |           JOIN sizes sb ON sb.event_type = tb
+             |ORDER BY ta, tb""".stripMargin)),
+
     // -- behavioral / growth analytics over the event log ----------------
     // The query family every event pipeline runs at scale; all three
     // reduce the raw log with a per-user aggregate FIRST (one keyed
