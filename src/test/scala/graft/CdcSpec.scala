@@ -64,4 +64,18 @@ class CdcSpec extends AnyFunSuite {
     // rank-window survivor selection plans as WindowGroupLimit pushdown
     assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
   }
+
+  test("snapshot diff: all four planted classes fire and partition the key space") {
+    val rows = SparkEntry.queries("q_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("added", "removed", "changed", "unchanged"))
+    rows.foreach { case (k, (n, cks)) =>
+      assert(n > 0L, s"class $k empty — the planted fixture broke")
+      assert(cks > 0L, s"class $k carries no key checksum")
+    }
+    // the classes partition doc_id space: %10∈{7}→added, {4}→removed,
+    // {3}→changed, rest unchanged — totals must sum to the table
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.values.map(_._1).sum === total)
+  }
 }
