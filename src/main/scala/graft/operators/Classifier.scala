@@ -72,26 +72,58 @@ object Classifier {
     round((lit(1.0) / (lit(1.0) + exp(-zCol(w)))) * lit(1000000.0))
       .cast("long") / lit(1000000.0)
 
+  /** One full-batch GD update of `w` in place; returns the row count.
+    * Shared by [[train]] and [[determinismMargins]] so the margin probe
+    * replays the EXACT weight trajectory the oracle chain computes. */
+  private def gdStep(f: DataFrame, w: Array[Double]): Long = {
+    val sq = sigmaQ(w)
+    val aggs = (0 to 3).map(j =>
+      sum(round(col(s"x$j") * (sq - col("y")) * lit(1000000000.0))
+        .cast("long")).as(s"g$j")) :+ count(lit(1)).as("n")
+    val row = f.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n")
+    for (j <- 0 to 3)
+      w(j) = w(j) - lr * (row.getAs[Long](s"g$j").toDouble / 1.0e9 / n)
+    n
+  }
+
   /** Runs the k-iteration GD and returns (weights, nRows, nCorrect). */
   def train(s: SparkSession, d: String): (Array[Double], Long, Long) = {
     val f = feats(s, d)
     val w = Array(0.0, 0.0, 0.0, 0.0)
     var n = 0L
-    for (_ <- 1 to iters) {
-      val sq = sigmaQ(w)
-      val aggs = (0 to 3).map(j =>
-        sum(round(col(s"x$j") * (sq - col("y")) * lit(1000000000.0))
-          .cast("long")).as(s"g$j")) :+ count(lit(1)).as("n")
-      val row = f.agg(aggs.head, aggs.tail: _*).head()
-      n = row.getAs[Long]("n")
-      for (j <- 0 to 3)
-        w(j) = w(j) - lr * (row.getAs[Long](s"g$j").toDouble / 1.0e9 / n)
-    }
+    for (_ <- 1 to iters) n = gdStep(f, w)
     val nCorrect = f
       .agg(sum(when((zCol(w) >= 0) === (col("y") === 1.0), 1L)
         .otherwise(0L)).as("nc"))
       .head().getAs[Long]("nc")
     (w, n, nCorrect)
+  }
+
+  /** The scaladoc's "~1e-10 of a cell edge" determinism caveat made
+    * MEASURABLE: returns (sigMargin, zMargin) where sigMargin is the
+    * smallest distance of any σ(z)·1e6 the gradient ever evaluates
+    * (all rows × all iteration weight vectors, exact trajectory
+    * replay) from a round() flip boundary (half-integers — the only
+    * place a cross-engine exp() ulp could change the quantized cell),
+    * and zMargin is the smallest |z| the final sign-decision sees (a
+    * z within an ulp of 0 could flip an accuracy count the same way).
+    * ClassifierSpec asserts both are orders of magnitude above ulp
+    * scale on the fixture, so the bit-equality oracle rests on a
+    * checked margin, not hope. */
+  def determinismMargins(s: SparkSession, d: String): (Double, Double) = {
+    val f = feats(s, d)
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    var sigMargin = Double.MaxValue
+    for (_ <- 1 to iters) {
+      val raw = (lit(1.0) / (lit(1.0) + exp(-zCol(w)))) * lit(1000000.0)
+      val frac = raw - floor(raw)
+      sigMargin = sigMargin.min(
+        f.agg(min(abs(frac - lit(0.5)))).head().getDouble(0))
+      gdStep(f, w)
+    }
+    val zMargin = f.agg(min(abs(zCol(w)))).head().getDouble(0)
+    (sigMargin, zMargin)
   }
 
   /** One DuckDB gradient CTE + weight-update CTE pair for iteration t,

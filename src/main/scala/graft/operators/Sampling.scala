@@ -284,8 +284,11 @@ object Sampling {
             sum((col("l_quantity") * col("l_quantity"))
               .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
               .cast("double").as("sxx"))
+          // a singleton stratum has no sample stddev (n-1 = 0 would put
+          // NaN → null into sigma_q and silently distort the weights);
+          // σ = 0 is the deterministic degenerate value in BOTH engines
           .selectExpr("l_returnflag", "n_rows",
-            "CAST(round(sqrt((n_rows * sxx - sx * sx) / (n_rows * (n_rows - 1.0))) * 1e6) AS BIGINT) AS sigma_q")
+            "CASE WHEN n_rows > 1 THEN CAST(round(sqrt((n_rows * sxx - sx * sx) / (n_rows * (n_rows - 1.0))) * 1e6) AS BIGINT) ELSE 0 END AS sigma_q")
           .withColumn("wq", expr("n_rows * sigma_q"))
         val tot = stats.agg(sum(col("wq")).as("sumw"))
         val wRem = Window.orderBy(col("rem").desc, col("l_returnflag"))
@@ -348,7 +351,7 @@ object Sampling {
               |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx
               |  FROM lineitem GROUP BY l_returnflag),
               |sq AS (SELECT l_returnflag, n_rows,
-              |    CAST(round(sqrt((n_rows * sxx - sx * sx) / (n_rows * (n_rows - 1.0))) * 1e6) AS BIGINT) AS sigma_q
+              |    CASE WHEN n_rows > 1 THEN CAST(round(sqrt((n_rows * sxx - sx * sx) / (n_rows * (n_rows - 1.0))) * 1e6) AS BIGINT) ELSE 0 END AS sigma_q
               |  FROM stats),
               |wq AS (SELECT *, n_rows * sigma_q AS wq FROM sq),
               |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS sumw FROM wq),

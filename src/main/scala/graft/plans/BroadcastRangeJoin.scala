@@ -84,13 +84,34 @@ case class BroadcastRangeJoinExec(
       s"broadcast range join supports integral/date/timestamp keys, got $other")
   }
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    // Build: collect + sort by lo ON THE DRIVER (the build side is
-    // broadcast-small by contract), ship one sorted index to every
-    // probe partition. maxWidth bounds the leftward walk.
+  /** Build index: collected + sorted by lo ON THE DRIVER, broadcast
+    * ONCE per plan instance — a lazy val so re-executing the same plan
+    * (e.g. a cached DataFrame re-run, or two actions over one frame)
+    * reuses the block instead of leaking a fresh broadcast per
+    * doExecute call. "Broadcast-small by contract" is ENFORCED here,
+    * not assumed: the collected UnsafeRow payload is size-checked
+    * against the session's autoBroadcastJoinThreshold (the same knob
+    * the built-in broadcast joins honor; a non-positive/disabled
+    * threshold falls back to a 256 MiB hard cap) and a clear error
+    * names the knob when the build side is too large. */
+  @transient private lazy val builtIndex
+      : org.apache.spark.broadcast.Broadcast[(Array[Long], Array[(Long, Long, InternalRow)])] = {
     val boundLo = BindReferences.bindReference(lo, right.output)
     val boundHi = BindReferences.bindReference(hi, right.output)
-    val collected = right.executeCollect().flatMap { row =>
+    val rows = right.executeCollect()
+    val confCap = session.sessionState.conf.autoBroadcastJoinThreshold
+    val cap = if (confCap > 0) confCap else 256L << 20
+    var bytes = 0L
+    rows.foreach {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+        bytes += u.getSizeInBytes
+      case _ => bytes += 64 // non-unsafe rows: conservative floor
+    }
+    if (bytes > cap) throw new IllegalStateException(
+      s"broadcast range join build side is $bytes bytes (cap $cap); " +
+        "it must fit in a broadcast — raise spark.sql.autoBroadcastJoinThreshold " +
+        "or use the declarative interval-bin join (q_join_interval) for large builds")
+    val collected = rows.flatMap { row =>
       val loV = boundLo.eval(row)
       val hiV = boundHi.eval(row)
       // NULL bounds match nothing, same as any join predicate
@@ -98,12 +119,16 @@ case class BroadcastRangeJoinExec(
       else Some((toLong(loV), toLong(hiV), row))
     }
     val entries = collected.sortBy(_._1)
-    val los = entries.map(_._1)
-    val maxWidth =
+    session.sparkContext.broadcast((entries.map(_._1), entries))
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bc = builtIndex
+    val maxWidth = {
+      val entries = bc.value._2
       if (entries.isEmpty) 0L
       else entries.iterator.map(e => e._2 - e._1).max.max(0L)
-    val bc = session.sparkContext.broadcast((los, entries))
-
+    }
     val boundPoint = BindReferences.bindReference(point, left.output)
     val attrs = output
     left.execute().mapPartitions { iter =>
@@ -275,16 +300,22 @@ object RangeJoins {
       org.apache.spark.sql.GraftSqlBridge.ofRows(probe.sparkSession,
         BroadcastRangeJoin(l, r, pA, tA, tA, asof = true))
     } else {
-      // degraded twin: candidates at-or-before, keep the latest per
-      // probe row (identified by an execution-scoped row id)
+      // Degraded twin: candidates at-or-before, keep the latest per
+      // probe row (identified by an execution-scoped row id). Side-
+      // qualified refs (keyed(point), b(t)) keep the predicate and the
+      // window key unambiguous when probe and build share column names
+      // — mirroring the custom path's exprId freshening — and __bid
+      // (build collect order) is the deterministic t-tie-break, the
+      // same "last build row wins" rule the sorted-index exec applies.
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
       val keyed = probe.withColumn("__rid", monotonically_increasing_id())
-      val w = Window.partitionBy("__rid").orderBy(col(t).desc)
-      keyed.join(build, col(point) >= col(t))
+      val b = build.withColumn("__bid", monotonically_increasing_id())
+      val w = Window.partitionBy("__rid").orderBy(b(t).desc, col("__bid").desc)
+      keyed.join(b, keyed(point) >= b(t))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .drop("__rn", "__rid")
+        .drop("__rn", "__rid", "__bid")
     }
   }
 

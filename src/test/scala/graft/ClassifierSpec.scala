@@ -30,6 +30,19 @@ class ClassifierSpec extends AnyFunSuite {
       "length must outweigh the stopword ratio for a length label")
   }
 
+  test("no sigmoid evaluation sits near a 1e-6 quantization cell edge") {
+    // The cross-engine oracle assumes Spark's and DuckDB's exp() agree
+    // within the 1e-6 sigmoid grid — true only when no σ(z)·1e6 value
+    // lands within ~an ulp (~1e-10) of a round() flip boundary. Assert
+    // the fixture's measured margins are ≥ 6 orders of magnitude wider,
+    // and that the final sign decision is equally far from z = 0.
+    val (sigMargin, zMargin) = operators.Classifier.determinismMargins(spark, sf)
+    assert(sigMargin > 1e-4,
+      s"σ·1e6 came within $sigMargin of a round() boundary — widen the grid")
+    assert(zMargin > 1e-4,
+      s"a decision z came within $zMargin of 0 — the accuracy count could flip")
+  }
+
   test("training is bit-deterministic across runs (oracle contract)") {
     val a = operators.Classifier.train(spark, sf)
     val b = operators.Classifier.train(spark, sf)

@@ -301,9 +301,13 @@ class ScaleSpec extends AnyFunSuite {
       Similarity.rpRecall(spark, sf, projDim = dim).head.getAs[Double]("recall_at_k")
     val (r8, r16, r32) = (rec(8), rec(16), rec(32))
     // the lower dims are prefixes of the same sign matrix, so more
-    // dimensions can only refine the distance estimate on average —
-    // the curve must rise across the 4× span even if single steps tie
-    assert(r8 <= r16 && r16 <= r32, s"recall must not drop: $r8, $r16, $r32")
+    // dimensions refine the distance estimate IN EXPECTATION — the JL
+    // guarantee is distributional, not per-instance, so a single step
+    // may dip slightly on a particular fixture; allow a small per-step
+    // tolerance and keep only the end-to-end 4×-span claim strict
+    val tol = 0.05
+    assert(r8 <= r16 + tol && r16 <= r32 + tol,
+      s"recall dropped beyond JL noise tolerance: $r8, $r16, $r32")
     assert(r32 > r8, s"proj_dim=32 recall $r32 must beat proj_dim=8 $r8")
   }
 
