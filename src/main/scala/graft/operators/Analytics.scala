@@ -160,6 +160,362 @@ object Analytics {
               |JOIN customer ON o_custkey = c_custkey
               |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // Q4: order-priority checking — the EXISTS-semi-join shape. The
+    // synthetic schema has no commit/receipt dates, so "late" is
+    // adapted to l_shipdate > o_orderdate + 60 days (same correlated
+    // mixed-side predicate class). Decorrelation: one LEFT SEMI join
+    // on the order key with the late condition fused into it — the
+    // fact is never aggregated or deduplicated first, the semi join
+    // short-circuits per order. Both sides shuffle once on orderkey;
+    // the quarter filter prunes the orders scan (PushedFilters).
+    QueryDef(
+      "q_tpch_q4",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q7: volume shipping between two nations by year. Plan
+    // discipline: the nation-name filters land on the TINY dimension
+    // paths (supplier⋈nation, customer⋈nation — both broadcast), so
+    // supplier and customer are pruned to two nations each BEFORE any
+    // fact join; lineitem then shuffles once on orderkey against the
+    // similarly-pruned orders. The OR of the two direction pairs is
+    // evaluated on the two attached nation names — a residual filter
+    // over an already-minimal join, not a cross-nation explosion.
+    QueryDef(
+      "q_tpch_q7",
+      (s, d) => {
+        val n1 = broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+        val supp = Tables.supplier(s, d).join(n1, col("s_nationkey") === col("sk"))
+        val cust = Tables.customer(s, d).join(n2, col("c_nationkey") === col("ck"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(supp.select("s_suppkey", "supp_nation")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(cust.select("c_custkey", "cust_nation")),
+            col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+            || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .withColumn("l_year", year(col("l_shipdate")))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              |FROM supplier
+              |JOIN lineitem ON s_suppkey = l_suppkey
+              |JOIN orders ON o_orderkey = l_orderkey
+              |JOIN customer ON c_custkey = o_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01'
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q8: market share — NATION_3 suppliers' fraction of ASIA
+    // customers' PROMO-part revenue by year. The share is a ratio of
+    // two exact decimal sums over the SAME joined frame (one pass,
+    // conditional numerator), so the division is the only double op.
+    // part is pruned to PROMO and broadcast into the fact scan; the
+    // supplier→nation attach rides a broadcast too — the fact shuffles
+    // once (orders join).
+    QueryDef(
+      "q_tpch_q8",
+      (s, d) => {
+        val promo = broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO").select("p_partkey"))
+        val suppNat = broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+        val asiaCust = broadcast(Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+          .select("c_custkey"))
+        Tables.lineitem(s, d)
+          .join(promo, col("l_partkey") === col("p_partkey"))
+          .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .groupBy("o_year")
+          .agg((dsum(when(col("supp_nation") === "NATION_3", col("volume"))
+            .otherwise(0.0), 4) / dsum(col("volume"), 4)).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+              |  ${sqlDsum("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)}
+              |  / ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS mkt_share
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN orders ON o_orderkey = l_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q10: returned-item reporting — top 20 customers by revenue lost
+    // to returns in a quarter. The returnflag filter prunes the fact
+    // scan; orders prunes to the quarter; nation attaches by
+    // broadcast. One orderkey shuffle + one custkey-grouped agg, then
+    // TakeOrdered(20).
+    QueryDef(
+      "q_tpch_q10",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderdate") >= lit("1996-10-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") && col("l_returnflag") === "R")
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+              |FROM customer
+              |JOIN orders ON c_custkey = o_custkey
+              |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01'
+              |JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+              |JOIN nation ON c_nationkey = n_nationkey
+              |GROUP BY 1, 2, 3, 4
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Q13: customer order-count distribution — the filtered LEFT
+    // OUTER + double aggregate. count(o_orderkey) (non-null only)
+    // keeps zero-order customers as c_count = 0; the second aggregate
+    // runs over the ≤|customer| frame. The priority exclusion adapts
+    // the spec's comment NOT LIKE filter to the available columns —
+    // the point is that the filter sits INSIDE the join condition (a
+    // WHERE would turn the outer join inner and drop the zero bucket).
+    QueryDef(
+      "q_tpch_q13",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""WITH c_orders AS (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+             |  GROUP BY c_custkey)
+             |SELECT c_count, COUNT(*) AS custdist
+             |FROM c_orders GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q14: promo-revenue share in one month — conditional-numerator
+    // ratio over a single broadcast-joined pass (part broadcasts into
+    // the month-pruned fact scan; zero fact shuffles, the global agg
+    // is map-side combined).
+    QueryDef(
+      "q_tpch_q14",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * dsum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0), 4)
+          / dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .as("promo_revenue")),
+      Some(s"""SELECT 100.0 * ${sqlDsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 4)}
+              |  / ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS promo_revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin)),
+
+    // Q15: top supplier by quarter revenue — the aggregate-then-
+    // scalar-max selection. ONE fact pass builds the per-supplier
+    // revenue frame; the max attaches via a global window OVER THAT
+    // AGGREGATE (≤|supplier| rows — the PlanSpec "global windows only
+    // on aggregates" rule), so lineitem is scanned exactly once and
+    // nothing re-runs for the scalar subquery.
+    QueryDef(
+      "q_tpch_q15",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("total_revenue"))
+        rev.withColumn("mx", max(col("total_revenue")).over(wAll))
+          .filter(col("total_revenue") === col("mx"))
+          .join(broadcast(Tables.supplier(s, d)), col("supplier_no") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH revenue AS (
+              |  SELECT l_suppkey AS supplier_no,
+              |    ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS total_revenue
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |    AND l_shipdate < TIMESTAMP '1996-04-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_revenue
+              |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+              |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+              |ORDER BY s_suppkey""".stripMargin)),
+
+    // Q19: disjunctive-predicate join — three OR'd brand/size/quantity
+    // branches sharing one equi-key. Catalyst keeps l_partkey =
+    // p_partkey as the join key and evaluates the OR as a residual;
+    // the scans are pre-pruned to the UNION of the branches (brands
+    // IN (...), quantity in the covering range) so the pushed filters
+    // carry the disjunction's common envelope even though the OR
+    // itself can't push. part is broadcast.
+    QueryDef(
+      "q_tpch_q19",
+      (s, d) => {
+        val p = broadcast(Tables.part(s, d)
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+          .select("p_partkey", "p_brand", "p_size"))
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+              && col("l_quantity").between(1, 11))
+              || (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+                && col("l_quantity").between(10, 20))
+              || (col("p_brand") === "Brand#34" && col("p_size").between(1, 35)
+                && col("l_quantity").between(20, 30)))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"), count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+              |  COUNT(*) AS n
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // Q21: suppliers who kept orders waiting — the double-correlated
+    // EXISTS / NOT EXISTS shape ("another supplier shipped in this
+    // order, but no OTHER supplier shipped late"), adapted to
+    // late = l_shipdate > o_orderdate + 90 days. Decorrelated the
+    // scalable way: instead of two correlated self-joins of the fact,
+    // ONE orderkey-shuffled frame feeds two stacked keyed aggregates —
+    // per-(order, supplier) late flags, then per-order supplier/late
+    // counts — and the qualifying pairs fall out of a filter over the
+    // re-join. The fact shuffles once; both aggregates reuse that
+    // exchange (the second groups a prefix of the first's key).
+    QueryDef(
+      "q_tpch_q21",
+      (s, d) => {
+        val lo = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+              .cast("int").as("late"))
+        val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("sup_late"))
+        val perOrd = perSupp.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"), sum(col("sup_late")).as("n_late"))
+        val natSupp = broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_5")
+          .select("s_suppkey", "s_name"))
+        perSupp.filter(col("sup_late") === 1)
+          .join(perOrd.filter(col("n_supp") > 1 && col("n_late") === 1), "l_orderkey")
+          .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+             |WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    // Q22: global sales opportunity — positive-balance average as a
+    // scalar subquery, then an ANTI join against orders (customers who
+    // never placed an URGENT order — every synthetic customer has SOME
+    // order, so the spec's "never bought" would select nothing; the
+    // priority filter keeps the anti join selective AND exercised).
+    // The average is ONE map-side-combined decimal agg broadcast back
+    // as a literal-sized frame; the anti join shuffles customer once
+    // against orders' pruned custkey projection.
+    QueryDef(
+      "q_tpch_q22",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .filter(col("c_nationkey").between(0, 6))
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg(davg(col("c_acctbal"), 2).as("avg_bal"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 2).as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some(s"""SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+              |  ${sqlDsum("c_acctbal", 2)} AS totacctbal
+              |FROM customer
+              |WHERE c_nationkey BETWEEN 0 AND 6
+              |  AND c_acctbal > (
+              |    SELECT ${sqlDavg("c_acctbal", 2)} FROM customer
+              |    WHERE c_acctbal > 0.0 AND c_nationkey BETWEEN 0 AND 6)
+              |  AND NOT EXISTS (SELECT 1 FROM orders
+              |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Audience overlap: |users(A) ∩ users(B)| for every unordered pair
     // of event types — the segment-intersection matrix a growth team
     // reads before targeting (do purchasers also view? do errors hit
