@@ -37,6 +37,24 @@ object TextAnalysis {
   private[graft] val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private[graft] val stopSql = stop.map(w => s"'$w'").mkString(", ")
 
+  /** PII patterns, RE2 ∩ java.util.regex common subset (q_pii_redact):
+    * character classes and bounded repetition only, no lookaround /
+    * backreferences, so Spark (Java regex) and DuckDB (RE2) match the
+    * same spans. */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private[graft] val Ipv4Re  = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The q_pii_redact spiked corpus (text + deterministically planted
+    * PII) — shared with the spec so redaction idempotence is checked
+    * against the exact query input. */
+  private[graft] def spikedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).selectExpr("doc_id", "lang",
+      "concat(text," +
+        " CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') ELSE '' END," +
+        " CASE WHEN doc_id % 11 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END," +
+        " CASE WHEN doc_id % 13 = 0 THEN concat(' from 10.0.', CAST(doc_id % 256 AS STRING), '.', CAST((doc_id * 7) % 256 AS STRING)) ELSE '' END) AS t2")
+
   /** Two-pass distributed cumulative sum feeding the q_text_pack bins.
     *
     * Pass 1: range-partition on `doc_id` (range, so partition order ==
@@ -338,6 +356,61 @@ object TextAnalysis {
               |      list_transform(string_split(text, ' '), w -> ${duckTokHash("w")})),
               |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PII detection + redaction — the scrubbing pass every training
+    // corpus runs before release: regex-detect emails / phone numbers /
+    // IPv4 addresses, count them, and rewrite each span to a typed
+    // placeholder. The synthetic corpus carries no natural PII, so the
+    // classes are PLANTED deterministically from doc_id (the
+    // q_snapshot_diff convention: both engines derive the same spiked
+    // text, so detection and redaction are genuinely exercised and the
+    // redacted-corpus checksum is oracle-pinned). Patterns stay in the
+    // RE2 ∩ java.util.regex common subset (character classes + bounded
+    // repetition, no lookaround) so Spark and DuckDB agree byte-for-
+    // byte. 100 TB shape: pure per-row codegen'd projection — three
+    // regexp passes, no shuffle except the final per-lang rollup.
+    QueryDef(
+      "q_pii_redact",
+      (s, d) => {
+        spikedDocs(s, d)
+          .withColumn("n_e", regexp_count(col("t2"), lit(EmailRe)))
+          .withColumn("n_p", regexp_count(col("t2"), lit(PhoneRe)))
+          .withColumn("n_i", regexp_count(col("t2"), lit(Ipv4Re)))
+          .withColumn("red", regexp_replace(
+            regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+              PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
+          .selectExpr("lang", "n_e", "n_p", "n_i",
+            s"${tokHash("red")} AS h")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_e") + col("n_p") + col("n_i") > 0, 1L).otherwise(0L))
+              .as("docs_with_pii"),
+            sum(col("n_e")).as("n_emails"),
+            sum(col("n_p")).as("n_phones"),
+            sum(col("n_i")).as("n_ips"),
+            sum(col("h")).as("red_cksum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, text ||
+              |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+              |    CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+              |    CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS t2
+              |  FROM documents),
+              |m AS (SELECT lang,
+              |    len(regexp_extract_all(t2, '$EmailRe')) AS n_e,
+              |    len(regexp_extract_all(t2, '$PhoneRe')) AS n_p,
+              |    len(regexp_extract_all(t2, '$Ipv4Re')) AS n_i,
+              |    regexp_replace(regexp_replace(regexp_replace(t2,
+              |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+              |      '$Ipv4Re', '<IP>', 'g') AS red
+              |  FROM t)
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN n_e + n_p + n_i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+              |  CAST(SUM(n_e) AS BIGINT) AS n_emails,
+              |  CAST(SUM(n_p) AS BIGINT) AS n_phones,
+              |  CAST(SUM(n_i) AS BIGINT) AS n_ips,
+              |  CAST(SUM(${duckTokHash("red")}) AS BIGINT) AS red_cksum
+              |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Repetition ratio — the corpus-filtering signal that catches
     // boilerplate and degenerate generations (a doc whose mass sits in

@@ -414,6 +414,66 @@ object Dedup {
       Some(s"""WITH $duckVerifiedPairsCtes
               |SELECT a, b, jaccard FROM verified ORDER BY a, b""".stripMargin)),
 
+    // Sorted-neighborhood (SNM) near-dup: the record-linkage classic —
+    // build a CANONICAL sort key (tokens sorted and re-joined, so
+    // token-order edits land near-dups adjacent), sort, and compare
+    // each doc only to its next w-1 = 2 neighbors. Distributed shape:
+    // blocked SNM — the block is the canonical key's head token, the
+    // window is PARTITIONed by block (no global sort, no unpartitioned
+    // window; the per-block sort is a keyed exchange), per-row state is
+    // w-1 lead columns, and the candidate set is ≤ (w-1)·n rows before
+    // the exact-Jaccard trim. Contract (the standard blocking
+    // trade-off): pairs whose canonical keys start with different
+    // tokens are missed by design — the MinHash path is the
+    // recall-complete twin; SNM is the cheap high-precision first pass
+    // (zero hash-join, one window).
+    QueryDef(
+      "q_dedup_sorted_neighborhood",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val keyed = Tables.documents(s, d).selectExpr(
+          "doc_id", "split(text, ' ') AS toks",
+          "array_join(array_sort(split(text, ' ')), ' ') AS skey")
+          .withColumn("blk", element_at(split(col("skey"), " "), 1))
+        val w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+        val nb = keyed
+          .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
+          .withColumn("n1_t", lead(col("toks"), 1).over(w))
+          .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
+          .withColumn("n2_t", lead(col("toks"), 2).over(w))
+        val cand = nb.filter(col("n1_id").isNotNull)
+          .select(col("doc_id").as("a_id"), col("n1_id").as("b_id"),
+            col("toks").as("ta"), col("n1_t").as("tb"))
+          .unionAll(nb.filter(col("n2_id").isNotNull)
+            .select(col("doc_id").as("a_id"), col("n2_id").as("b_id"),
+              col("toks").as("ta"), col("n2_t").as("tb")))
+        cand.selectExpr("a_id", "b_id",
+          "CAST(size(array_intersect(ta, tb)) AS DOUBLE) " +
+            "/ size(array_distinct(concat(ta, tb))) AS jac")
+          .filter(col("jac") >= 0.6)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS skey
+             |  FROM documents),
+             |k AS (SELECT doc_id, toks, skey, string_split(skey, ' ')[1] AS blk FROM t),
+             |nb AS (SELECT doc_id, toks,
+             |    LEAD(doc_id, 1) OVER w AS n1_id, LEAD(toks, 1) OVER w AS n1_t,
+             |    LEAD(doc_id, 2) OVER w AS n2_id, LEAD(toks, 2) OVER w AS n2_t
+             |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
+             |cand AS (
+             |  SELECT doc_id AS a_id, n1_id AS b_id, toks AS ta, n1_t AS tb
+             |  FROM nb WHERE n1_id IS NOT NULL
+             |  UNION ALL
+             |  SELECT doc_id, n2_id, toks, n2_t FROM nb WHERE n2_id IS NOT NULL)
+             |SELECT a_id, b_id,
+             |  CAST(len(list_filter(list_distinct(ta), x -> list_contains(tb, x))) AS DOUBLE)
+             |    / len(list_distinct(list_concat(ta, tb))) AS jac
+             |FROM cand
+             |WHERE CAST(len(list_filter(list_distinct(ta), x -> list_contains(tb, x))) AS DOUBLE)
+             |    / len(list_distinct(list_concat(ta, tb))) >= 0.6
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // Split-leakage audit: how many verified near-dup pairs CROSS the
     // train/test boundary — the eval-contamination number a holdout
     // split must drive to zero (a test doc with a near-duplicate in

@@ -168,4 +168,50 @@ class CurationSpec extends AnyFunSuite {
     val b = SparkEntry.queries("q_sample_neyman")(spark, sf).collect().toSeq
     assert(a === b)
   }
+
+  test("pii redaction: every planted class is found and redaction is complete") {
+    import graft.functions.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    val out = SparkEntry.queries("q_pii_redact")(spark, sf).collect()
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    // recall 1.0 on the planted classes: corpus-wide counts equal the
+    // planting moduli exactly (one instance per hit doc per class)
+    assert(out.map(_.getAs[Long]("n_emails")).sum === ids.count(_ % 7 == 0).toLong)
+    assert(out.map(_.getAs[Long]("n_phones")).sum === ids.count(_ % 11 == 0).toLong)
+    assert(out.map(_.getAs[Long]("n_ips")).sum === ids.count(_ % 13 == 0).toLong)
+    // redaction is COMPLETE: re-detecting over the redacted text finds
+    // nothing (the property a scrubbing pass actually promises)
+    val residual = graft.functions.TextAnalysis.spikedDocs(spark, sf)
+      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(
+        col("t2"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
+      .selectExpr(
+        s"SUM(regexp_count(red, '${EmailRe.replace("\\", "\\\\")}')) AS e",
+        s"SUM(regexp_count(red, '${PhoneRe.replace("\\", "\\\\")}')) AS p",
+        s"SUM(regexp_count(red, '${Ipv4Re.replace("\\", "\\\\")}')) AS i")
+      .head()
+    assert(residual.getLong(0) === 0L, "emails survived redaction")
+    assert(residual.getLong(1) === 0L, "phones survived redaction")
+    assert(residual.getLong(2) === 0L, "IPs survived redaction")
+  }
+
+  test("sorted-neighborhood pairs are exact-jaccard-verified and deterministic") {
+    val pairs = SparkEntry.queries("q_dedup_sorted_neighborhood")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "SNM must surface pairs on this fixture")
+    pairs.foreach { case (a, b, j) =>
+      assert(a != b); assert(j >= 0.6 && j <= 1.0)
+    }
+    // precision 1 against ground truth: every emitted pair's jaccard
+    // recomputed from the raw documents matches the emitted value
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS t").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case (a, b, j) =>
+      val (ta, tb) = (toks(a), toks(b))
+      val recomputed = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      assert(math.abs(recomputed - j) < 1e-12, s"pair ($a,$b): $recomputed vs $j")
+    }
+    val rerun = SparkEntry.queries("q_dedup_sorted_neighborhood")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === rerun.toSeq)
+  }
 }
