@@ -446,15 +446,25 @@ object Analytics {
     QueryDef(
       "q_tpch_q21",
       (s, d) => {
-        val lo = Tables.lineitem(s, d)
-          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-            .select("o_orderkey", "o_orderdate"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("l_orderkey"), col("l_suppkey"),
-            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-              .cast("int").as("late"))
-        val perSupp = lo.groupBy("l_orderkey", "l_suppkey")
-          .agg(max(col("late")).as("sup_late"))
+        // the per-(order, supplier) frame feeds THREE consumers (the
+        // per-order rollup and both sides of the qualifying re-join),
+        // so it is FrameCache-memoized — the fact join and its two
+        // orderkey exchanges run exactly once, everything downstream
+        // reads the InMemoryRelation (the knn-family discipline; the
+        // PlanSpec pin counts live orderkey exchanges). At 100 TB this
+        // materialization is ≤ one row per (order, supplier) pair —
+        // strictly smaller than the fact table it summarizes.
+        val perSupp = graft.FrameCache.memo(s, s"q21-persupp:$d") {
+          Tables.lineitem(s, d)
+            .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+              .select("o_orderkey", "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("l_orderkey"), col("l_suppkey"),
+              (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+                .cast("int").as("late"))
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(max(col("late")).as("sup_late"))
+        }
         val perOrd = perSupp.groupBy("l_orderkey")
           .agg(count(lit(1)).as("n_supp"), sum(col("sup_late")).as("n_late"))
         val natSupp = broadcast(Tables.supplier(s, d)

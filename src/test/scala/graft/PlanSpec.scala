@@ -146,6 +146,59 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"unexpected exchange count $exchanges:\n$p")
   }
 
+  test("TPC-H Q14's fact rows never shuffle — part broadcasts into the pruned scan") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact rows shuffled:\n$p")
+    // the only exchange is the single-row global-agg fan-in
+    val exchanges = "Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).length
+    assert(exchanges <= 1, s"unexpected exchange count $exchanges:\n$p")
+    // the month filter reaches the lineitem scan
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"shipdate not pushed:\n$p")
+  }
+
+  test("TPC-H Q19's disjunction keeps the equi-join and pushes the common envelope") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"OR predicate degraded the join:\n$p")
+    // the covering quantity range reaches the fact scan even though the
+    // OR itself can't push; the brand IN-list reaches the part scan
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"quantity envelope not pushed:\n$p")
+    assert("PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(p).isDefined,
+      s"brand list not pushed:\n$p")
+  }
+
+  test("TPC-H Q21 pays the fact scan and fact shuffle exactly once") {
+    // The per-(order,supplier) frame feeds three consumers, so it is
+    // FrameCache-memoized: lineitem is scanned ONCE, its orderkey
+    // exchange runs ONCE (both below the InMemoryRelation), and every
+    // downstream exchange moves only the ≤-one-row-per-(order,supplier)
+    // summary frame. (InMemoryTableScan drops the cached partitioning
+    // for re-aliased consumers — a known Spark wrinkle — so the summary
+    // re-shuffles exist, but they are aggregate-sized, never fact-
+    // sized; the pin is fact-side cost, not total exchange count.)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_tpch_q21")
+      assert(p.contains("InMemoryTableScan"),
+        s"per-(order,supplier) frame not memoized:\n$p")
+      // toString repeats the cached build subtree under every
+      // InMemoryTableScan consumer; the SAME cached scan prints with
+      // the same exprIds, a genuinely duplicated scan gets fresh ones —
+      // so distinct scan signatures count real executions
+      def distinctScans(table: String): Int =
+        s"FileScan parquet \\[[^\\]]*\\][^\\n]*$table\\.parquet".r
+          .findAllIn(p).toSet.size
+      assert(distinctScans("lineitem") === 1, s"lineitem scanned twice:\n$p")
+      assert(distinctScans("orders") === 1, s"orders re-scanned:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"hinted supplier join lost:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("ANN recall scoring joins candidates on the bucket key — no cartesian anywhere") {
     val p = plan("q_sim_recall")
     // the brute-force ground truth is a deliberate broadcast loop over
