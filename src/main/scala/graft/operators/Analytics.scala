@@ -572,6 +572,42 @@ object Analytics {
     // user/day/cohort frames. Global windows only ever sit on
     // aggregates (the PlanSpec rule).
 
+    // Event-transition matrix (first-order Markov): for every ordered
+    // pair of event types, how often does B directly follow A within a
+    // user's stream, and what fraction of A's outgoing transitions is
+    // that — the navigation/flow model behind "what happens after
+    // signup". One per-user window (keyed shuffle on user_id, the
+    // events family's standard exchange), then a small keyed agg; the
+    // row-probability window runs over the ≤|types|² aggregate. Ties
+    // in ts are broken by event_id so the sequence is total.
+    QueryDef(
+      "q_event_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val counts = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wFrom = Window.partitionBy("from_type")
+        counts
+          .withColumn("p", col("n").cast("double") / sum(col("n")).over(wFrom))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type,
+             |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |c AS (SELECT event_type AS from_type, next_type AS to_type,
+             |    COUNT(*) AS n
+             |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
     // New users per day + cumulative growth curve.
     QueryDef(
       "q_first_seen_daily",

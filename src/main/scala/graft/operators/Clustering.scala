@@ -666,6 +666,57 @@ object Clustering {
               |FROM a${KmIters + 1} a JOIN c$KmIters c USING (cid)
               |GROUP BY a.cid, c.cent ORDER BY a.cid""".stripMargin)),
 
+    // Simplified (centroid-based) silhouette over the k-means fit — the
+    // cluster-quality diagnostic run after every fit: a = distance to
+    // the own centroid, b = distance to the nearest OTHER centroid,
+    // s = (b−a)/max(a,b) ∈ [−1, 1]. Centroid-based (not pairwise) is
+    // the 100 TB form: K broadcast distances per point instead of the
+    // O(n²) pairwise definition. Distances reuse the quantized-dot
+    // discipline; the mean is an exact integer sum of floor(s·1e9) so
+    // both engines publish identical doubles (the sqrt outputs are
+    // arbitrary doubles — the Parity decimal cast's halfway caveat
+    // applies, so floor-quantization is the safe path here).
+    QueryDef(
+      "q_kmeans_silhouette",
+      (s, d) => {
+        val pts = cachedPoints(s, d)
+          .selectExpr("vec_id", "embedding", s"${sparkDot("embedding", "embedding")} AS pp")
+        val assigned = kmeansAssign(s, d)
+        val cents = assigned.select("cid", "cent").distinct()
+        val dists = pts
+          .join(assigned.select(col("vec_id"), col("cid").as("own")), "vec_id")
+          .crossJoin(broadcast(cents.selectExpr(
+            "cid AS ocid", "cent", s"${sparkDot("cent", "cent")} AS cc")))
+          .selectExpr("vec_id", "own", "ocid",
+            s"sqrt(greatest(CAST(0 AS DOUBLE), cc - 2 * ${sparkDot("embedding", "cent")} + pp)) AS dist")
+        dists.groupBy("vec_id", "own")
+          .agg(max(when(col("own") === col("ocid"), col("dist"))).as("a"),
+            min(when(col("own") =!= col("ocid"), col("dist"))).as("b"))
+          .selectExpr("own AS cid",
+            "CAST(floor((b - a) / greatest(a, b) * 1000000000) AS BIGINT) AS sq")
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("sq")).cast("double") / 1000000000.0 / count(lit(1)))
+              .as("mean_sil"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH $duckKmeansCtes,
+              |pp AS (SELECT vec_id, embedding,
+              |    ${duckDot("embedding", "embedding")} AS pp FROM pts),
+              |dd AS (SELECT f.vec_id, f.cid AS own, c.cid AS ocid,
+              |    sqrt(greatest(CAST(0 AS DOUBLE),
+              |      ${duckDot("c.cent", "c.cent")}
+              |      - 2 * ${duckDot("p.embedding", "c.cent")} + p.pp)) AS dist
+              |  FROM a${KmIters + 1} f JOIN pp p USING (vec_id) CROSS JOIN c$KmIters c),
+              |per AS (SELECT vec_id, own,
+              |    MAX(CASE WHEN own = ocid THEN dist END) AS a,
+              |    MIN(CASE WHEN own <> ocid THEN dist END) AS b
+              |  FROM dd GROUP BY vec_id, own)
+              |SELECT own AS cid, COUNT(*) AS n,
+              |  CAST(SUM(CAST(floor((b - a) / greatest(a, b) * 1000000000) AS BIGINT)) AS DOUBLE)
+              |    / 1000000000 / COUNT(*) AS mean_sil
+              |FROM per GROUP BY own ORDER BY cid""".stripMargin)),
+
     // Triangle count over the near-dup graph — the clustering-coefficient
     // numerator (how clique-like the duplication neighborhoods are; for
     // exact-copy groups the verified-pair graph is a clique, so the

@@ -616,6 +616,79 @@ object Similarity {
         "CAST(n_matched AS DOUBLE) / n_brute AS recall_at_k")
   }
 
+  /** FILTERED ANN — vector search under a metadata predicate (here:
+    * same-label neighbors only), the production "filtered vector
+    * search" problem. The predicate is applied to the CANDIDATE SET
+    * before any top-k cut — candidates are (same cell ∩ same label) —
+    * never as a post-filter over an unfiltered top-k, which is the
+    * classic recall bug (a k-cut taken before the predicate can starve
+    * or empty the filtered result). Ground truth is the brute filtered
+    * top-k (broadcast of `queryLimit` queries — O(Q·N), linear in the
+    * corpus); published output is the checked recall + candidate
+    * counts, the same surface as [[ivfRecall]]. */
+  def filteredAnn(s: org.apache.spark.sql.SparkSession, d: String, cells: Int,
+                  k: Int = 3, queryLimit: Int = 100): org.apache.spark.sql.DataFrame = {
+    val cellsF = cellAssign(s, d, cells).select("vec_id", "cell")
+    val n = withNorm(s, d)
+    val qn = n.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val cn = n.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_nrm"), col("label").as("c_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))
+    val brute = cn.join(broadcast(qn.filter(col("q_id") < queryLimit)),
+        col("q_id") =!= col("c_id") && col("q_label") === col("c_label"))
+      .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("q_id", "c_id")
+    val candIds = cellsF.select(col("vec_id").as("q_id"), col("cell"))
+      .filter(col("q_id") < queryLimit)
+      .join(cellsF.select(col("vec_id").as("c_id"), col("cell").as("c_cell")),
+        col("cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+    val cand = candIds.join(qn, "q_id").join(cn, "c_id")
+      .filter(col("q_label") === col("c_label"))
+      .selectExpr("q_id", "c_id", s"${sparkDot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cosine")
+    val approx = cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("q_id", "c_id")
+    brute.agg(countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_brute"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(brute.join(approx, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_matched")))
+      .selectExpr(s"$cells AS cells", "n_queries", "n_brute", "n_cand", "n_matched",
+        "CAST(n_matched AS DOUBLE) / n_brute AS recall_at_k")
+  }
+
+  /** DuckDB twin of [[filteredAnn]]. */
+  def filteredAnnOracle(cells: Int, k: Int = 3, queryLimit: Int = 100): String = {
+    val sfx = s"_f$cells"
+    s"""WITH $duckNormCte,
+       |fbrute AS (SELECT q_id, c_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+       |                    c.vec_id) AS rnk
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id AND q.label = c.label
+       |  WHERE q.vec_id < $queryLimit) WHERE rnk <= $k),
+       |${duckCellCtes(cells, sfx)},
+       |fids AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id
+       |  FROM cells$sfx q JOIN cells$sfx c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $queryLimit),
+       |fcand AS (SELECT q_id, c_id,
+       |    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM fids JOIN n q ON q.vec_id = q_id JOIN n c ON c.vec_id = c_id
+       |  WHERE q.label = c.label),
+       |fapprox AS (SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+       |  FROM fcand) WHERE rnk <= $k)
+       |SELECT $cells AS cells,
+       |  (SELECT COUNT(DISTINCT q_id) FROM fbrute) AS n_queries,
+       |  (SELECT COUNT(*) FROM fbrute) AS n_brute,
+       |  (SELECT COUNT(*) FROM fcand) AS n_cand,
+       |  COUNT(*) AS n_matched,
+       |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM fbrute) AS recall_at_k
+       |FROM fbrute JOIN fapprox USING (q_id, c_id)""".stripMargin
+  }
+
   /** Recall@k of MULTI-PROBE IVF: queries probe their `nprobe` nearest
     * cells instead of one — the standard recall lever of a production
     * IVF index (FAISS's nprobe). Members still live in exactly one
@@ -1058,6 +1131,15 @@ object Similarity {
                 |${parts.map(_._2).mkString("\nUNION ALL\n")}
                 |ORDER BY cells""".stripMargin)
       }),
+
+    // Filtered vector search: the metadata predicate (same label)
+    // intersects the candidate set BEFORE the top-k cut — pre-filter,
+    // never post-filter (the recall bug every production vector store
+    // documents). Rides the memoized cell assignment.
+    QueryDef(
+      "q_ann_filtered",
+      (s, d) => filteredAnn(s, d, cells = 8),
+      Some(filteredAnnOracle(cells = 8))),
 
     // Multi-probe recall curve at a fixed quantizer: nprobe = 1, 2, 4
     // over 22 cells. Probing more cells buys recall linearly in

@@ -62,4 +62,21 @@ class CellAssignSpec extends AnyFunSuite {
       assert(full(id) === cell, s"appending the delta moved base vector $id")
     }
   }
+
+  test("filtered ANN pre-filters: candidates shrink and recall stays a valid fraction") {
+    val f = operators.Similarity.filteredAnn(spark, sf, cells = 8).head()
+    val u = operators.Similarity.ivfRecall(spark, sf, cells = 8).head()
+    // the label predicate must prune the candidate set BEFORE scoring —
+    // filtered candidates are a strict subset of the unfiltered cell
+    // candidates (post-filtering would show equal counts)
+    assert(f.getAs[Long]("n_cand") < u.getAs[Long]("n_cand"),
+      s"filtered ${f.getAs[Long]("n_cand")} !< unfiltered ${u.getAs[Long]("n_cand")}")
+    val recall = f.getAs[Double]("recall_at_k")
+    assert(recall >= 0.0 && recall <= 1.0, s"recall $recall")
+    assert(f.getAs[Long]("n_matched") <= f.getAs[Long]("n_brute"))
+    // ground truth exists: every query with ≥1 same-label neighbor has
+    // brute rows — with 100 queries over a handful of labels this must
+    // be the full query set
+    assert(f.getAs[Long]("n_queries") === 100L)
+  }
 }

@@ -143,4 +143,21 @@ class ClusteringSpec extends AnyFunSuite {
         s"pagerank $v out of plausible range")
     }
   }
+
+  test("silhouette covers every point, stays in [-1,1], and b is never the own centroid") {
+    val rows = SparkEntry.queries("q_kmeans_silhouette")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._2).sum === Tables.embeddings(spark, sf).count(),
+      "every point must contribute to exactly one cluster's silhouette")
+    rows.foreach { case (cid, n, s) =>
+      assert(n > 0L)
+      assert(s >= -1.0 && s <= 1.0, s"cluster $cid mean silhouette $s out of range")
+    }
+    // determinism (the oracle replays the whole fit — any instability
+    // in the distance math would show up as a hash mismatch there, and
+    // as a diff here)
+    val rerun = SparkEntry.queries("q_kmeans_silhouette")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq === rerun.toSeq)
+  }
 }

@@ -28,6 +28,21 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("event transitions are a stochastic matrix over the observed sequences") {
+    val rows = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // each row's outgoing probabilities sum to 1 (stochastic matrix)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val p = rs.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"row $from sums to $p")
+    }
+    // total transition count = Σ_users (events − 1)
+    val expected = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(1) - 1).sum
+    assert(rows.map(_._3).sum === expected)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0L)
   }
