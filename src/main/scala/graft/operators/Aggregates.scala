@@ -577,6 +577,102 @@ object Aggregates {
     // overcount so est ≥ exact is a checked VALUE, not a comment. A
     // probe key absent from some row's cell (or from the corpus)
     // estimates 0 via the 4-cells-matched gate / left-join coalesce.
+    // KMV (k-minimum-values) distinct sketch + SET OPERATIONS — the
+    // mergeable distinct-count family theta sketches generalize:
+    // keep the k smallest hash values; est = (k−1)·2³²/h_k. Union
+    // sketches merge by re-taking the k smallest of the combined set
+    // (associative, order-free — the 100 TB merge property), and the
+    // intersection estimate is Jaccard-over-the-union-sketch scaled by
+    // the union estimate (the theta-sketch intersection rule). All
+    // hashes are md5-derived so BOTH engines compute the identical
+    // sketch, estimate, and error — est vs exact ships as checked
+    // VALUES. Scale shape: per-key k-smallest is a keyed window over
+    // distinct hashes; the union sketch extraction is TakeOrdered
+    // (map-side k-cut, O(k) driver merge), never a global sort.
+    QueryDef(
+      "q_kmv_sketch",
+      (s, d) => {
+        val k = 64
+        val h = graft.functions.TextAnalysis.tokHash("CAST(user_id AS STRING)")
+        val ev = Tables.events(s, d)
+        val hs = ev.selectExpr("event_type", s"$h AS h").distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")
+        val kth = hs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === k).select(col("event_type"), col("h").as("kth"))
+        val nh = hs.groupBy("event_type").agg(count(lit(1)).as("n_h"))
+        val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+        val perType = exact.join(nh, "event_type")
+          .join(kth, Seq("event_type"), "left_outer")
+          .selectExpr("event_type AS name", "n_exact",
+            s"CASE WHEN n_h >= $k THEN ($k - 1) * 4294967296.0 / kth " +
+              "ELSE CAST(n_h AS DOUBLE) END AS n_est")
+        val hu = hs.filter(col("event_type").isin("click", "view"))
+          .select("h").distinct()
+        val mem = hu.orderBy("h").limit(k)
+        val uk = mem.agg(max("h").as("kth"), count(lit(1)).as("n_m"))
+        val un = hu.agg(count(lit(1)).as("n_h"))
+        val uex = ev.filter(col("event_type").isin("click", "view"))
+          .agg(countDistinct("user_id").as("n_exact"))
+        val uRow = uex.crossJoin(un).crossJoin(uk)
+          .selectExpr("'click_or_view' AS name", "n_exact",
+            s"CASE WHEN n_h >= $k THEN ($k - 1) * 4294967296.0 / kth " +
+              "ELSE CAST(n_h AS DOUBLE) END AS n_est")
+        val m = mem
+          .join(hs.filter(col("event_type") === "click").select("h"), Seq("h"), "left_semi")
+          .join(hs.filter(col("event_type") === "view").select("h"), Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("m"))
+        val iex = ev.filter(col("event_type").isin("click", "view"))
+          .select("user_id", "event_type").distinct()
+          .groupBy("user_id").agg(countDistinct("event_type").as("nt"))
+          .filter(col("nt") === 2)
+          .agg(count(lit(1)).as("n_exact"))
+        val iRow = iex.crossJoin(m).crossJoin(uk)
+          .crossJoin(uRow.select(col("n_est").as("u_est")))
+          .selectExpr("'click_and_view' AS name", "n_exact",
+            "(CAST(m AS DOUBLE) / n_m) * u_est AS n_est")
+        perType.unionAll(uRow).unionAll(iRow).orderBy("name")
+      },
+      Some {
+        val k = 64
+        val h = graft.functions.TextAnalysis.duckTokHash("CAST(user_id AS VARCHAR)")
+        s"""WITH hs AS (SELECT DISTINCT event_type, $h AS h FROM events),
+           |kth AS (SELECT event_type, h AS kth FROM (
+           |  SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type
+           |    ORDER BY h) AS rk FROM hs) WHERE rk = $k),
+           |nh AS (SELECT event_type, COUNT(*) AS n_h FROM hs GROUP BY 1),
+           |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+           |  FROM events GROUP BY 1),
+           |per AS (SELECT ex.event_type AS name, n_exact,
+           |    CASE WHEN n_h >= $k THEN ($k - 1) * 4294967296.0 / kth
+           |         ELSE CAST(n_h AS DOUBLE) END AS n_est
+           |  FROM ex JOIN nh USING (event_type) LEFT JOIN kth USING (event_type)),
+           |hu AS (SELECT DISTINCT h FROM hs WHERE event_type IN ('click', 'view')),
+           |mem AS (SELECT h FROM hu ORDER BY h LIMIT $k),
+           |uk AS (SELECT MAX(h) AS kth, COUNT(*) AS n_m FROM mem),
+           |un AS (SELECT COUNT(*) AS n_h FROM hu),
+           |uex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events
+           |  WHERE event_type IN ('click', 'view')),
+           |urow AS (SELECT 'click_or_view' AS name, uex.n_exact,
+           |    CASE WHEN un.n_h >= $k THEN ($k - 1) * 4294967296.0 / uk.kth
+           |         ELSE CAST(un.n_h AS DOUBLE) END AS n_est
+           |  FROM uex, un, uk),
+           |mc AS (SELECT COUNT(*) AS m FROM mem
+           |  WHERE h IN (SELECT h FROM hs WHERE event_type = 'click')
+           |    AND h IN (SELECT h FROM hs WHERE event_type = 'view')),
+           |iex AS (SELECT COUNT(*) AS n_exact FROM (
+           |  SELECT user_id FROM (SELECT DISTINCT user_id, event_type FROM events
+           |    WHERE event_type IN ('click', 'view'))
+           |  GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2)),
+           |irow AS (SELECT 'click_and_view' AS name, iex.n_exact,
+           |    (CAST(m AS DOUBLE) / uk.n_m) * urow.n_est AS n_est
+           |  FROM iex, mc, uk, urow)
+           |SELECT name, CAST(n_exact AS BIGINT) AS n_exact, n_est FROM (
+           |  SELECT * FROM per UNION ALL SELECT * FROM urow
+           |  UNION ALL SELECT * FROM irow)
+           |ORDER BY name""".stripMargin
+      }),
+
     QueryDef(
       "q_cm_sketch",
       (s, d) => {

@@ -543,6 +543,35 @@ object Clustering {
        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
        |  FROM scored)""".stripMargin
 
+  /** Synchronous label propagation over the near-dup pair graph:
+    * `rounds` fixed rounds, each node adopting the most frequent label
+    * among neighbors + self, ties by MIN label — deterministic, so the
+    * DuckDB oracle replays the identical trajectory. Returns the final
+    * (v, lbl) assignment (q_graph_labelprop aggregates it;
+    * LabelPropSpec joins it against the CC labeling). */
+  private[graft] def labelProp(s: SparkSession, d: String,
+                               rounds: Int = 3): DataFrame = {
+    val e = Dedup.minhashPairs(s, d).select("a", "b")
+    val nodes = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v"))).distinct()
+    var lbl = nodes.withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      val votes = e.join(lbl.withColumnRenamed("v", "nb"), col("b") === col("nb"))
+        .select(col("a").as("v"), col("lbl"))
+        .unionAll(e.join(lbl.withColumnRenamed("v", "na"), col("a") === col("na"))
+          .select(col("b").as("v"), col("lbl")))
+        .unionAll(lbl)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("v").orderBy(col("n").desc, col("lbl"))
+      val nxt = votes.groupBy("v", "lbl").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select("v", "lbl")
+      val ck = nxt.localCheckpoint(true)
+      lbl = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    lbl
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Product-quantization codebook fit + code assignment, pinned
@@ -716,6 +745,50 @@ object Clustering {
               |  CAST(SUM(CAST(floor((b - a) / greatest(a, b) * 1000000000) AS BIGINT)) AS DOUBLE)
               |    / 1000000000 / COUNT(*) AS mean_sil
               |FROM per GROUP BY own ORDER BY cid""".stripMargin)),
+
+    // (labelProp is defined below the defs list; the final (v, lbl)
+    // frame is also what LabelPropSpec joins against the CC labeling
+    // to pin that every community refines a connected component.)
+    // Label-propagation communities over the near-dup graph — the
+    // community structure WITHIN components that connected components
+    // can't see (CC fuses everything reachable; LPA converges to dense
+    // neighborhoods). Synchronous LPA, 3 fixed rounds, fully
+    // deterministic: each node adopts the most frequent label among its
+    // neighbors plus itself, majority ties broken by MIN label — so
+    // both engines replay the identical trajectory (the DuckDB oracle
+    // chains one vote+argmax CTE pair per round). Scale shape per
+    // round: one edge⋈label join each direction (keyed on the node) +
+    // one keyed count — the pregel-style message pass as plain
+    // relational ops; the label frame is checkpointed each round so
+    // round r+1's plan starts from materialized rows, not a 3-deep
+    // nested join tree (the k-means discipline).
+    QueryDef(
+      "q_graph_labelprop",
+      (s, d) => labelProp(s, d).groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("size"),
+          sum(col("v") * 7).cast("bigint").as("member_checksum"))
+        .orderBy("community"),
+      Some {
+        def round(i: Int): String = {
+          val prev = s"l${i - 1}"
+          s"""v$i AS (SELECT v, lbl, COUNT(*) AS n FROM (
+             |  SELECT e.a AS v, l.lbl FROM e JOIN $prev l ON l.v = e.b
+             |  UNION ALL SELECT e.b, l.lbl FROM e JOIN $prev l ON l.v = e.a
+             |  UNION ALL SELECT v, lbl FROM $prev) GROUP BY v, lbl),
+             |l$i AS (SELECT v, lbl FROM (
+             |  SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+             |    ORDER BY n DESC, lbl) AS rk FROM v$i) WHERE rk = 1)""".stripMargin
+        }
+        s"""WITH ${Dedup.duckVerifiedPairsCtes},
+           |e AS (SELECT a, b FROM verified),
+           |n0 AS (SELECT DISTINCT v FROM (
+           |  SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+           |l0 AS (SELECT v, v AS lbl FROM n0),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT lbl AS community, COUNT(*) AS size,
+           |  CAST(SUM(v * 7) AS BIGINT) AS member_checksum
+           |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
+      }),
 
     // Triangle count over the near-dup graph — the clustering-coefficient
     // numerator (how clique-like the duplication neighborhoods are; for

@@ -144,6 +144,49 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation partitions the pair-graph nodes and refines the components") {
+    import org.apache.spark.sql.functions._
+    val lp = operators.Clustering.labelProp(spark, sf)
+    val pairs = operators.Dedup.minhashPairs(spark, sf).select("a", "b")
+    val nodes = pairs.select(col("a").as("v")).unionAll(pairs.select(col("b").as("v")))
+      .distinct()
+    // total assignment: every pair-graph node gets exactly one label
+    assert(lp.count() === nodes.count())
+    assert(lp.select("v").distinct().count() === nodes.count())
+    // refinement: a community never straddles two connected components
+    // (LPA moves labels only along edges, so each community must sit
+    // inside one component)
+    val cc = operators.Clustering.connectedComponents(pairs)
+      .select(col("v"), col("lab"))
+    val straddlers = lp.join(cc, "v")
+      .groupBy("lbl").agg(countDistinct("lab").as("n_comp"))
+      .filter(col("n_comp") > 1).count()
+    assert(straddlers === 0L, s"$straddlers communities straddle components")
+    // and communities genuinely refine: at least as many communities as
+    // components (strictly more on this fixture — LPA sees structure CC
+    // fuses)
+    val nComm = lp.select("lbl").distinct().count()
+    val nComp = cc.select("lab").distinct().count()
+    assert(nComm >= nComp, s"$nComm communities < $nComp components")
+  }
+
+  test("kmv sketch estimates land within the k=64 error envelope and obey set algebra") {
+    val byName = SparkEntry.queries("q_kmv_sketch")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    byName.foreach { case (name, (exact, est)) =>
+      assert(est > 0.0, s"$name estimate $est")
+      // k=64 → σ ≈ 12.6%; 3σ envelope, deterministic data so no flake
+      if (exact >= 64)
+        assert(math.abs(est - exact) / exact < 0.38,
+          s"$name: est $est vs exact $exact outside the KMV envelope")
+      else // under-k regime is EXACT by construction
+        assert(est === exact.toDouble, s"$name under-k must be exact")
+    }
+    // set algebra: union ≥ each side, intersection ≤ union
+    assert(byName("click_or_view")._2 >= byName("click")._2 - 1e-9)
+    assert(byName("click_and_view")._2 <= byName("click_or_view")._2 + 1e-9)
+  }
+
   test("silhouette covers every point, stays in [-1,1], and b is never the own centroid") {
     val rows = SparkEntry.queries("q_kmeans_silhouette")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
