@@ -160,6 +160,77 @@ object Multimodal {
     }
   }
 
+  // ---- JPEG: marker stream with JFIF APP0 + SOF ----------------------
+
+  /** Structurally valid JPEG marker stream: SOI, JFIF APP0, a COM
+    * segment carrying `body`, an SOF0 (baseline) or SOF2 (progressive)
+    * frame header with the given dimensions, EOI. Header codec, not an
+    * entropy coder — no DQT/DHT/SOS, the same contract as
+    * [[buildPng]]/[[buildMp4]]. */
+  def buildJpeg(width: Int, height: Int, progressive: Boolean,
+                body: Array[Byte]): Array[Byte] = {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + payload.length).order(ByteOrder.BIG_ENDIAN)
+      b.put(0xFF.toByte).put(marker.toByte)
+        .putShort((payload.length + 2).toShort).put(payload)
+      b.array()
+    }
+    val app0 = {
+      val b = ByteBuffer.allocate(14).order(ByteOrder.BIG_ENDIAN)
+      b.put("JFIF".getBytes(UTF_8)).put(0.toByte) // identifier + NUL
+        .put(1.toByte).put(1.toByte)              // version 1.1
+        .put(0.toByte)                            // units: none
+        .putShort(1).putShort(1)                  // densities
+        .put(0.toByte).put(0.toByte)              // no thumbnail
+      b.array()
+    }
+    val sof = {
+      val b = ByteBuffer.allocate(15).order(ByteOrder.BIG_ENDIAN)
+      b.put(8.toByte)                 // precision
+        .putShort(height.toShort).putShort(width.toShort)
+        .put(3.toByte)                // components
+      for (c <- 1 to 3)
+        b.put(c.toByte).put(0x11.toByte).put(0.toByte)
+      b.array()
+    }
+    Array(0xFF.toByte, 0xD8.toByte) ++            // SOI
+      seg(0xE0, app0) ++
+      seg(0xFE, body) ++                          // COM
+      seg(if (progressive) 0xC2 else 0xC0, sof) ++
+      Array(0xFF.toByte, 0xD9.toByte)             // EOI
+  }
+
+  /** Parse (width, height, progressive) by walking the marker stream to
+    * the first SOF0–SOF3; None unless the stream starts with SOI and a
+    * well-formed frame header is found before EOI/SOS/truncation. */
+  def jpegMeta(bytes: Array[Byte]): Option[(Int, Int, Boolean)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8)
+      return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xFF) return None
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI/SOS first
+      if (marker >= 0xD0 && marker <= 0xD8) { i += 2 }  // bare markers
+      else {
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > bytes.length) return None
+        if (marker >= 0xC0 && marker <= 0xC3) {
+          if (len < 7) return None
+          val h = ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff)
+          val w = ((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff)
+          if (w <= 0 || h <= 0) return None
+          return Some((w, h, marker == 0xC2))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private[graft] def expectedJpegDims(docId: Long): (Int, Int) =
+    (32 + (docId % 480).toInt, 32 + (docId % 270).toInt)
+
   // ---- MP4: minimal ISO-BMFF box tree --------------------------------
 
   /** mvhd timescale, chosen as the frame rate so duration-in-ticks IS
@@ -408,6 +479,36 @@ object Multimodal {
              |  md5(text) AS digest,
              |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
              |       WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // JPEG marker-walk codec — the 4th modality, additive beside the
+    // %3 mime split (PNG/WAV/mp4 keep their closed forms): build a
+    // JFIF stream per doc with planted dims + baseline/progressive
+    // SOF, parse it back by walking the marker segments, oracle the
+    // closed forms. Same contract as the other codecs: every parsed
+    // field has a (doc_id, byte-length) closed form, so a parser that
+    // misreads any marker length or dimension field hash-mismatches.
+    QueryDef(
+      "q_media_jpeg",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+          .map { case (id, text) =>
+            val (w, h) = expectedJpegDims(id)
+            val bytes = buildJpeg(w, h, id % 2 == 1, text.getBytes(UTF_8))
+            val meta = jpegMeta(bytes)
+            (id, bytes.length, meta.map(_._1).getOrElse(-1),
+              meta.map(_._2).getOrElse(-1), meta.exists(_._3))
+          }
+          .toDF("doc_id", "n_bytes", "width", "height", "progressive")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(45 + octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+             |  CAST(32 + doc_id % 480 AS INT) AS width,
+             |  CAST(32 + doc_id % 270 AS INT) AS height,
+             |  doc_id % 2 = 1 AS progressive
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // The decoded-feature frame itself (typed mapPartitions path). The

@@ -109,6 +109,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg codec round-trips dims and flags, and rejects malformed streams") {
+    val body = "some text body".getBytes("UTF-8")
+    val base = Multimodal.buildJpeg(640, 480, progressive = false, body)
+    assert(Multimodal.jpegMeta(base) === Some((640, 480, false)))
+    val prog = Multimodal.buildJpeg(321, 17, progressive = true, body)
+    assert(Multimodal.jpegMeta(prog) === Some((321, 17, true)))
+    // malformed: wrong signature, truncation mid-segment, empty
+    assert(Multimodal.jpegMeta("nope".getBytes("UTF-8")) === None)
+    assert(Multimodal.jpegMeta(base.take(10)) === None)
+    assert(Multimodal.jpegMeta(Array.emptyByteArray) === None)
+    // a COM length field pointing past the buffer must not crash or parse
+    val clipped = base.take(base.length - 25)
+    assert(Multimodal.jpegMeta(clipped) === None)
+  }
+
   test("decode batch shape: partition iterators consumed in fixed-size batches") {
     import spark.implicits._
     // 130 rows in one partition → batches of 64,64,2; all rows must survive
