@@ -208,7 +208,30 @@ object Bench {
     // the custom-planned broadcast range join (log m probe vs BNLJ)
     "q_join_range_bcast",
     // the same exec in asof mode, oracle'd against DuckDB's ASOF JOIN
-    "q_join_asof_bcast")
+    "q_join_asof_bcast",
+    // round 11: the widened TPC-H surface — semi (Q4), two-nation OR
+    // (Q7), share ratio (Q8), returns top-20 (Q10), outer-join
+    // distribution (Q13), zero-shuffle promo share (Q14), agg-then-max
+    // (Q15), disjunctive join (Q19), memoized double-anti (Q21),
+    // anti + scalar avg (Q22)
+    "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q19", "q_tpch_q21", "q_tpch_q22",
+    // round 11: corpus scrubbing (3 regexp passes, stateless scan) and
+    // the blocked sorted-neighborhood near-dup window
+    "q_pii_redact",
+    "q_dedup_sorted_neighborhood",
+    // round 11: filtered vector search (pre-filtered cell candidates
+    // vs brute filtered ground truth), the simplified silhouette
+    // (K broadcast distances/point), LPA communities (3 message
+    // rounds), the KMV distinct sketch (keyed k-smallest + TakeOrdered
+    // union), the Markov transition matrix (one per-user window), and
+    // the JPEG marker codec (per-row build+parse)
+    "q_ann_filtered",
+    "q_kmeans_silhouette",
+    "q_graph_labelprop",
+    "q_kmv_sketch",
+    "q_event_transitions",
+    "q_media_jpeg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
