@@ -248,6 +248,46 @@ object Layout {
              |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Dynamic partition overwrite — the write-path contract a
+    // partitioned 100 TB table depends on: rewriting ONE partition must
+    // not touch its siblings. Full partitioned write, then a second
+    // overwrite that targets only lang = max(lang) with the
+    // odd-doc_ids dropped; under `partitionOverwriteMode=dynamic` the
+    // other partitions survive untouched (static mode would truncate
+    // the whole table — exactly the production incident this setting
+    // exists to prevent). The read-back per-lang counts + key checksum
+    // are the oracle obligation, so a wrongly-truncated or
+    // doubly-written partition hash-mismatches.
+    QueryDef(
+      "q_write_dynamic",
+      (s, d) => {
+        val key = java.lang.Integer.toHexString(d.hashCode)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_dynpart/$key"
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          val docs = Tables.documents(s, d)
+          docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+          val target = docs.agg(max("lang")).head().getString(0)
+          docs.filter(col("lang") === target && col("doc_id") % 2 === 0)
+            .write.partitionBy("lang").mode("overwrite").parquet(dir)
+          s.read.parquet(dir)
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n"),
+              sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+            .orderBy("lang")
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      },
+      Some("""WITH ml AS (SELECT MAX(lang) AS target FROM documents)
+             |SELECT lang, COUNT(*) AS n,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+             |FROM documents, ml
+             |WHERE lang <> target OR doc_id % 2 = 0
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef(
       "q_shard_assign",
       (s, d) => Tables.documents(s, d)

@@ -26,7 +26,60 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Discrete-Laplace inverse-CDF thresholds for q_dp_counts, scale
+    * 2^60: C_j = round(CDF(j)·2^60) for j = −K..K−1 with
+    * P(k) ∝ α^|k|, α = e^(−1/b), b = 2 (ε = 0.5). Computed ONCE here
+    * and embedded as the same integer literals in BOTH engines'
+    * expressions, so noise sampling is pure integer comparison — no
+    * transcendental ever evaluates at query time, which is what makes
+    * a "random" mechanism bit-identical cross-engine. Tail truncated
+    * at K = 40 (residual mass ~α^41/(1−α)·norm < 4e-9, identical by
+    * construction in both engines). */
+  private val DpK = 40
+  private[graft] val dpThresholds: Seq[Long] = {
+    val alpha = math.exp(-0.5)
+    val norm = (1 - alpha) / (1 + alpha)
+    def p(k: Int): Double = norm * math.pow(alpha, math.abs(k))
+    (-DpK until DpK).scanLeft(0.0)((acc, k) => acc + p(k)).drop(1)
+      .map(c => math.min(math.round(c * math.pow(2, 60)), (1L << 60) - 1))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Differentially-private count release (ε = 0.5, sensitivity 1) —
+    // the mechanism a corpus publisher runs before sharing per-slice
+    // statistics: per-lang doc counts + discrete-Laplace noise. The
+    // noise is sampled by inverse CDF over a 60-bit md5-derived
+    // uniform against the PRE-COMPUTED integer threshold table
+    // (dpThresholds — shared literals, both engines count thresholds
+    // ≤ u with one HOF filter). true_n rides along because the oracle
+    // must pin the mechanism, not hide it; a real release drops it.
+    // Stateless scan + one tiny keyed agg — nothing at 100 TB scale
+    // but the count pass itself.
+    QueryDef(
+      "q_dp_counts",
+      (s, d) => {
+        val t = dpThresholds.mkString("array(", ", ", ")")
+        val u = "CAST(conv(substr(md5(concat('dp:', lang)), 1, 15), 16, 10) AS BIGINT)"
+        Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("true_n"))
+          .selectExpr("lang", "true_n",
+            s"size(filter($t, t -> t <= $u)) - $DpK AS noise")
+          .selectExpr("lang", "true_n", "noise",
+            "true_n + noise AS noisy_n", "CAST(0.5 AS DOUBLE) AS epsilon")
+          .orderBy("lang")
+      },
+      Some {
+        val t = dpThresholds.mkString("[", ", ", "]")
+        val u = "CAST(('0x' || substr(md5('dp:' || lang), 1, 15)) AS BIGINT)"
+        s"""WITH c AS (SELECT lang, COUNT(*) AS true_n FROM documents GROUP BY lang),
+           |n AS (SELECT lang, true_n,
+           |    len(list_filter($t, t -> t <= $u)) - $DpK AS noise
+           |  FROM c)
+           |SELECT lang, true_n, CAST(noise AS INT) AS noise,
+           |  true_n + noise AS noisy_n, CAST(0.5 AS DOUBLE) AS epsilon
+           |FROM n ORDER BY lang""".stripMargin
+      }),
 
     // Declared-constraint audit: one row per rule, one scan per table.
     // customer_acctbal_nonneg and lineitem_discount_cap genuinely fire

@@ -59,6 +59,76 @@ object TimeSeries {
               |  ON agg.user_id = spine.user_id AND agg.bucket = spine.bucket
               |ORDER BY spine.user_id, spine.bucket""".stripMargin)),
 
+    // Linear gap interpolation — the other standard resample fill
+    // (q_ts_resample forward-fills; telemetry/finance pipelines lerp):
+    // each empty 6-hour bucket gets prev + (next − prev) · frac, frac
+    // from integer epoch seconds. Two per-user windows (one backward
+    // ignore-nulls carry for the previous observed value+bucket, one
+    // forward for the next); spine endpoints are observed by
+    // construction, so the lerp is total. Arithmetic is IEEE per-row
+    // over Parity-deterministic bucket sums — no transcendental, no
+    // quantization needed. Everything partitions by user (the
+    // q_ts_resample exchange, reused shape).
+    QueryDef(
+      "q_ts_interpolate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val agg = Tables.events(s, d)
+          .groupBy(col("user_id"), window(col("ts"), "6 hours").getField("start").as("bucket"))
+          .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
+        val spine = agg.groupBy("user_id")
+          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+          .selectExpr("user_id", "explode(sequence(b0, b1, interval 6 hours)) AS bucket")
+        val wPrev = Window.partitionBy("user_id").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.partitionBy("user_id").orderBy("bucket")
+          .rowsBetween(0, Window.unboundedFollowing)
+        spine.join(agg, Seq("user_id", "bucket"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("pv", last(col("sum_value"), ignoreNulls = true).over(wPrev))
+          .withColumn("pb", last(when(col("sum_value").isNotNull, col("bucket")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("sum_value"), ignoreNulls = true).over(wNext))
+          .withColumn("nb", first(when(col("sum_value").isNotNull, col("bucket")),
+            ignoreNulls = true).over(wNext))
+          .selectExpr("user_id", "bucket", "n",
+            """CASE WHEN sum_value IS NOT NULL THEN sum_value
+              |     ELSE pv + (nv - pv)
+              |          * (CAST(unix_timestamp(bucket) - unix_timestamp(pb) AS DOUBLE)
+              |             / (unix_timestamp(nb) - unix_timestamp(pb)))
+              |END AS interp_value""".stripMargin)
+          .orderBy("user_id", "bucket")
+      },
+      Some(s"""WITH agg AS (
+              |  SELECT user_id, time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+              |    COUNT(*) AS n, ${Parity.sqlDsum("value", 2)} AS sum_value
+              |  FROM events GROUP BY 1, 2),
+              |spine AS (
+              |  SELECT user_id, UNNEST(generate_series(b0, b1, INTERVAL 6 HOUR)) AS bucket
+              |  FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+              |        FROM agg GROUP BY user_id)),
+              |j AS (SELECT spine.user_id, spine.bucket,
+              |    COALESCE(agg.n, 0) AS n, agg.sum_value,
+              |    last_value(agg.sum_value IGNORE NULLS) OVER wp AS pv,
+              |    last_value(CASE WHEN agg.sum_value IS NOT NULL
+              |               THEN spine.bucket END IGNORE NULLS) OVER wp AS pb,
+              |    first_value(agg.sum_value IGNORE NULLS) OVER wn AS nv,
+              |    first_value(CASE WHEN agg.sum_value IS NOT NULL
+              |                THEN spine.bucket END IGNORE NULLS) OVER wn AS nb
+              |  FROM spine LEFT JOIN agg
+              |    ON agg.user_id = spine.user_id AND agg.bucket = spine.bucket
+              |  WINDOW wp AS (PARTITION BY spine.user_id ORDER BY spine.bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |  wn AS (PARTITION BY spine.user_id ORDER BY spine.bucket
+              |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              |SELECT user_id, bucket, n,
+              |  CASE WHEN sum_value IS NOT NULL THEN sum_value
+              |       ELSE pv + (nv - pv)
+              |            * (CAST(epoch(bucket) - epoch(pb) AS DOUBLE)
+              |               / (epoch(nb) - epoch(pb)))
+              |  END AS interp_value
+              |FROM j ORDER BY user_id, bucket""".stripMargin)),
+
     // Interval-overlap maximum (sweep line): peak number of concurrent
     // in-transit shipments per supplier. Each interval emits a +1/-1
     // boundary event; a per-supplier running sum over (date, delta)

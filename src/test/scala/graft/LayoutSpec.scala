@@ -144,4 +144,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(a.count() === b.count())
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
+
+  test("dynamic partition overwrite rewrites only the targeted partition") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_write_dynamic")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = before.keys.max
+    val evens = Tables.documents(spark, sf)
+      .filter(col("lang") === target && col("doc_id") % 2 === 0).count()
+    assert(out(target) === evens, "targeted partition must hold only the rewrite")
+    (before.keySet - target).foreach { l =>
+      assert(out(l) === before(l), s"sibling partition $l was touched")
+    }
+    // the overwrite mode is restored after the query (session hygiene;
+    // getOption surfaces the built-in STATIC default, not None)
+    val mode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    assert(!mode.exists(_.equalsIgnoreCase("dynamic")), s"mode leaked: $mode")
+  }
 }

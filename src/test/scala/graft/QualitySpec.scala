@@ -66,4 +66,25 @@ class QualitySpec extends AnyFunSuite {
     // three audited tables → exactly three parquet scans in the plan
     assert("Scan parquet".r.findAllIn(p).size === 3, s"plan:\n$p")
   }
+
+  test("dp counts: bounded deterministic noise, correct release arithmetic") {
+    val rows = SparkEntry.queries("q_dp_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, t, noise, noisy) =>
+      assert(math.abs(noise) <= 40, s"$lang noise $noise outside the truncated support")
+      assert(noisy === t + noise)
+    }
+    // the mechanism genuinely perturbs (all-zero noise on 5 langs has
+    // probability ~3e-4 — and the fixture is fixed, so this is a pin,
+    // not a flake)
+    assert(rows.exists(_._3 != 0), "no lang drew non-zero noise")
+    // threshold table is a valid CDF: strictly increasing, spans 2^60
+    val t = operators.Quality.dpThresholds
+    assert(t === t.sorted && t.distinct.size === t.size)
+    assert(t.last <= (1L << 60) - 1 && t.head > 0L)
+    val rerun = SparkEntry.queries("q_dp_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.toSeq === rerun.toSeq)
+  }
 }

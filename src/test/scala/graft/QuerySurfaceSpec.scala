@@ -28,6 +28,42 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("linear interpolation matches observations exactly and stays inside each gap's bracket") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_ts_interpolate")(spark, sf)
+    // no gap is ever left null (spine endpoints are observed)
+    assert(out.filter(col("interp_value").isNull).count() === 0L)
+    // observed buckets (n > 0) pass the raw bucket sum through unchanged
+    val resample = SparkEntry.queries("q_ts_resample")(spark, sf)
+      .filter(col("n") > 0).select("user_id", "bucket", "ffill_value")
+    val observed = out.filter(col("n") > 0)
+      .join(resample, Seq("user_id", "bucket"))
+      .filter(col("interp_value") =!= col("ffill_value")).count()
+    assert(observed === 0L, "an observed bucket was altered by interpolation")
+    // a gap value must lie within [min, max] of its bracketing values:
+    // linear interpolation never overshoots
+    val rows = out.orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, seq) =>
+      var prev = Double.NaN
+      var i = 0
+      while (i < seq.length) {
+        if (seq(i)._2 > 0) { prev = seq(i)._3; i += 1 }
+        else {
+          var j = i
+          while (seq(j)._2 == 0) j += 1
+          val next = seq(j)._3
+          val (lo, hi) = (math.min(prev, next), math.max(prev, next))
+          (i until j).foreach { g =>
+            assert(seq(g)._3 >= lo - 1e-9 && seq(g)._3 <= hi + 1e-9,
+              s"gap value ${seq(g)._3} outside [$lo, $hi]")
+          }
+          i = j
+        }
+      }
+    }
+  }
+
   test("event transitions are a stochastic matrix over the observed sequences") {
     val rows = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
