@@ -746,6 +746,57 @@ object Clustering {
               |    / 1000000000 / COUNT(*) AS mean_sil
               |FROM per GROUP BY own ORDER BY cid""".stripMargin)),
 
+    // INT8 embedding quantization stats — the storage-path compression
+    // every 100 TB vector corpus applies before PQ/ANN: per-dimension
+    // affine int8 (scale = (max−min)/255, zero-point = min), plus the
+    // reconstruction error that tells you whether 4× compression is
+    // free at your data's dynamic range. One posexplode pass → one
+    // per-dim agg (64 groups); codes and errors are recomputed in a
+    // second stateless pass against the BROADCAST per-dim params.
+    // Determinism: min/max of floats are exact; the code round() is
+    // HALF-away-from-zero on non-negative arguments in both engines;
+    // the MSE sum is floor-quantized to integers (sqrt-free — the
+    // Parity halfway caveat never applies).
+    QueryDef(
+      "q_emb_int8",
+      (s, d) => {
+        val dims = Tables.embeddings(s, d)
+          .selectExpr("vec_id", "posexplode(embedding) AS (pos, v)")
+          .selectExpr("vec_id", "pos", "CAST(v AS DOUBLE) AS v")
+        val params = dims.groupBy("pos")
+          .agg(min("v").as("vmin"), max("v").as("vmax"), count(lit(1)).as("n"))
+          .withColumn("scale", (col("vmax") - col("vmin")) / 255.0)
+        dims.join(broadcast(params), "pos")
+          .selectExpr("pos", "vmin", "vmax", "scale", "n",
+            "CASE WHEN scale = 0 THEN 0 ELSE CAST(round((v - vmin) / scale) AS INT) END AS code",
+            "v")
+          .selectExpr("pos", "vmin", "vmax", "scale", "n", "code",
+            "v - (vmin + code * scale) AS err")
+          .groupBy("pos")
+          .agg(first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
+            first(col("scale")).as("scale"),
+            max(col("code")).as("max_code"),
+            (sum(expr("CAST(floor(err * err * 1e12) AS BIGINT)")).cast("double")
+              / 1e12 / first(col("n"))).as("mse"))
+          .orderBy("pos")
+      },
+      Some("""WITH dims AS (
+             |  SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+             |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+             |params AS (SELECT pos, MIN(v) AS vmin, MAX(v) AS vmax,
+             |    COUNT(*) AS n, (MAX(v) - MIN(v)) / 255.0 AS scale
+             |  FROM dims GROUP BY pos),
+             |coded AS (SELECT d.pos, vmin, vmax, scale, n,
+             |    CASE WHEN scale = 0 THEN 0
+             |         ELSE CAST(round((v - vmin) / scale) AS INT) END AS code,
+             |    v
+             |  FROM dims d JOIN params USING (pos))
+             |SELECT pos, vmin, vmax, scale, CAST(MAX(code) AS INT) AS max_code,
+             |  CAST(SUM(CAST(floor((v - (vmin + code * scale))
+             |      * (v - (vmin + code * scale)) * 1e12) AS BIGINT)) AS DOUBLE)
+             |    / 1e12 / MAX(n) AS mse
+             |FROM coded GROUP BY pos, vmin, vmax, scale ORDER BY pos""".stripMargin)),
+
     // (labelProp is defined below the defs list; the final (v, lbl)
     // frame is also what LabelPropSpec joins against the CC labeling
     // to pin that every community refines a connected component.)

@@ -25,6 +25,53 @@ object Profiling {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Per-group closed-form OLS — the quick "is this linear, and how
+    // steep" regression a profiler answers per slice (here: document
+    // length in chars vs token count per language, where the fit is
+    // real because chars/token is bounded). ONE map-side-combined pass
+    // collects the five moment sums as EXACT BIGINTs (x, y are
+    // integers; at true 100 TB row counts the sums go DECIMAL(38), the
+    // q_agg_stddev note); slope/intercept/r² are then closed-form
+    // doubles over those exactly-agreed integers — deterministic both
+    // engines, no iterative fitting anywhere.
+    QueryDef(
+      "q_ols_group",
+      (s, d) => Tables.documents(s, d)
+        .selectExpr("lang", "CAST(size(split(text, ' ')) AS BIGINT) AS x",
+          "n_chars AS y")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+          sum(expr("y * y")).as("syy"))
+        .selectExpr("lang", "n",
+          "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) " +
+            "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope",
+          "(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) " +
+            "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n AS intercept",
+          "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) " +
+            "* (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)) " +
+            "/ ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) " +
+            "* (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2")
+        .orderBy("lang"),
+      Some("""WITH m AS (
+             |  SELECT lang, COUNT(*) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy,
+             |    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+             |  FROM (SELECT lang,
+             |          CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+             |          n_chars AS y FROM documents)
+             |  GROUP BY lang)
+             |SELECT lang, n,
+             |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+             |  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n AS intercept,
+             |  ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             |    / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2
+             |FROM m ORDER BY lang""".stripMargin)),
+
     // Per-column summary: one pass, stacked to one row per column.
     QueryDef(
       "q_profile_table",

@@ -251,6 +251,77 @@ object Sampling {
               |  / CAST(n_before AS DOUBLE)) * 4294967296.0) AS BIGINT)
               |GROUP BY lang, n_before ORDER BY lang""".stripMargin)),
 
+    // Greedy k-center coreset selection (farthest-point traversal) —
+    // the diverse-subset pass a training pipeline runs to pick
+    // representative seed examples: start from vec 0, then k−1 rounds
+    // of "add the point farthest from everything selected". 2-approx
+    // of the optimal k-center cover, and the incremental form costs
+    // ONE dot per point per round (min-dist folds against only the
+    // newest center), O(n·k) total — never n² — with the min-dist
+    // frame checkpointed per round (the k-means/LPA discipline). Fully
+    // deterministic: quantized-dot distances, argmax ties to the MIN
+    // vec_id, so the DuckDB oracle replays the identical trajectory in
+    // chained CTEs. Output = the selection order with each pick's
+    // distance (the shrinking covering radius).
+    QueryDef(
+      "q_sample_kcenter",
+      (s, d) => {
+        import graft.operators.Similarity.sparkDot
+        graft.functions.GraftFunctions.ensureDot(s)
+        val k = 8
+        val pts = Tables.embeddings(s, d).select("vec_id", "embedding")
+        def d2(centEmb: Seq[Float]): String = {
+          val lit = centEmb.map(v => s"CAST($v AS FLOAT)").mkString("array(", ", ", ")")
+          s"${sparkDot("embedding", "embedding")} + ${sparkDot(lit, lit)} " +
+            s"- 2 * ${sparkDot("embedding", lit)}"
+        }
+        val c0 = pts.filter(col("vec_id") === 0)
+          .head().getSeq[Float](1)
+        var md = pts.selectExpr("vec_id", "embedding", s"${d2(c0)} AS md")
+        var picks = Seq((0L, 0L, 0.0))
+        for (r <- 1 until k) {
+          val top = md.filter(col("vec_id") =!= 0)
+            .orderBy(col("md").desc, col("vec_id")).limit(1)
+            .select("vec_id", "md").head()
+          val (cid, radius) = (top.getLong(0), top.getDouble(1))
+          picks = picks :+ ((r.toLong, cid, radius))
+          val cEmb = pts.filter(col("vec_id") === cid).head().getSeq[Float](1)
+          val ck = md.selectExpr("vec_id", "embedding",
+            s"least(md, ${d2(cEmb)}) AS md").localCheckpoint(true)
+          md = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+        }
+        import s.implicits._
+        picks.toDF("round", "center_id", "radius").orderBy("round")
+      },
+      Some {
+        import graft.operators.Similarity.duckDot
+        val k = 8
+        def d2(c: String) =
+          s"${duckDot("p.embedding", "p.embedding")} + ${duckDot(s"$c.embedding", s"$c.embedding")} " +
+            s"- 2 * ${duckDot("p.embedding", s"$c.embedding")}"
+        val rounds = (1 until k).map { r =>
+          val prev = s"m${r - 1}"
+          s"""s$r AS (SELECT vec_id AS cid, md FROM $prev
+             |  WHERE vec_id <> 0 ORDER BY md DESC, vec_id LIMIT 1),
+             |m$r AS (SELECT p.vec_id, p.embedding,
+             |    LEAST(p.md, ${d2("c")}) AS md
+             |  FROM (SELECT m.vec_id, e.embedding, m.md FROM $prev m
+             |        JOIN embeddings e USING (vec_id)) p,
+             |       (SELECT e.embedding FROM s$r JOIN embeddings e
+             |        ON e.vec_id = s$r.cid) c)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH m0 AS (SELECT p.vec_id, p.embedding, ${d2("c")} AS md
+           |  FROM embeddings p, (SELECT embedding FROM embeddings WHERE vec_id = 0) c),
+           |$rounds
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS center_id,
+           |         CAST(0.0 AS DOUBLE) AS radius
+           |  ${(1 until k).map(r =>
+               s"UNION ALL SELECT CAST($r AS BIGINT), CAST(cid AS BIGINT), md FROM s$r")
+              .mkString("\n  ")})
+           |ORDER BY round""".stripMargin
+      }),
+
     // Neyman-optimal stratified allocation: split a fixed sample budget
     // (k = 200) across strata ∝ N_h·σ_h — the variance-minimizing
     // allocation for estimating a population mean, and the pass a

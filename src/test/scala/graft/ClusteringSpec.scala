@@ -187,6 +187,36 @@ class ClusteringSpec extends AnyFunSuite {
     assert(byName("click_and_view")._2 <= byName("click_or_view")._2 + 1e-9)
   }
 
+  test("int8 quantization: codes fit one byte and mse obeys the quantization bound") {
+    val rows = SparkEntry.queries("q_emb_int8")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(3), r.getInt(4), r.getDouble(5)))
+    assert(rows.length === 64, "one row per embedding dimension")
+    rows.foreach { case (pos, scale, maxCode, mse) =>
+      assert(maxCode >= 0 && maxCode <= 255, s"dim $pos code $maxCode")
+      assert(scale >= 0.0)
+      // per-element error ≤ scale/2 (round-to-nearest), so
+      // mse ≤ scale²/4 — the affine-quantizer guarantee
+      assert(mse <= scale * scale / 4.0 + 1e-12,
+        s"dim $pos mse $mse exceeds the ${scale * scale / 4.0} bound")
+    }
+  }
+
+  test("k-center picks distinct points with non-increasing covering radius") {
+    val picks = SparkEntry.queries("q_sample_kcenter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(picks.length === 8)
+    assert(picks.map(_._2).distinct.length === 8, "a center was picked twice")
+    // farthest-point traversal: each pick's distance to the selected
+    // set is ≤ the previous pick's (the radius shrinks monotonically;
+    // the seed row's radius is 0 by definition, so it is excluded)
+    picks.drop(1).sliding(2).foreach {
+      case Array((_, _, r1), (_, _, r2)) =>
+        assert(r2 <= r1 + 1e-9, s"radius rose: $r1 -> $r2")
+      case _ => ()
+    }
+    assert(picks.drop(1).forall(_._3 > 0.0), "every later pick is a distinct point")
+  }
+
   test("silhouette covers every point, stays in [-1,1], and b is never the own centroid") {
     val rows = SparkEntry.queries("q_kmeans_silhouette")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

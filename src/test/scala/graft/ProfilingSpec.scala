@@ -34,4 +34,26 @@ class ProfilingSpec extends AnyFunSuite {
   test("approx profile distinct counts land within 5% of exact (sf0.01)") {
     check("/root/testdata/sf0.01")
   }
+
+  test("per-group OLS: valid r2, positive slope, and the fit passes through the means") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_ols_group")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val means = Tables.documents(spark, sf)
+      .selectExpr("lang", "CAST(size(split(text, ' ')) AS DOUBLE) AS x",
+        "CAST(n_chars AS DOUBLE) AS y")
+      .groupBy("lang").agg(avg("x").as("mx"), avg("y").as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { case (lang, n, slope, intercept, r2) =>
+      assert(n > 1L)
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"$lang r2=$r2")
+      assert(slope > 0.0, s"$lang: chars must grow with tokens, slope=$slope")
+      // OLS identity: the fitted line passes through (x̄, ȳ)
+      val (mx, my) = means(lang)
+      assert(math.abs(intercept + slope * mx - my) < 1e-6,
+        s"$lang fit misses the means: ${intercept + slope * mx} vs $my")
+    }
+  }
 }
