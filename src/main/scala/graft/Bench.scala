@@ -243,7 +243,14 @@ object Bench {
     "q_write_dynamic",
     "q_sample_kcenter",
     "q_emb_int8",
-    "q_ols_group")
+    "q_ols_group",
+    // round 11, third wave: the hashing-trick bucket rollup (one
+    // explode + 256-group agg), per-source KL drift (two keyed aggs +
+    // broadcast-back), personalized pagerank (3 quantized rounds over
+    // the pair graph)
+    "q_feature_hash",
+    "q_kl_sources",
+    "q_graph_ppr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

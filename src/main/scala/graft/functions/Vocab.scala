@@ -281,6 +281,89 @@ object Vocab {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Feature hashing (the "hashing trick" — fastText/VW's input
+    // transform): every token maps to one of 256 buckets by md5, with a
+    // ±1 sign from an independent hash bit so collisions cancel in
+    // expectation instead of accumulating. The per-BUCKET rollup is
+    // the diagnostic a pipeline reads before picking the dimension:
+    // distinct tokens per bucket (collision load), total occurrences,
+    // and the signed net weight (how much mass the sign trick
+    // recovered). One explode + one 256-group agg — pure integer
+    // arithmetic end-to-end.
+    QueryDef(
+      "q_feature_hash",
+      (s, d) => {
+        val h = graft.functions.TextAnalysis.tokHash("tok")
+        Tables.documents(s, d)
+          .selectExpr("explode(split(text, ' ')) AS tok")
+          .selectExpr("tok", s"$h % 256 AS bucket",
+            "CASE WHEN CAST(conv(substr(md5(tok), 9, 1), 16, 10) AS INT) % 2 = 0 " +
+              "THEN 1 ELSE -1 END AS sign")
+          .groupBy("bucket")
+          .agg(countDistinct("tok").as("n_tokens"),
+            count(lit(1)).as("n_occ"),
+            sum(col("sign")).cast("bigint").as("net_weight"))
+          .orderBy("bucket")
+      },
+      Some {
+        val h = graft.functions.TextAnalysis.duckTokHash("tok")
+        s"""WITH t AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+           |SELECT $h % 256 AS bucket,
+           |  COUNT(DISTINCT tok) AS n_tokens, COUNT(*) AS n_occ,
+           |  CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS INT) % 2 = 0
+           |           THEN 1 ELSE -1 END) AS BIGINT) AS net_weight
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // KL divergence of each source's unigram distribution from the
+    // corpus distribution — the domain-shift diagnostic a mixture
+    // designer reads next to q_mix_temperature (a source whose KL is
+    // high contributes different text, not just more text). Identity
+    // used: KL(P_s ‖ P_g) = (1/c_s)·[Σ_w c_sw·(ln c_sw − ln c_gw)] +
+    // ln(c_g) − ln(c_s), so every transcendental is ln of an INTEGER
+    // count, µ-quantized before the exact BIGINT sum — the
+    // q_dq_entropy discipline; partial-sum order can't move a bit.
+    // Two keyed aggs (word×source, word) + one broadcast-back join.
+    QueryDef(
+      "q_kl_sources",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .selectExpr("source", "explode(split(text, ' ')) AS tok")
+        val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_sw"))
+        val glob = toks.groupBy("tok").agg(count(lit(1)).as("c_gw"))
+        val totals = bySrc.groupBy("source").agg(sum(col("c_sw")).as("c_s"))
+        val cg = glob.agg(sum(col("c_gw")).as("c_g"))
+        bySrc.join(glob, "tok")
+          .selectExpr("source",
+            "c_sw * (CAST(round(ln(c_sw) * 1e6, 0) AS BIGINT) " +
+              "- CAST(round(ln(c_gw) * 1e6, 0) AS BIGINT)) AS term_micro")
+          .groupBy("source").agg(sum(col("term_micro")).as("s_micro"))
+          .join(totals, "source").crossJoin(broadcast(cg))
+          .selectExpr("source", "c_s",
+            "round(CAST(s_micro AS DOUBLE) / c_s / 1e6 " +
+              "+ (CAST(round(ln(c_g) * 1e6, 0) AS BIGINT) " +
+              "- CAST(round(ln(c_s) * 1e6, 0) AS BIGINT)) / 1e6, 6) AS kl_nats")
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |bysrc AS (SELECT source, tok, COUNT(*) AS c_sw FROM t GROUP BY 1, 2),
+             |gw AS (SELECT tok, COUNT(*) AS c_gw FROM t GROUP BY 1),
+             |totals AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS c_s
+             |  FROM bysrc GROUP BY source),
+             |cg AS (SELECT CAST(SUM(c_gw) AS BIGINT) AS c_g FROM gw),
+             |terms AS (SELECT source,
+             |    CAST(SUM(c_sw * (CAST(round(ln(c_sw) * 1e6, 0) AS BIGINT)
+             |                     - CAST(round(ln(c_gw) * 1e6, 0) AS BIGINT))) AS BIGINT)
+             |      AS s_micro
+             |  FROM bysrc JOIN gw USING (tok) GROUP BY source)
+             |SELECT source, c_s,
+             |  round(CAST(s_micro AS DOUBLE) / c_s / 1e6
+             |    + (CAST(round(ln(c_g) * 1e6, 0) AS BIGINT)
+             |       - CAST(round(ln(c_s) * 1e6, 0) AS BIGINT)) / 1e6, 6) AS kl_nats
+             |FROM terms JOIN totals USING (source) CROSS JOIN cg
+             |ORDER BY source""".stripMargin)),
+
     // Frequency-ranked vocabulary head: top 50 tokens, rank keyed by
     // (count desc, token) so the cut is total and engine-independent.
     QueryDef(

@@ -958,6 +958,76 @@ object Clustering {
                 |ORDER BY p3.pr DESC, p3.v LIMIT 20""".stripMargin)
       }),
 
+    // Personalized PageRank — random walk with restart to a SEED SET
+    // (the 4 smallest graph nodes): "what is near MY documents" rather
+    // than global centrality; the similarity-expansion primitive
+    // recommendation and related-content passes run. Same quantized
+    // per-iteration discipline as q_graph_pagerank, but the rank frame
+    // is rebuilt over ALL nodes each round (left joins against the
+    // node frame) so seeds keep their restart mass even with no
+    // in-edges and the trajectory is total — both engines replay it
+    // CTE-for-CTE.
+    QueryDef(
+      "q_graph_ppr",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d).select("a", "b")
+        val edges = pairs.selectExpr("a AS src", "b AS dst")
+          .union(pairs.selectExpr("b AS src", "a AS dst"))
+          .cache()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodes = deg.select(col("src").as("v"))
+        val seeds = nodes.orderBy("v").limit(4)
+          .select(col("v"), lit(0.25).as("r"))
+        var pr = nodes.join(seeds, Seq("v"), "left_outer")
+          .selectExpr("v", "coalesce(r, CAST(0.0 AS DOUBLE)) AS pr")
+        for (_ <- 1 to 3) {
+          val t = edges.join(pr.withColumnRenamed("v", "src"), "src")
+            .join(deg, "src")
+            .selectExpr("dst AS v", "CAST(floor(pr / deg * 1000000000000) AS BIGINT) AS q")
+            .groupBy("v").agg(sum(col("q")).as("q"))
+          pr = nodes
+            .join(seeds, Seq("v"), "left_outer")
+            .join(t, Seq("v"), "left_outer")
+            .selectExpr("v",
+              "0.15 * coalesce(r, CAST(0.0 AS DOUBLE)) " +
+                "+ 0.85 * (CAST(coalesce(q, CAST(0 AS BIGINT)) AS DOUBLE) / 1000000000000) AS pr")
+        }
+        val out = pr.join(seeds.select(col("v"), lit(1).as("is_seed")), Seq("v"), "left_outer")
+          .selectExpr("v", "coalesce(is_seed, 0) AS is_seed", "pr")
+          .orderBy(col("pr").desc, col("v"))
+          .limit(20)
+        edges.unpersist()
+        out
+      }, {
+        def iter(i: Int): String =
+          s"""t$i AS (SELECT dst AS v,
+             |    CAST(SUM(CAST(floor(pr / deg * 1000000000000) AS BIGINT)) AS BIGINT) AS q
+             |  FROM edges JOIN p${i - 1} ON p${i - 1}.v = edges.src
+             |             JOIN deg ON deg.src = edges.src
+             |  GROUP BY dst),
+             |p$i AS (SELECT n.v,
+             |    0.15 * COALESCE(s.r, 0.0)
+             |    + 0.85 * (CAST(COALESCE(t$i.q, 0) AS DOUBLE) / 1000000000000) AS pr
+             |  FROM nodes n LEFT JOIN seeds s ON s.v = n.v
+             |  LEFT JOIN t$i ON t$i.v = n.v)""".stripMargin
+        Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+                |edges AS (SELECT a AS src, b AS dst FROM verified
+                |          UNION ALL SELECT b, a FROM verified),
+                |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+                |nodes AS (SELECT src AS v FROM deg),
+                |seeds AS (SELECT v, CAST(0.25 AS DOUBLE) AS r FROM
+                |  (SELECT v FROM nodes ORDER BY v LIMIT 4)),
+                |p0 AS (SELECT n.v, COALESCE(s.r, 0.0) AS pr
+                |  FROM nodes n LEFT JOIN seeds s ON s.v = n.v),
+                |${iter(1)},
+                |${iter(2)},
+                |${iter(3)}
+                |SELECT p3.v, CAST(CASE WHEN s.v IS NULL THEN 0 ELSE 1 END AS INT) AS is_seed,
+                |  p3.pr
+                |FROM p3 LEFT JOIN seeds s ON s.v = p3.v
+                |ORDER BY p3.pr DESC, p3.v LIMIT 20""".stripMargin)
+      }),
+
     // Cluster assignment: every near-duplicated document with its
     // component representative (min doc_id) and the component size.
     QueryDef(

@@ -64,6 +64,41 @@ class QuerySurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("feature hashing conserves occurrences and the sign trick bounds net weight") {
+    val rows = SparkEntry.queries("q_feature_hash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTok = Tables.documents(spark, sf)
+      .selectExpr("size(split(text, ' ')) AS n").agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0)
+    assert(rows.map(_._3).sum === totalTok, "bucket occupancy must conserve tokens")
+    rows.foreach { case (b, nTok, nOcc, net) =>
+      assert(b >= 0 && b < 256)
+      assert(nTok >= 1 && nOcc >= nTok)
+      assert(math.abs(net) <= nOcc, s"bucket $b |net|=$net > occ=$nOcc")
+    }
+  }
+
+  test("source KL divergences are Gibbs-nonnegative and the shifted source stands out") {
+    val rows = SparkEntry.queries("q_kl_sources")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // exact KL ≥ 0; the µ-quantized ln can dip a hair below
+    rows.foreach { case (src, kl) => assert(kl >= -1e-4, s"$src KL $kl") }
+    assert(rows.exists(_._2 > 1e-4), "no source diverges — the diagnostic is vacuous")
+  }
+
+  test("personalized pagerank: seeds hold restart mass and scores are valid") {
+    val rows = SparkEntry.queries("q_graph_ppr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { case (_, isSeed, pr) =>
+      assert(isSeed == 0 || isSeed == 1); assert(pr >= 0.0 && pr <= 1.0)
+    }
+    // restart personalizes: at least one seed appears in the top-20
+    // (each seed gets 0.15/|S| every round regardless of topology)
+    assert(rows.exists(_._2 == 1), "no seed in the PPR head — restart mass lost")
+  }
+
   test("event transitions are a stochastic matrix over the observed sequences") {
     val rows = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
