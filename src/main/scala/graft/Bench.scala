@@ -250,7 +250,12 @@ object Bench {
     // the pair graph)
     "q_feature_hash",
     "q_kl_sources",
-    "q_graph_ppr")
+    "q_graph_ppr",
+    // round 11, fourth wave: sketch-based join-size estimation (two
+    // widths, digest cost ∝ distinct keys) and per-user burstiness
+    // (one lag window + moment sums)
+    "q_join_card_est",
+    "q_ts_burstiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

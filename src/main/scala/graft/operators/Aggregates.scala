@@ -729,6 +729,117 @@ object Aggregates {
            |ORDER BY word""".stripMargin
       }),
 
+    // Sketch-based JOIN CARDINALITY estimation — the CBO primitive:
+    // |A ⋈_k B| = Σ_k c_A(k)·c_B(k), estimated as min over sketch rows
+    // of the row-wise dot of A's and B's count-min rows. Same digest
+    // trick as q_cm_sketch (ONE md5 per distinct key sliced into all 4
+    // row hashes, so sketch cost ∝ distinct keys, never rows). Run at
+    // TWO widths so the sizing rule is a measured fact, not prose:
+    // w=16 ≪ 150 keys overestimates ~(‖c_A‖₁‖c_B‖₁−J)/w (10× here);
+    // w=256 > keys is near-exact. The estimator NEVER undercounts
+    // (each row dot = J + collision excess ≥ J exactly) — est ≥ exact
+    // ships as a checked value, the planner's safe-overestimate
+    // contract. A ⋈ B: click events ⋈ view events on user_id.
+    QueryDef(
+      "q_join_card_est",
+      (s, d) => {
+        def side(t: String) = Tables.events(s, d)
+          .filter(col("event_type") === t)
+          .groupBy("user_id").agg(count(lit(1)).as("c"))
+        val (a, b) = (side("click"), side("view"))
+        def sketch(cnts: org.apache.spark.sql.DataFrame, w: Int) = cnts
+          .selectExpr("c", "md5(concat('jc:', CAST(user_id AS STRING))) AS dg")
+          .selectExpr("c", "dg", "explode(array(0, 1, 2, 3)) AS j")
+          .selectExpr("j",
+            s"CAST(conv(substr(dg, 1 + 8 * j, 8), 16, 10) AS BIGINT) % $w AS bucket", "c")
+          .groupBy("j", "bucket").agg(sum(col("c")).as("cnt"))
+        def estAt(w: Int) = sketch(a, w)
+          .join(sketch(b, w).withColumnRenamed("cnt", "cntb"), Seq("j", "bucket"))
+          .groupBy("j").agg(sum(col("cnt") * col("cntb")).as("row_dot"))
+          .agg(min(col("row_dot")).cast("bigint").as("est"))
+          .selectExpr(s"$w AS width", "est")
+        val exact = a.join(b.withColumnRenamed("c", "cb")
+            .withColumnRenamed("user_id", "ub"), col("user_id") === col("ub"))
+          .agg(sum(col("c") * col("cb")).cast("bigint").as("exact"))
+        estAt(16).unionAll(estAt(256)).crossJoin(broadcast(exact))
+          .selectExpr("width", "est", "exact", "est - exact AS overcount",
+            "est >= exact AS never_under")
+          .orderBy("width")
+      },
+      Some {
+        def sk(src: String, w: Int, name: String) =
+          s"""$name AS (SELECT j,
+             |    CAST(('0x' || substr(dg, 1 + 8 * j, 8)) AS BIGINT) % $w AS bucket,
+             |    CAST(SUM(c) AS BIGINT) AS cnt
+             |  FROM (SELECT c, md5('jc:' || CAST(user_id AS VARCHAR)) AS dg FROM $src)
+             |  CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) GROUP BY 1, 2)""".stripMargin
+        def es(w: Int, name: String) =
+          s"""$name AS (SELECT $w AS width, CAST(MIN(row_dot) AS BIGINT) AS est FROM (
+             |  SELECT x.j, SUM(x.cnt * y.cnt) AS row_dot
+             |  FROM sa$w x JOIN sb$w y ON x.j = y.j AND x.bucket = y.bucket
+             |  GROUP BY x.j))""".stripMargin
+        s"""WITH a AS (SELECT user_id, COUNT(*) AS c FROM events
+           |  WHERE event_type = 'click' GROUP BY user_id),
+           |b AS (SELECT user_id, COUNT(*) AS c FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |${sk("a", 16, "sa16")}, ${sk("b", 16, "sb16")},
+           |${sk("a", 256, "sa256")}, ${sk("b", 256, "sb256")},
+           |ex AS (SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact
+           |  FROM a JOIN b USING (user_id)),
+           |${es(16, "e16")}, ${es(256, "e256")}
+           |SELECT width, est, exact, est - exact AS overcount,
+           |  est >= exact AS never_under
+           |FROM (SELECT * FROM e16 UNION ALL SELECT * FROM e256), ex
+           |ORDER BY width""".stripMargin
+      }),
+
+    // Per-user burstiness — the inter-arrival regularity diagnostic
+    // (B = (σ−µ)/(σ+µ): −1 periodic, 0 Poisson, →1 bursty) every
+    // event-stream capacity model starts from. One lag window per user
+    // for integer-second gaps, then exact BIGINT moment sums; σ is the
+    // one sqrt over exactly-agreed integers (the q_sample_neyman
+    // pattern), so both engines publish identical doubles.
+    QueryDef(
+      "q_ts_burstiness",
+      (s, d) => {
+        // floor-seconds on both sides: Spark unix_timestamp floors the
+        // micros; DuckDB epoch_us // 1e6 floors identically (epoch()
+        // would return fractional seconds and break integer sums)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("gap",
+            expr("unix_timestamp(ts) - unix_timestamp(lag(ts, 1) OVER " +
+              "(PARTITION BY user_id ORDER BY ts, event_id))"))
+          .filter(col("gap").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sg"),
+            sum(expr("gap * gap")).as("sgg"))
+          .filter(col("n_gaps") > 1)
+          .selectExpr("user_id", "n_gaps",
+            "CAST(sg AS DOUBLE) / n_gaps AS mean_gap",
+            "sqrt((n_gaps * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg) " +
+              "/ (n_gaps * (n_gaps - 1.0))) AS sd_gap")
+          .selectExpr("user_id", "n_gaps", "mean_gap",
+            "(sd_gap - mean_gap) / (sd_gap + mean_gap) AS burstiness")
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |    epoch_us(ts) // 1000000
+             |      - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id)) // 1000000 AS gap
+             |  FROM events),
+             |m AS (SELECT user_id, COUNT(*) AS n_gaps,
+             |    CAST(SUM(gap) AS BIGINT) AS sg, CAST(SUM(gap * gap) AS BIGINT) AS sgg
+             |  FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+             |sd AS (SELECT user_id, n_gaps,
+             |    CAST(sg AS DOUBLE) / n_gaps AS mean_gap,
+             |    sqrt((n_gaps * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * sg)
+             |      / (n_gaps * (n_gaps - 1.0))) AS sd_gap
+             |  FROM m WHERE n_gaps > 1)
+             |SELECT user_id, n_gaps, mean_gap,
+             |  (sd_gap - mean_gap) / (sd_gap + mean_gap) AS burstiness
+             |FROM sd ORDER BY user_id""".stripMargin)),
+
     // SpaceSaving sketch driven through its SQL surface, in the exact
     // regime: capacity (32) exceeds the vocabulary (31 words), where the
     // sketch provably equals the true counts — so the oracle can check

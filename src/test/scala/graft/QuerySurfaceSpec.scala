@@ -99,6 +99,33 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(rows.exists(_._2 == 1), "no seed in the PPR head — restart mass lost")
   }
 
+  test("join-size estimate never undercounts and tightens as the width grows") {
+    val rows = SparkEntry.queries("q_join_card_est")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Seq(16, 256).toArray.toSeq)
+    rows.foreach { case (w, est, exact, over, neverUnder) =>
+      assert(neverUnder && est >= exact, s"width $w undercounted: $est < $exact")
+      assert(over === est - exact)
+    }
+    assert(rows(1)._4 < rows(0)._4,
+      s"width 256 must tighten the overcount: ${rows(0)._4} -> ${rows(1)._4}")
+  }
+
+  test("burstiness stays in (-1, 1) and gaps cover every multi-event user") {
+    val rows = SparkEntry.queries("q_ts_burstiness")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, mean, b) =>
+      assert(n > 1L); assert(mean >= 0.0)
+      assert(b > -1.0 && b < 1.0, s"user $u burstiness $b out of range")
+    }
+    val expected = Tables.events(spark, sf).groupBy("user_id").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 2).count()
+    assert(rows.length.toLong === expected,
+      "every user with ≥2 gaps gets a burstiness row")
+  }
+
   test("event transitions are a stochastic matrix over the observed sequences") {
     val rows = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
