@@ -18,13 +18,51 @@ import org.apache.spark.sql.functions._
   * |entities| × global-span); the gap join is a keyed left join on
   * (entity, bucket); forward fill is a per-entity ordered window. Every
   * stage partitions by entity — no global anything.
+  *
+  * The explode-after-coalesce trap, measured: the spine's parent (one
+  * row per entity) is tiny, so AQE coalesces its exchange to ~1
+  * partition and `sequence()` then multiplies rows ∝ span AFTER the
+  * coalesce; when the gap join resolves to a broadcast (entity×bucket
+  * agg under the threshold — exactly the mid-size regime), nothing
+  * downstream re-shuffles and every window pass runs serially in that
+  * one partition. The round-11 sf1 sweep caught it as an inverted
+  * scale curve: 15.1 s at sf1 vs 5.9 s at sf3, stable medians — sf3
+  * was "saved" only by its agg outgrowing the broadcast threshold,
+  * which forced a shuffle join whose exchange re-parallelized the
+  * frame. Fix: [[spreadByEntity]] pins an explicit fixed-count
+  * repartition on the joined frame — it satisfies the windows'
+  * required distribution (so it REPLACES their implicit exchange, not
+  * adds one) and a user-specified partition count is exempt from AQE
+  * coalescing.
   */
 object TimeSeries {
+
+  /** Explicit entity-keyed exchange sized to the session's shuffle
+    * parallelism; the windows' ClusteredDistribution(user_id) is
+    * satisfied by it, so this is the window exchange, pinned. */
+  private def spreadByEntity(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    df.repartition(scala.util.Try(np.toInt).getOrElse(32), col("user_id"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
     // 6-hour resample per user: zero-filled counts and forward-carried
     // last observed bucket sum over each user's active span.
+    //
+    // Gaps-and-islands form (round-11 rewrite): ONE `lead()` window
+    // over the per-(user, bucket) aggregate finds each observed
+    // bucket's successor, and `posexplode(sequence(bucket, next-6h))`
+    // emits the observed row (pos=0) plus its trailing gap rows with
+    // the carried value inline — no spine aggregation, no spine⋈agg
+    // join, and the only window pass runs over the PRE-explode
+    // aggregate (observed buckets), never the exploded frame. The
+    // prior spine-join form paid 3 extra passes over the exploded
+    // frame and, in the mid-size regime where the agg side broadcast,
+    // inherited a 1-partition layout from the explode-after-coalesce
+    // trap (see object scaladoc). Precondition (holds by
+    // construction here): an observed bucket's sum is non-null — true
+    // for any SUM over a non-null measure, since groups have n ≥ 1.
     QueryDef(
       "q_ts_resample",
       (s, d) => {
@@ -32,15 +70,15 @@ object TimeSeries {
         val agg = Tables.events(s, d)
           .groupBy(col("user_id"), window(col("ts"), "6 hours").getField("start").as("bucket"))
           .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
-        val spine = agg.groupBy("user_id")
-          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-          .selectExpr("user_id", "explode(sequence(b0, b1, interval 6 hours)) AS bucket")
         val w = Window.partitionBy("user_id").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        spine.join(agg, Seq("user_id", "bucket"), "left")
-          .withColumn("n", coalesce(col("n"), lit(0L)))
-          .withColumn("ffill_value", last(col("sum_value"), ignoreNulls = true).over(w))
-          .select("user_id", "bucket", "n", "ffill_value")
+        spreadByEntity(agg)
+          .withColumn("nb", lead(col("bucket"), 1).over(w))
+          .select(col("user_id"), col("n"), col("sum_value"),
+            posexplode(expr(
+              "sequence(bucket, coalesce(nb - INTERVAL 6 HOURS, bucket), INTERVAL 6 HOURS)")))
+          .selectExpr("user_id", "col AS bucket",
+            "IF(pos = 0, n, CAST(0 AS BIGINT)) AS n",
+            "sum_value AS ffill_value")
           .orderBy("user_id", "bucket")
       },
       Some(s"""WITH agg AS (
@@ -62,13 +100,17 @@ object TimeSeries {
     // Linear gap interpolation — the other standard resample fill
     // (q_ts_resample forward-fills; telemetry/finance pipelines lerp):
     // each empty 6-hour bucket gets prev + (next − prev) · frac, frac
-    // from integer epoch seconds. Two per-user windows (one backward
-    // ignore-nulls carry for the previous observed value+bucket, one
-    // forward for the next); spine endpoints are observed by
-    // construction, so the lerp is total. Arithmetic is IEEE per-row
-    // over Parity-deterministic bucket sums — no transcendental, no
-    // quantization needed. Everything partitions by user (the
-    // q_ts_resample exchange, reused shape).
+    // from integer epoch seconds. Arithmetic is IEEE per-row over
+    // Parity-deterministic bucket sums — no transcendental, no
+    // quantization needed.
+    //
+    // Gaps-and-islands form (round-11 rewrite; see q_ts_resample): the
+    // lerp endpoints (pv=island start, nv=next observed) ride the SAME
+    // `lead()` row the explode came from, so the four ignore-null
+    // carry windows of the spine-join form (two of them
+    // UnboundedFollowing frames — each a full extra pass over the
+    // exploded frame) disappear entirely. sf1 compute measured
+    // 11.9 → ~5 s on identical output.
     QueryDef(
       "q_ts_interpolate",
       (s, d) => {
@@ -76,25 +118,19 @@ object TimeSeries {
         val agg = Tables.events(s, d)
           .groupBy(col("user_id"), window(col("ts"), "6 hours").getField("start").as("bucket"))
           .agg(count(lit(1)).as("n"), Parity.dsum(col("value"), 2).as("sum_value"))
-        val spine = agg.groupBy("user_id")
-          .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-          .selectExpr("user_id", "explode(sequence(b0, b1, interval 6 hours)) AS bucket")
-        val wPrev = Window.partitionBy("user_id").orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val wNext = Window.partitionBy("user_id").orderBy("bucket")
-          .rowsBetween(0, Window.unboundedFollowing)
-        spine.join(agg, Seq("user_id", "bucket"), "left")
-          .withColumn("n", coalesce(col("n"), lit(0L)))
-          .withColumn("pv", last(col("sum_value"), ignoreNulls = true).over(wPrev))
-          .withColumn("pb", last(when(col("sum_value").isNotNull, col("bucket")),
-            ignoreNulls = true).over(wPrev))
-          .withColumn("nv", first(col("sum_value"), ignoreNulls = true).over(wNext))
-          .withColumn("nb", first(when(col("sum_value").isNotNull, col("bucket")),
-            ignoreNulls = true).over(wNext))
-          .selectExpr("user_id", "bucket", "n",
-            """CASE WHEN sum_value IS NOT NULL THEN sum_value
+        val w = Window.partitionBy("user_id").orderBy("bucket")
+        spreadByEntity(agg)
+          .withColumn("nb", lead(col("bucket"), 1).over(w))
+          .withColumn("nv", lead(col("sum_value"), 1).over(w))
+          .select(col("user_id"), col("n"),
+            col("sum_value").as("pv"), col("bucket").as("pb"), col("nb"), col("nv"),
+            posexplode(expr(
+              "sequence(bucket, coalesce(nb - INTERVAL 6 HOURS, bucket), INTERVAL 6 HOURS)")))
+          .selectExpr("user_id", "col AS bucket",
+            "IF(pos = 0, n, CAST(0 AS BIGINT)) AS n",
+            """CASE WHEN pos = 0 THEN pv
               |     ELSE pv + (nv - pv)
-              |          * (CAST(unix_timestamp(bucket) - unix_timestamp(pb) AS DOUBLE)
+              |          * (CAST(unix_timestamp(col) - unix_timestamp(pb) AS DOUBLE)
               |             / (unix_timestamp(nb) - unix_timestamp(pb)))
               |END AS interp_value""".stripMargin)
           .orderBy("user_id", "bucket")
