@@ -101,9 +101,15 @@ def main():
         print(f"[sweep] {point}: full headline run ...", flush=True)
         first = run_bench(sf_dir)
 
+        # Entries with no reference row (brand-new queries) can't trip
+        # the ratio check, so a stolen first sample would enter the
+        # record unchallenged (round 11: q_dedup_sorted_neighborhood's
+        # sf10 single sample read 39.9 s vs a 5.8 s warm re-measure) —
+        # median them unconditionally.
         suspects = sorted(set(
             [q for q, t in first.items()
              if q in ref and ref[q] > 0 and t / ref[q] > THRESHOLD]
+            + [q for q in first if ref and q not in ref]
             + [q for q in force if q in first]))
         samples = {q: [first[q]] for q in first}
         n_samples = sample_over.get(point, sample_default)
@@ -137,8 +143,12 @@ def main():
                           "all numbers are single serialized runs.")
         for q in suspects:
             ts = ", ".join(f"{t:.2f}" for t in samples[q])
-            r = f" (ref {ref[q]:.2f}, ratio {samples[q][0] / ref[q]:.2f}x)" \
-                if q in ref and ref[q] > 0 else " (forced)"
+            if q in ref and ref[q] > 0:
+                r = f" (ref {ref[q]:.2f}, ratio {samples[q][0] / ref[q]:.2f}x)"
+            elif q in force:
+                r = " (forced)"
+            else:
+                r = " (new entry, no reference row)"
             report.append(f"- `{q}`: samples [{ts}] s -> median "
                           f"{statistics.median(samples[q]):.2f}{r}")
         report.append("")
