@@ -526,6 +526,88 @@ object Analytics {
               |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q12: shipping-priority severity split. The synthetic schema has
+    // no l_shipmode/l_commitdate/l_receiptdate, so the classification
+    // column is l_linestatus and "late" is Q4's adaptation
+    // (l_shipdate > o_orderdate + 60 days — the same mixed-side
+    // predicate class). Conditional aggregation in ONE pass over the
+    // joined frame: both severity counts come from CASE sums, so the
+    // fact joins orders exactly once (one orderkey shuffle each side);
+    // the ship-year range prunes the lineitem scan (PushedFilters).
+    QueryDef(
+      "q_tpch_q12",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q9: product-type profit by supplier nation and year. No partsupp
+    // table in the synthetic schema, so supply cost is adapted to
+    // 0.6 · p_retailprice · l_quantity (same arithmetic shape: a
+    // part-attribute × quantity term subtracted from discounted
+    // revenue). Profit is a DERIVED PRODUCT, so the decimal-cast
+    // parity path is off-limits (halfway-point caveat, Tables.scala
+    // scaladoc) — the sum is floor-quantized to 1e4 BIGINT units in
+    // both engines (floor has no halfway case; |profit| < 1e9/row
+    // keeps the sum under 2^63 through ~1e9 rows/group). Plan: the
+    // 'red'-part prune broadcasts into the fact scan, supplier→nation
+    // rides broadcasts, the fact shuffles once for the orders year
+    // attach.
+    QueryDef(
+      "q_tpch_q9",
+      (s, d) => {
+        val redParts = broadcast(Tables.part(s, d)
+          .filter(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice"))
+        val suppNat = broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation")))
+        Tables.lineitem(s, d)
+          .join(redParts, col("l_partkey") === col("p_partkey"))
+          .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .groupBy("nation", "o_year")
+          .agg((sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity")) * lit(10000.0))
+            .cast("long")).cast("double") / 10000.0).as("sum_profit"))
+          .orderBy("nation", "o_year")
+      },
+      Some("""SELECT nation, o_year,
+             |  CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)
+             |      - 0.6 * p_retailprice * l_quantity) * 10000.0) AS BIGINT))
+             |    AS DOUBLE) / 10000.0 AS sum_profit
+             |FROM (
+             |  SELECT n_name AS nation,
+             |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             |    l_extendedprice, l_discount, p_retailprice, l_quantity
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE p_name LIKE '%red%') profit
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Audience overlap: |users(A) ∩ users(B)| for every unordered pair
     // of event types — the segment-intersection matrix a growth team
     // reads before targeting (do purchasers also view? do errors hit
@@ -607,6 +689,44 @@ object Analytics {
              |SELECT from_type, to_type, n,
              |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
              |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // Event-sequence pattern matching (the MATCH_RECOGNIZE class,
+    // regex form): each user's event stream is reduced to an ordered
+    // initial-letter string (c/e/p/s/v), and behavioural patterns are
+    // counted as regex matches over it — "viewed then clicked then
+    // purchased, in order", "purchased without an intervening error",
+    // "clicked twice in a row". Scale shape: ONE keyed shuffle
+    // compresses events to a ≤O(events/user) string per user
+    // (collect_list + array_sort on (ts, event_id) — a total order, so
+    // the string is deterministic); every regex then runs over the
+    // users frame, events never move again. Patterns stay in the
+    // RE2∩Java subset (literals, classes, +/*) so both engines agree
+    // (the q_pii_redact discipline).
+    QueryDef(
+      "q_seq_match",
+      (s, d) => {
+        val seqs = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type"))).as("evs"))
+          .selectExpr("user_id",
+            "array_join(transform(array_sort(evs), x -> substring(x.event_type, 1, 1)), '') AS seq")
+        seqs.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(expr("seq RLIKE 'v[^p]*c[^p]*p'"), 1L).otherwise(0L)).as("n_funnel_vcp"),
+          sum(when(expr("seq RLIKE 'p' AND NOT seq RLIKE 'e'"), 1L).otherwise(0L)).as("n_clean_purchase"),
+          sum(when(expr("seq RLIKE 'cc'"), 1L).otherwise(0L)).as("n_double_click"),
+          sum(when(expr("seq RLIKE '^s'"), 1L).otherwise(0L)).as("n_signup_first"))
+      },
+      Some("""WITH seqs AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+             |  FROM events GROUP BY user_id)
+             |SELECT COUNT(*) AS n_users,
+             |  CAST(SUM(CASE WHEN regexp_matches(seq, 'v[^p]*c[^p]*p') THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_vcp,
+             |  CAST(SUM(CASE WHEN regexp_matches(seq, 'p') AND NOT regexp_matches(seq, 'e') THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_purchase,
+             |  CAST(SUM(CASE WHEN regexp_matches(seq, 'cc') THEN 1 ELSE 0 END) AS BIGINT) AS n_double_click,
+             |  CAST(SUM(CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_first
+             |FROM seqs""".stripMargin)),
 
     // New users per day + cumulative growth curve.
     QueryDef(

@@ -255,6 +255,96 @@ object Quality {
              |SELECT col_name, n_distinct,
              |  round(CAST(round(ln(n) * 1e6) AS BIGINT) / 1e6 - s_micro / (n * 1e6), 6) AS entropy,
              |  round(top_cnt / CAST(n AS DOUBLE), 6) AS top_share
-             |FROM u ORDER BY col_name""".stripMargin))
+             |FROM u ORDER BY col_name""".stripMargin)),
+
+    // k-anonymity audit (k = 5) over customer quasi-identifiers at a
+    // 3-level generalization ladder: L0 = (mktsegment, nationkey,
+    // acctbal-millibucket), L1 drops the balance bucket, L2 keeps only
+    // the segment. Per level: equivalence-class count, classes below
+    // k, re-identifiable rows (those in small classes), and the
+    // suppression rate a k-anonymizer would pay — the release-vs-
+    // suppress trade-off curve privacy review reads before data leaves
+    // the boundary. Scale shape: three two-level aggregates (rows →
+    // class sizes → one summary row each); the widest exchange carries
+    // one row per CLASS, never per customer. All integers except the
+    // final rate division; the balance bucket floors a positive
+    // divided double (no halfway case).
+    QueryDef(
+      "q_kanon",
+      (s, d) => {
+        val k = 5
+        def level(name: String, cols: Seq[org.apache.spark.sql.Column]) =
+          Tables.customer(s, d)
+            .groupBy(cols: _*).agg(count(lit(1)).as("sz"))
+            .agg(count(lit(1)).as("n_classes"),
+              sum(col("sz")).cast("bigint").as("n_rows"),
+              sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_small_classes"),
+              sum(when(col("sz") < k, col("sz")).otherwise(lit(0L)))
+                .cast("bigint").as("n_rows_at_risk"))
+            .select(lit(name).as("level"), col("n_classes"), col("n_small_classes"),
+              col("n_rows_at_risk"),
+              (col("n_rows_at_risk").cast("double") / col("n_rows")).as("suppression_rate"))
+        val bal = expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_k")
+        level("L0_seg_nation_bal", Seq(col("c_mktsegment"), col("c_nationkey"), bal))
+          .unionByName(level("L1_seg_nation", Seq(col("c_mktsegment"), col("c_nationkey"))))
+          .unionByName(level("L2_seg", Seq(col("c_mktsegment"))))
+          .orderBy("level")
+      },
+      Some("""WITH l0 AS (SELECT COUNT(*) AS sz FROM customer
+             |  GROUP BY c_mktsegment, c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT)),
+             |l1 AS (SELECT COUNT(*) AS sz FROM customer GROUP BY c_mktsegment, c_nationkey),
+             |l2 AS (SELECT COUNT(*) AS sz FROM customer GROUP BY c_mktsegment),
+             |u AS (
+             |  SELECT 'L0_seg_nation_bal' AS level, COUNT(*) AS n_classes,
+             |    CAST(SUM(sz) AS BIGINT) AS n_rows,
+             |    CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+             |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+             |  FROM l0
+             |  UNION ALL
+             |  SELECT 'L1_seg_nation', COUNT(*), CAST(SUM(sz) AS BIGINT),
+             |    CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) FROM l1
+             |  UNION ALL
+             |  SELECT 'L2_seg', COUNT(*), CAST(SUM(sz) AS BIGINT),
+             |    CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) FROM l2)
+             |SELECT level, n_classes, n_small_classes, n_rows_at_risk,
+             |  CAST(n_rows_at_risk AS DOUBLE) / n_rows AS suppression_rate
+             |FROM u ORDER BY level""".stripMargin)),
+
+    // Freshness/staleness audit over the event stream: per event type,
+    // the newest record's lag behind the stream head (integer seconds
+    // — epoch arithmetic, no engine-divergent date maths), plus volume
+    // in the trailing 24 h and 7 d windows before the head, and a
+    // staleness flag at 1 h. The "is anything silently stopped?"
+    // monitor every ingest pipeline runs. One scan → keyed agg; the
+    // stream head is a scalar aggregate broadcast back (no second
+    // scan of events per type).
+    QueryDef(
+      "q_dq_freshness",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), unix_timestamp(col("ts")).as("es"))
+        val head = ev.agg(max(col("es")).as("head_es"))
+        ev.crossJoin(broadcast(head))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_total"),
+            (first(col("head_es")) - max(col("es"))).as("lag_s"),
+            sum(when(col("es") >= col("head_es") - 86400L, 1L).otherwise(0L)).as("n_24h"),
+            sum(when(col("es") >= col("head_es") - 604800L, 1L).otherwise(0L)).as("n_7d"))
+          .withColumn("stale_1h", (col("lag_s") > 3600L).cast("int"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |    epoch_us(ts) // 1000000 AS es FROM events),
+             |head AS (SELECT MAX(es) AS head_es FROM ev)
+             |SELECT event_type, COUNT(*) AS n_total,
+             |  CAST(MAX(head_es) - MAX(es) AS BIGINT) AS lag_s,
+             |  CAST(SUM(CASE WHEN es >= head_es - 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_24h,
+             |  CAST(SUM(CASE WHEN es >= head_es - 604800 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+             |  CAST(MAX(head_es) - MAX(es) > 3600 AS INT) AS stale_1h
+             |FROM ev, head
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
