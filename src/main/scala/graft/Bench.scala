@@ -255,7 +255,22 @@ object Bench {
     // widths, digest cost ∝ distinct keys) and per-user burstiness
     // (one lag window + moment sums)
     "q_join_card_est",
-    "q_ts_burstiness")
+    "q_ts_burstiness",
+    // round 11, fifth wave: Q12/Q9 (one fact shuffle each), sequence
+    // matching (one keyed compress + regex scans), k-anonymity ladder
+    // (three class-level aggs), freshness (one keyed agg + broadcast
+    // head), CDC ordered apply (one window pass), 3-hop multi-source
+    // BFS (3 frontier joins), MMR re-rank (TakeOrdered candidates + 4
+    // bounded greedy rounds), integer EWMA (fold over daily aggregate)
+    "q_tpch_q12",
+    "q_tpch_q9",
+    "q_seq_match",
+    "q_kanon",
+    "q_dq_freshness",
+    "q_cdc_apply",
+    "q_graph_bfs",
+    "q_rank_mmr",
+    "q_ts_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

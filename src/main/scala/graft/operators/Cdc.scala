@@ -210,6 +210,61 @@ object Cdc {
              |         WHEN dg_base <> dg_next THEN 'changed'
              |         ELSE 'unchanged' END AS status
              |  FROM base FULL OUTER JOIN next ON base.doc_id = next.doc_id)
-             |GROUP BY status ORDER BY status""".stripMargin))
+             |GROUP BY status ORDER BY status""".stripMargin)),
+
+    // Ordered changelog apply with tombstones: the event log AS a CDC
+    // stream — 'error' rows are DELETEs of the user key, everything
+    // else an UPSERT carrying an integer payload; ops apply strictly in
+    // (ts, event_id) order. Final state classifies every key: 'live'
+    // (never tombstoned), 'resurrected' (tombstoned, then re-upserted —
+    // the class a naive delete-wins merge gets wrong), 'tombstoned'
+    // (delete is the last word). ONE window pass over the key partition
+    // yields both the last op (rank) and the tombstone history (a
+    // whole-partition conditional sum on the same exchange) — no
+    // self-join, no second shuffle; the payload sum covers surviving
+    // keys only. All-integer arithmetic.
+    QueryDef(
+      "q_cdc_apply",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val part = Window.partitionBy("user_id")
+        Tables.events(s, d)
+          .withColumn("op", when(col("event_type") === "error", "D").otherwise("U"))
+          .withColumn("payload", col("event_id") % 1000)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_deletes",
+            sum(when(col("op") === "D", 1L).otherwise(0L)).over(part))
+          .filter(col("rk") === 1)
+          .withColumn("status", expr(
+            """CASE WHEN op = 'D' THEN 'tombstoned'
+              |     WHEN n_deletes > 0 THEN 'resurrected'
+              |     ELSE 'live' END""".stripMargin))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("user_id") * 7).cast("bigint").as("key_checksum"),
+            sum(when(col("op") === "U", col("payload")).otherwise(lit(0L)))
+              .cast("bigint").as("live_payload_sum"))
+          .orderBy("status")
+      },
+      Some("""WITH fin AS (
+             |  SELECT user_id,
+             |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |    event_id % 1000 AS payload,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rk,
+             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id) AS n_deletes
+             |  FROM events)
+             |SELECT CASE WHEN op = 'D' THEN 'tombstoned'
+             |            WHEN n_deletes > 0 THEN 'resurrected'
+             |            ELSE 'live' END AS status,
+             |  COUNT(*) AS n_keys,
+             |  CAST(SUM(user_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(SUM(CASE WHEN op = 'U' THEN payload ELSE 0 END) AS BIGINT)
+             |    AS live_payload_sum
+             |FROM fin WHERE rk = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1028,6 +1028,64 @@ object Clustering {
                 |ORDER BY p3.pr DESC, p3.v LIMIT 20""".stripMargin)
       }),
 
+    // Multi-source BFS: hop distance from a SEED SET (every 10th graph
+    // node) within 3 hops over the near-dup pair graph — the
+    // blast-radius primitive ("which documents sit within k hops of a
+    // known-bad set"). BFS over unit edges settles level by level, so
+    // round i only expands the frontier that settled at distance i−1:
+    // each round is ONE keyed join (edges ⋈ frontier) + ONE keyed MIN —
+    // the pregel message pass as relational ops, distances are small
+    // exact integers, and the trajectory replays CTE-for-CTE in the
+    // oracle. Deliverable: the hop histogram with membership checksums;
+    // hops = −1 is the unreachable remainder.
+    QueryDef(
+      "q_graph_bfs",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d).select("a", "b")
+        val edges = pairs.selectExpr("a AS src", "b AS dst")
+          .union(pairs.selectExpr("b AS src", "a AS dst"))
+          .cache()
+        val nodes = edges.select(col("src").as("v")).distinct()
+        var dist = nodes.filter(col("v") % 10 === 0)
+          .select(col("v"), lit(0L).as("dd"))
+        for (i <- 1 to 3) {
+          dist = dist.unionAll(
+              edges.join(
+                  dist.filter(col("dd") === (i - 1).toLong)
+                    .withColumnRenamed("v", "src"), "src")
+                .select(col("dst").as("v"), lit(i.toLong).as("dd")))
+            .groupBy("v").agg(min(col("dd")).as("dd"))
+        }
+        val out = nodes.join(dist, Seq("v"), "left_outer")
+          .selectExpr("v", "CAST(coalesce(dd, -1) AS BIGINT) AS hops")
+          .groupBy("hops")
+          .agg(count(lit(1)).as("n_vertices"),
+            sum(col("v") * 7).cast("bigint").as("member_checksum"))
+          .orderBy("hops")
+        edges.unpersist()
+        out
+      }, {
+        def round(i: Int): String =
+          s"""d$i AS (SELECT v, MIN(dd) AS dd FROM (
+             |  SELECT v, dd FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT e.dst, f.dd + 1 FROM edges e
+             |  JOIN d${i - 1} f ON f.v = e.src AND f.dd = ${i - 1}) GROUP BY v)""".stripMargin
+        Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+                |edges AS (SELECT a AS src, b AS dst FROM verified
+                |          UNION ALL SELECT b, a FROM verified),
+                |nodes AS (SELECT DISTINCT src AS v FROM edges),
+                |d0 AS (SELECT v, CAST(0 AS BIGINT) AS dd FROM nodes WHERE v % 10 = 0),
+                |${round(1)},
+                |${round(2)},
+                |${round(3)}
+                |SELECT CAST(COALESCE(d3.dd, -1) AS BIGINT) AS hops,
+                |  COUNT(*) AS n_vertices,
+                |  CAST(SUM(nodes.v * 7) AS BIGINT) AS member_checksum
+                |FROM nodes LEFT JOIN d3 ON d3.v = nodes.v
+                |GROUP BY 1 ORDER BY 1""".stripMargin)
+      }),
+
     // Cluster assignment: every near-duplicated document with its
     // component representative (min doc_id) and the component size.
     QueryDef(

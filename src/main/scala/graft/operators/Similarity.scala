@@ -64,6 +64,21 @@ object Similarity {
     s"(CAST(list_sum(list_transform(list_zip($x, $y), " +
       s"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 100000000000000) AS BIGINT))) AS DOUBLE) / 100000000000000)"
 
+  /** BIGINT quantized dot — [[sparkDotHof]] WITHOUT the final return to
+    * double: the exact integer-grid value, safe to add/subtract/compare
+    * across engines with zero float involvement (the double round-trip
+    * is lossy past 2⁵³, which 64 un-normalized coordinate products can
+    * exceed). Used where dot products feed further arithmetic rather
+    * than a final ranking column. */
+  def sparkIntDot(x: String, y: String): String =
+    s"aggregate(zip_with($x, $y, (p, q) -> floor(CAST(p AS DOUBLE) * CAST(q AS DOUBLE) * 100000000000000)), " +
+      s"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** DuckDB twin of [[sparkIntDot]]. */
+  def duckIntDot(x: String, y: String): String =
+    s"CAST(list_sum(list_transform(list_zip($x, $y), " +
+      s"p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 100000000000000) AS BIGINT))) AS BIGINT)"
+
   /** Sign-bit LSH bucket from the first `bits` coordinates (both dialects
     * — the expression text is dialect-neutral except for element access).
     * The hyperplanes are the coordinate axes: fixed and data-independent,
@@ -1024,6 +1039,83 @@ object Similarity {
               |  FROM scored)
               |SELECT q_id, rnk, c_id, cosine FROM ranked WHERE rnk <= 3
               |ORDER BY q_id, rnk""".stripMargin)),
+
+    // MMR diverse re-ranking (maximal marginal relevance, λ = 1/2): from
+    // the top-16 candidates by relevance to a query vector, greedily
+    // pick k = 5, each round taking argmax of rel(c) − max_{s∈S} sim(c,s)
+    // — the standard retrieval re-rank that stops a result page being
+    // five near-copies of the same hit. λ = 1/2 keeps the whole
+    // trajectory on the BIGINT quantized-dot grid (argmax of ½rel −
+    // ½maxsim ≡ argmax of rel − maxsim), so both engines replay the
+    // greedy choices exactly; ties break by vec_id. Scale shape:
+    // candidate generation is a broadcast-query scan + distributed
+    // TakeOrdered (never a global window); the greedy loop is k − 1
+    // bounded rounds over the 16-row candidate frame (locally
+    // checkpointed, the labelProp discipline), each a ≤16×k cross
+    // product — driver-bounded by the CONSTANT k, independent of N.
+    QueryDef(
+      "q_rank_mmr",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb")))
+        val cand0 = e.filter(col("vec_id") =!= 0)
+          .crossJoin(q)
+          .selectExpr("vec_id", "embedding",
+            s"${sparkIntDot("q_emb", "embedding")} AS rel")
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(16)
+        val ck = cand0.localCheckpoint(true)
+        val cand = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+        var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+          .select(lit(1).as("pick"), col("vec_id"), col("rel"), col("rel").as("score"))
+        for (t <- 2 to 5) {
+          val selIds = sel.select("vec_id")
+          val selEmb = cand.join(selIds, "vec_id")
+            .select(col("embedding").as("s_emb"))
+          val pick = cand.join(selIds, Seq("vec_id"), "left_anti")
+            .crossJoin(selEmb)
+            .selectExpr("vec_id", "rel",
+              s"${sparkIntDot("embedding", "s_emb")} AS sim")
+            .groupBy("vec_id", "rel").agg(max(col("sim")).as("mx"))
+            .selectExpr(s"$t AS pick", "vec_id", "rel", "rel - mx AS score")
+            .orderBy(col("score").desc, col("vec_id")).limit(1)
+          val sck = sel.unionByName(pick).localCheckpoint(true)
+          sel = sck.sparkSession.createDataFrame(sck.rdd, sck.schema)
+        }
+        sel.selectExpr("pick", "vec_id",
+            "CAST(rel AS DOUBLE) / 100000000000000 AS rel",
+            "CAST(score AS DOUBLE) / 100000000000000 AS score")
+          .orderBy("pick")
+      }, {
+        def round(t: Int): String =
+          s"""s$t AS (
+             |  SELECT $t AS pick, vec_id, rel, rel - mx AS score FROM (
+             |    SELECT c.vec_id, c.rel,
+             |      MAX(${duckIntDot("c.embedding", "sc.embedding")}) AS mx
+             |    FROM cand c CROSS JOIN cand sc
+             |    WHERE sc.vec_id IN (SELECT vec_id FROM sel${t - 1})
+             |      AND c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+             |    GROUP BY c.vec_id, c.rel)
+             |  ORDER BY score DESC, vec_id LIMIT 1),
+             |sel$t AS (SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM s$t)""".stripMargin
+        Some(s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+                |cand AS (
+                |  SELECT vec_id, embedding, ${duckIntDot("embedding", "q_emb")} AS rel
+                |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+                |  ORDER BY rel DESC, vec_id LIMIT 16),
+                |s1 AS (SELECT 1 AS pick, vec_id, rel, rel AS score
+                |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+                |sel1 AS (SELECT vec_id FROM s1),
+                |${(2 to 5).map(round).mkString(",\n")}
+                |SELECT pick, vec_id,
+                |  CAST(rel AS DOUBLE) / 100000000000000 AS rel,
+                |  CAST(score AS DOUBLE) / 100000000000000 AS score
+                |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+                |      SELECT * FROM s3 UNION ALL SELECT * FROM s4
+                |      UNION ALL SELECT * FROM s5)
+                |ORDER BY pick""".stripMargin)
+      }),
 
     // LSH-bucketed approximate nearest neighbor: equi-join on the sign
     // bucket, top-1 within bucket (queries whose bucket holds no other

@@ -292,6 +292,55 @@ object TimeSeries {
              |FROM (SELECT event_type,
              |        datediff('day', CAST(ts AS DATE), CAST(now_ts AS DATE)) AS dd
              |      FROM events CROSS JOIN now_t)
-             |GROUP BY event_type ORDER BY decayed_u DESC, event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY decayed_u DESC, event_type""".stripMargin)),
+
+    // Integer-exact EWMA (α = 1/2, floor at each step) over each event
+    // type's daily count series: ewma₁ = x₁, ewmaₜ = ⌊(ewmaₜ₋₁ + xₜ)/2⌋
+    // — the smoothed trend line monitoring dashboards draw, kept on the
+    // integer grid because the recurrence is inherently SEQUENTIAL and
+    // a float EWMA would drift in the last ulp between engines after
+    // enough steps. Scale shape: the recurrence runs over the
+    // per-(type, day) AGGREGATE (≤ span rows per key), never raw events
+    // — one keyed shuffle to daily counts, one to the per-type fold;
+    // the fold itself is an aggregate() HOF over the ordered day array
+    // with ONE BIGINT of state. The oracle replays the identical fold
+    // as a recursive CTE stepping the day index.
+    QueryDef(
+      "q_ts_ewma",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("event_type")
+          .agg(collect_list(struct(col("day"), col("cnt"))).as("ds"))
+          .selectExpr("event_type",
+            "transform(array_sort(ds), x -> x.cnt) AS cs")
+          .selectExpr("event_type",
+            "CAST(size(cs) AS BIGINT) AS n_days",
+            "aggregate(cs, CAST(0 AS BIGINT), (acc, v) -> acc + v) AS total_cnt",
+            "aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1), " +
+              "(acc, v) -> (acc + v) div 2) AS ewma")
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+             |  FROM daily),
+             |r AS (
+             |  SELECT event_type, i, CAST(cnt AS BIGINT) AS ewma FROM idx WHERE i = 1
+             |  UNION ALL
+             |  SELECT idx.event_type, idx.i, (r.ewma + idx.cnt) // 2
+             |  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1),
+             |tot AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |    CAST(SUM(cnt) AS BIGINT) AS total_cnt
+             |  FROM daily GROUP BY 1)
+             |SELECT r.event_type, tot.n_days, tot.total_cnt,
+             |  CAST(r.ewma AS BIGINT) AS ewma
+             |FROM r JOIN tot ON tot.event_type = r.event_type AND r.i = tot.n_days
+             |ORDER BY r.event_type""".stripMargin))
   )
 }

@@ -195,26 +195,31 @@ object Windows {
              |GROUP BY quartile ORDER BY quartile""".stripMargin))
   )
 
-  /** Exact NTILE(k) without a global single-task window: range-partition
-    * on the ordering key (partition order == key order), per-partition
-    * row_number, then per-partition row counts (numPartitions rows) give
-    * exclusive prefix offsets and the grand total; broadcast back, add,
-    * and apply SQL-standard NTILE arithmetic — the first (N mod k)
-    * buckets get ceil(N/k) rows, the rest floor(N/k). Bit-for-bit equal
-    * to the built-in, but the only global window runs over one row per
-    * partition. */
-  private[graft] def distributedNtile(
-      s: org.apache.spark.sql.SparkSession, d: String, k: Int, partitions: Int)
+  /** Exact NTILE(k) without a global single-task window, over ANY frame
+    * and (unique) ordering: range-partition on the ordering columns
+    * (partition order == key order), per-partition row_number, then
+    * per-partition row counts (numPartitions rows) give exclusive
+    * prefix offsets and the grand total; broadcast back, add, and apply
+    * SQL-standard NTILE arithmetic — the first (N mod k) buckets get
+    * ceil(N/k) rows, the rest floor(N/k). Bit-for-bit equal to the
+    * built-in `NTILE(k) OVER (ORDER BY orderCols)`, but the only global
+    * window runs over one row per partition. The ordering MUST be made
+    * unique by the caller (append a key column as the tie-break) or
+    * bucket assignment at range boundaries is nondeterministic; the
+    * input frame must not already carry pid/local_rn/rn/qsize/rem. */
+  private[graft] def ntileBucket(df: org.apache.spark.sql.DataFrame,
+                                 k: Int, partitions: Int,
+                                 orderCols: Seq[String], bucketName: String)
       : org.apache.spark.sql.DataFrame = {
     // localCheckpoint pins one physical layout for both branches (local
     // row_numbers, per-partition counts): repartitionByRange samples its
     // boundaries, so two recomputes could stamp different pids — see the
     // same pinning in TextAnalysis.distributedCumsumPack.
-    val base = Tables.orders(s, d).select("o_orderkey")
-      .repartitionByRange(partitions, col("o_orderkey"))
+    val base = df
+      .repartitionByRange(partitions, orderCols.map(col): _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
-    val wLocal = Window.partitionBy("pid").orderBy("o_orderkey")
+    val wLocal = Window.partitionBy("pid").orderBy(orderCols.map(col): _*)
     val local = base.withColumn("local_rn", row_number().over(wLocal).cast("long"))
     // offsets derive from `base` (pre-window), not `local`: the join
     // reuses the shuffle but would re-execute a window-bearing branch
@@ -226,18 +231,24 @@ object Windows {
       .withColumn("total", sum(col("cnt")).over(wAll))
       .select("pid", "offset", "total")
     local.join(broadcast(offsets), "pid")
-      .selectExpr("o_orderkey", "local_rn + offset AS rn", "total",
-        s"total DIV $k AS qsize", s"total % $k AS rem")
-      .selectExpr("o_orderkey",
+      .selectExpr(df.columns ++ Seq("local_rn + offset AS rn",
+        s"total DIV $k AS qsize", s"total % $k AS rem"): _*)
+      .selectExpr(df.columns :+
         // SQL-standard ntile: rows 1..rem*(qsize+1) fall in the first rem
         // (larger) buckets; the remainder spreads over qsize-row buckets.
         s"""CAST(CASE WHEN qsize = 0 THEN rn
            |  WHEN rn <= rem * (qsize + 1) THEN (rn - 1) DIV (qsize + 1) + 1
            |  ELSE rem + (rn - rem * (qsize + 1) - 1) DIV qsize + 1
-           |END AS INT) AS quartile""".stripMargin)
+           |END AS INT) AS $bucketName""".stripMargin: _*)
+  }
+
+  private[graft] def distributedNtile(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int, partitions: Int)
+      : org.apache.spark.sql.DataFrame =
+    ntileBucket(Tables.orders(s, d).select("o_orderkey"), k, partitions,
+        Seq("o_orderkey"), "quartile")
       .groupBy("quartile")
       .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"),
         max("o_orderkey").as("max_key"))
       .orderBy("quartile")
-  }
 }
