@@ -293,7 +293,16 @@ object Bench {
     "q_ts_seasonal",
     "q_seq_trigrams",
     "q_churn",
-    "q_graph_kcore")
+    "q_graph_kcore",
+    // round 11, eighth wave: the TPC-H completion — Q2/Q11/Q16/Q20
+    // adapted to the reconstructed-partsupp relation (pair-distinct
+    // fact shuffle + broadcast dims; Q2 adds a per-part rank window,
+    // Q11 a 1-row total broadcast, Q16 a countDistinct, Q20 a second
+    // pruned fact rollup)
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -608,6 +608,187 @@ object Analytics {
              |  WHERE p_name LIKE '%red%') profit
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Q2: minimum-cost supplier. The synthetic schema has no partsupp
+    // table, so (here and in Q11/Q16/Q20) it is reconstructed as the
+    // DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem, with
+    // supply cost a deterministic hash of the pair — integer cents, so
+    // the whole correlated-min machinery stays in exact BIGINTs. The
+    // correlated "cost = MIN(cost) over this part" subquery becomes a
+    // per-part rank window (partitioned BY PART, never global; ties
+    // broken by suppkey so both engines pick the same supplier). Plan:
+    // the pair-distinct is the only fact shuffle (map-side combine);
+    // the size/type-pruned part and the 3-table supplier→nation→region
+    // chain both broadcast into it.
+    QueryDef(
+      "q_tpch_q2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+          .withColumn("cost_cents",
+            expr("(l_partkey * 31 + l_suppkey * 17) % 10000 + 1").cast("long"))
+        val parts = broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "ECONOMY" && col("p_size") <= 15)
+          .select("p_partkey", "p_size"))
+        val suppEu = broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey") && col("r_name") === "EUROPE")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name").as("nation")))
+        val wMin = Window.partitionBy("l_partkey")
+          .orderBy(col("cost_cents"), col("l_suppkey"))
+        ps.join(parts, col("l_partkey") === col("p_partkey"))
+          .join(suppEu, col("l_suppkey") === col("s_suppkey"))
+          .withColumn("rn", row_number().over(wMin))
+          .filter(col("rn") === 1)
+          .select("s_acctbal", "s_name", "nation", "p_partkey", "p_size", "cost_cents")
+          .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+          .limit(20)
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    CAST((l_partkey * 31 + l_suppkey * 17) % 10000 + 1 AS BIGINT) AS cost_cents
+             |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+             |r AS (
+             |  SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_size, cost_cents,
+             |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+             |      ORDER BY cost_cents, l_suppkey) AS rn
+             |  FROM ps
+             |  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY' AND p_size <= 15
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE')
+             |SELECT s_acctbal, s_name, nation, p_partkey, p_size, cost_cents
+             |FROM r WHERE rn = 1
+             |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20""".stripMargin)),
+
+    // Q11: important stock. Reconstructed-partsupp value per part
+    // (cost · availqty, both hash-deterministic integers) for one
+    // nation's suppliers, keeping parts whose value exceeds 1/1000 of
+    // the national total. The scalar-subquery threshold comparison is
+    // CROSS-MULTIPLIED (value · 1000 > total) so no float division
+    // ever happens — the qualifying set is bit-identical by integer
+    // arithmetic alone. Plan: pair-distinct fact shuffle, 4-supplier
+    // broadcast semi, one keyed agg, the 1-row total broadcast back.
+    QueryDef(
+      "q_tpch_q11",
+      (s, d) => {
+        val suppNat = broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_7")
+          .select("s_suppkey"))
+        val value = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+          .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+          .withColumn("v",
+            expr("""CAST((l_partkey * 31 + l_suppkey * 17) % 10000 + 1 AS BIGINT)
+                   | * CAST((l_partkey * 7 + l_suppkey * 13) % 100 + 1 AS BIGINT)""".stripMargin))
+          .groupBy("l_partkey").agg(sum(col("v")).as("value_cents"))
+        val total = value.agg(sum(col("value_cents")).as("total_cents"))
+        value.crossJoin(broadcast(total))
+          .filter(col("value_cents") * 1000 > col("total_cents"))
+          .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+          .orderBy(col("value_cents").desc, col("p_partkey"))
+          .limit(50)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |sn AS (SELECT s_suppkey FROM supplier
+             |       JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'),
+             |v AS (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST((l_partkey * 31 + l_suppkey * 17) % 10000 + 1 AS BIGINT)
+             |      * CAST((l_partkey * 7 + l_suppkey * 13) % 100 + 1 AS BIGINT)) AS BIGINT)
+             |      AS value_cents
+             |  FROM ps JOIN sn ON sn.s_suppkey = ps.l_suppkey
+             |  GROUP BY 1)
+             |SELECT l_partkey AS p_partkey, value_cents
+             |FROM v CROSS JOIN (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v) t
+             |WHERE value_cents * 1000 > total_cents
+             |ORDER BY value_cents DESC, p_partkey LIMIT 50""".stripMargin)),
+
+    // Q16: supplier diversity per part segment — distinct suppliers
+    // able to supply each (brand, type, size) bucket, excluding one
+    // brand, one type, an off-list size, and the "complaint" suppliers
+    // (adapted to s_acctbal < 0 — the only supplier-quality signal in
+    // the reduced schema; the NOT-IN becomes a broadcast ANTI join of
+    // the ~6-row exclusion frame). COUNT(DISTINCT suppkey) rides the
+    // pair-distinct relation, so the expensive distinct is already
+    // done when the group-by runs.
+    QueryDef(
+      "q_tpch_q16",
+      (s, d) => {
+        val badSupp = broadcast(Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0.0).select("s_suppkey"))
+        val parts = broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY"
+            && col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+          .limit(20)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+             |SELECT p_brand, p_type, p_size,
+             |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM ps
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+             |  AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin)),
+
+    // Q20: excess-stock suppliers — one nation's suppliers holding more
+    // than half a year's shipped quantity of some 'red' part
+    // (availqty · 2 > Σ qty_1996, cross-multiplied exact integers; the
+    // original's correlated scalar subquery is the keyed join of the
+    // per-(part, supplier) 1996 shipment rollup, whose inner-join
+    // absence reproduces the NULL-comparison drop). The EXISTS over
+    // qualifying pairs is a distinct-suppkey semi join against the
+    // 4-supplier broadcast nation frame.
+    QueryDef(
+      "q_tpch_q20",
+      (s, d) => {
+        val redParts = broadcast(Tables.part(s, d)
+          .filter(col("p_name").startsWith("red")).select("p_partkey"))
+        val shipped = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("l_partkey").as("sp"), col("l_suppkey").as("ss"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty96"))
+        val okSupp = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+          .join(redParts, col("l_partkey") === col("p_partkey"))
+          .join(shipped, col("l_partkey") === col("sp") && col("l_suppkey") === col("ss"))
+          .filter(expr("CAST((l_partkey * 7 + l_suppkey * 13) % 100 + 1 AS BIGINT) * 2") > col("qty96"))
+          .select("l_suppkey").distinct()
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_3")
+          .join(okSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |sh AS (
+             |  SELECT l_partkey AS sp, l_suppkey AS ss,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty96
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  GROUP BY 1, 2),
+             |ok AS (
+             |  SELECT DISTINCT l_suppkey FROM ps
+             |  JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+             |  JOIN sh ON sp = l_partkey AND ss = l_suppkey
+             |  WHERE CAST((l_partkey * 7 + l_suppkey * 13) % 100 + 1 AS BIGINT) * 2 > qty96)
+             |SELECT s_name, s_acctbal FROM supplier
+             |JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+             |WHERE s_suppkey IN (SELECT l_suppkey FROM ok)
+             |ORDER BY s_name""".stripMargin)),
+
     // Audience overlap: |users(A) ∩ users(B)| for every unordered pair
     // of event types — the segment-intersection matrix a growth team
     // reads before targeting (do purchasers also view? do errors hit

@@ -80,4 +80,61 @@ class WaveInvariantSpec extends AnyFunSuite {
     val sssp = SparkEntry.queries("q_graph_sssp")(spark, sf).collect()
     sssp.foreach(r => assert(r.getAs[Long]("dd") >= 0))
   }
+
+  test("tpch q2 picks the true per-part minimum-cost european supplier") {
+    val rows = SparkEntry.queries("q_tpch_q2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one winner per part, and every published cost is the part's min
+    assert(rows.map(_.getAs[Long]("p_partkey")).distinct.length === rows.length)
+    val ps = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey").distinct()
+      .selectExpr("l_partkey", "l_suppkey",
+        "CAST((l_partkey * 31 + l_suppkey * 17) % 10000 + 1 AS BIGINT) AS c")
+    val eu = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "EUROPE")
+      .select("s_suppkey")
+    val minCost = ps.join(eu, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey").agg(min("c").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("cost_cents") === minCost(r.getAs[Long]("p_partkey"))))
+  }
+
+  test("tpch q11 keeps only above-threshold parts and q16 bounds supplier counts") {
+    val q11 = SparkEntry.queries("q_tpch_q11")(spark, sf).collect()
+    // recompute the qualifying count from first principles (the tiny
+    // sf0.001 fixture may have no NATION_7 supplier at all — then the
+    // correct answer is exactly zero rows)
+    val v = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey").distinct()
+      .join(Tables.supplier(spark, sf)
+        .join(Tables.nation(spark, sf),
+          col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_7")
+        .select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
+      .selectExpr("l_partkey",
+        """CAST((l_partkey * 31 + l_suppkey * 17) % 10000 + 1 AS BIGINT)
+          | * CAST((l_partkey * 7 + l_suppkey * 13) % 100 + 1 AS BIGINT) AS v""".stripMargin)
+      .groupBy("l_partkey").agg(sum("v").as("value"))
+      .collect().map(_.getLong(1))
+    val expected = if (v.isEmpty) 0 else v.count(_ * 1000 > v.sum)
+    assert(q11.length === math.min(expected, 50))
+    val vals = q11.map(_.getAs[Long]("value_cents"))
+    assert(vals.sameElements(vals.sortBy(-_)), "q11 not sorted by value desc")
+    val q16 = SparkEntry.queries("q_tpch_q16")(spark, sf).collect()
+    val nSupp = Tables.supplier(spark, sf).count()
+    q16.foreach { r =>
+      val c = r.getAs[Long]("supplier_cnt")
+      assert(c >= 1 && c <= nSupp)
+    }
+  }
+
+  test("tpch q20 returns only nation-3 suppliers with a qualifying red part") {
+    val q20 = SparkEntry.queries("q_tpch_q20")(spark, sf).collect()
+    val nat3 = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_3")
+      .select("s_name").collect().map(_.getString(0)).toSet
+    q20.foreach(r => assert(nat3.contains(r.getAs[String]("s_name"))))
+    assert(q20.length <= nat3.size)
+  }
 }
