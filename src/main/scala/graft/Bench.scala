@@ -302,7 +302,17 @@ object Bench {
     "q_tpch_q2",
     "q_tpch_q11",
     "q_tpch_q16",
-    "q_tpch_q20")
+    "q_tpch_q20",
+    // round 11, ninth wave: item-CF (capped per-customer pair join),
+    // link prediction (middle-vertex 2-path join), trained NB lang
+    // classifier (model keyed join against exploded test tokens),
+    // ACF (lag-spine self-join over the daily aggregate), CUSUM
+    // (per-type cumulative window + rank)
+    "q_rec_itemcf",
+    "q_graph_linkpred",
+    "q_nb_lang",
+    "q_ts_acf",
+    "q_ts_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

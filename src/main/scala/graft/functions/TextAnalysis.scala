@@ -445,6 +445,107 @@ object TextAnalysis {
              |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, COUNT(*) AS n_distinct,
              |  CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) / SUM(n) AS dup_frac,
              |  CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_frac
-             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Trained multinomial Naive Bayes language classifier: token
+    // likelihoods with Laplace smoothing fitted on the even doc_ids,
+    // evaluated on the odd — the second TRAINED model in the engine
+    // (beside the GD quality classifier) and the classic first-pass
+    // lang-ID for corpus routing. Every log term is ln of an INTEGER
+    // (count+1, or langTotal+V), quantized to micros BEFORE the
+    // per-document sum, so scores are exact BIGINTs and the argmax is
+    // bit-identical cross-engine (ties → lexicographic lang). Scale
+    // shape: the model (langs × distinct train tokens) is a keyed
+    // relation JOINED to the exploded test tokens on the token — the
+    // corpus never collects; the 5-row lang spine and the two scalar
+    // totals broadcast. Output: the test-set confusion matrix.
+    QueryDef(
+      "q_nb_lang",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val cntTl = train.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        val cntL = train.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val vocab = train.agg(countDistinct(col("tok")).as("v"))
+        val priors = docs.filter(col("doc_id") % 2 === 0)
+          .groupBy("lang").agg(count(lit(1)).as("nd"))
+        val nTrain = docs.filter(col("doc_id") % 2 === 0).agg(count(lit(1)).as("nt"))
+        // per-(lang, token) smoothed log-likelihood in integer micros
+        val model = cntTl.join(broadcast(cntL), "lang").crossJoin(broadcast(vocab))
+          .selectExpr("lang", "tok",
+            """CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+              | - CAST(round(ln(CAST(n_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS ll_micro""".stripMargin)
+        // a test token missing from a lang's rows scores ln(1) − ln(n_l+v)
+        val miss = broadcast(cntL.crossJoin(broadcast(vocab))
+          .selectExpr("lang",
+            "-CAST(round(ln(CAST(n_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS miss_micro"))
+        val prior = broadcast(priors.crossJoin(broadcast(nTrain))
+          .selectExpr("lang",
+            """CAST(round(ln(CAST(nd AS DOUBLE)) * 1000000) AS BIGINT)
+              | - CAST(round(ln(CAST(nt AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro""".stripMargin))
+        val test = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val scored = test
+          .crossJoin(miss)
+          .join(model, Seq("lang", "tok"), "left")
+          .withColumn("term", coalesce(col("ll_micro"), col("miss_micro")))
+          .groupBy("doc_id", "true_lang", "lang")
+          .agg(sum(col("term")).as("tok_score"))
+          .join(prior, "lang")
+          .withColumn("score", col("tok_score") + col("prior_micro"))
+        val wPick = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("lang"))
+        scored.withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .groupBy(col("true_lang"), col("lang").as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some("""WITH train AS (
+             |  SELECT lang, UNNEST(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |cnt_tl AS (SELECT lang, tok, COUNT(*) AS c FROM train GROUP BY 1, 2),
+             |cnt_l AS (SELECT lang, COUNT(*) AS n_l FROM train GROUP BY 1),
+             |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+             |priors AS (SELECT lang, COUNT(*) AS nd FROM documents
+             |           WHERE doc_id % 2 = 0 GROUP BY 1),
+             |ntr AS (SELECT COUNT(*) AS nt FROM documents WHERE doc_id % 2 = 0),
+             |model AS (
+             |  SELECT cnt_tl.lang, tok,
+             |    CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+             |    - CAST(round(ln(CAST(n_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS ll_micro
+             |  FROM cnt_tl JOIN cnt_l ON cnt_l.lang = cnt_tl.lang CROSS JOIN vocab),
+             |miss AS (
+             |  SELECT lang,
+             |    -CAST(round(ln(CAST(n_l + v AS DOUBLE)) * 1000000) AS BIGINT) AS miss_micro
+             |  FROM cnt_l CROSS JOIN vocab),
+             |prior AS (
+             |  SELECT lang,
+             |    CAST(round(ln(CAST(nd AS DOUBLE)) * 1000000) AS BIGINT)
+             |    - CAST(round(ln(CAST(nt AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro
+             |  FROM priors CROSS JOIN ntr),
+             |test AS (
+             |  SELECT doc_id, lang AS true_lang, UNNEST(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |scored AS (
+             |  SELECT t.doc_id, t.true_lang, miss.lang,
+             |    CAST(SUM(COALESCE(ll_micro, miss_micro)) AS BIGINT)
+             |      + ANY_VALUE(prior_micro) AS score
+             |  FROM test t
+             |  CROSS JOIN miss
+             |  LEFT JOIN model ON model.lang = miss.lang AND model.tok = t.tok
+             |  JOIN prior ON prior.lang = miss.lang
+             |  GROUP BY 1, 2, 3),
+             |pick AS (
+             |  SELECT doc_id, true_lang, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, lang) AS rn
+             |  FROM scored)
+             |SELECT true_lang, lang AS pred_lang, COUNT(*) AS n
+             |FROM pick WHERE rn = 1
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1364,6 +1364,63 @@ object Analytics {
              |  COUNT(*) AS n_users,
              |  CAST(SUM(user_id * 7) AS BIGINT) AS user_checksum,
              |  CAST(SUM(n_events) AS BIGINT) AS n_events
-             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Item-item collaborative filtering: cosine similarity over the
+    // binary customer×part interaction matrix — the memory-based
+    // recommender that turns "customers who bought X" into a ranked
+    // "also bought Y" list. Differs from q_assoc_rules in grain
+    // (customer lifetime, not single basket) and statistic (cosine,
+    // not confidence/lift). The quadratic pair term is PER CUSTOMER
+    // and explicitly bounded: each customer contributes at most their
+    // 64 smallest part keys (one user-keyed rank window — the
+    // interaction-capping knob a production recommender turns, and
+    // what makes the shape survive power users at 100 TB; heavy-key
+    // salting is never needed because the join key IS the bounded
+    // customer). Cosine = co / √(na·nb) is one float expression over
+    // three exact BIGINT counts — sqrt and division are IEEE
+    // correctly-rounded, so it is bit-equal cross-engine.
+    QueryDef(
+      "q_rec_itemcf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ui0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select("o_custkey", "l_partkey").distinct()
+        val wCap = Window.partitionBy("o_custkey").orderBy("l_partkey")
+        val ui = ui0.withColumn("rn", row_number().over(wCap))
+          .filter(col("rn") <= 64).drop("rn")
+        val na = ui.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        ui.select(col("o_custkey"), col("l_partkey").as("a"))
+          .join(ui.select(col("o_custkey").as("ck2"), col("l_partkey").as("b")),
+            col("o_custkey") === col("ck2") && col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("co"))
+          .join(na.select(col("l_partkey").as("a"), col("n").as("na")), "a")
+          .join(na.select(col("l_partkey").as("b"), col("n").as("nb")), "b")
+          .selectExpr("a", "b", "co", "na", "nb",
+            "CAST(co AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cosine")
+          .orderBy(col("cosine").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH ui0 AS (
+             |  SELECT DISTINCT o_custkey, l_partkey
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |ui AS (
+             |  SELECT o_custkey, l_partkey FROM (
+             |    SELECT o_custkey, l_partkey,
+             |      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY l_partkey) AS rn
+             |    FROM ui0) WHERE rn <= 64),
+             |na AS (SELECT l_partkey, COUNT(*) AS n FROM ui GROUP BY 1),
+             |co AS (
+             |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS co
+             |  FROM ui x JOIN ui y
+             |    ON x.o_custkey = y.o_custkey AND x.l_partkey < y.l_partkey
+             |  GROUP BY 1, 2)
+             |SELECT a, b, co, sa.n AS na, sb.n AS nb,
+             |  CAST(co AS DOUBLE) / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS cosine
+             |FROM co JOIN na sa ON sa.l_partkey = a
+             |        JOIN na sb ON sb.l_partkey = b
+             |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin))
   )
 }

@@ -1221,6 +1221,64 @@ object Clustering {
               |       COUNT(*) AS n_kept,
               |       (SELECT COUNT(*) FROM documents) - COUNT(*) AS n_removed,
               |       CAST(SUM(doc_id) AS BIGINT) AS kept_checksum
-              |FROM kept""".stripMargin))
+              |FROM kept""".stripMargin)),
+
+    // Link prediction over the near-dup graph: common-neighbors count
+    // and Adamic-Adar score for every NON-adjacent pair that shares at
+    // least one neighbor — "which documents will probably turn out to
+    // be duplicates next" (and, on a social graph, the
+    // people-you-may-know primitive). The 2-path enumeration joins the
+    // neighbor relation with itself ON THE MIDDLE VERTEX, so the
+    // quadratic term is per-vertex degree² — the standard distributed
+    // shape whose 100 TB knob is degree-capping/salting the few hub
+    // vertices (this graph's max degree is single-digit). Adamic-Adar
+    // downweights hub witnesses by 1/ln(deg); each witness's weight is
+    // quantized to integer micros BEFORE the sum (ln of an INTEGER
+    // degree ≥ 2 — a common neighbor of a non-edge always has two
+    // distinct neighbors), so the score sum is an exact BIGINT.
+    QueryDef(
+      "q_graph_linkpred",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d).select("a", "b")
+        val nbr = pairs.selectExpr("a AS z", "b AS v")
+          .union(pairs.selectExpr("b AS z", "a AS v"))
+        val deg = nbr.groupBy("z").agg(count(lit(1)).as("deg"))
+        val wtd = nbr.join(deg, "z")
+          .withColumn("w_micro",
+            expr("CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"))
+        val cand = wtd.select(col("z"), col("v").as("pa"), col("w_micro"))
+          .join(wtd.select(col("z").as("z2"), col("v").as("pb")),
+            col("z") === col("z2") && col("pa") < col("pb"))
+          .groupBy("pa", "pb")
+          .agg(count(lit(1)).as("common_nbrs"), sum(col("w_micro")).as("aa_micro"))
+        // adjacent pairs stay in the output flagged is_edge=1 (in a
+        // near-clique graph every 2-path may close — the non-adjacent
+        // subset alone can be legitimately empty at small SF); the
+        // PREDICTIONS are the is_edge=0 rows, ranked first.
+        cand.join(pairs.selectExpr("least(a, b) AS pa", "greatest(a, b) AS pb")
+              .withColumn("is_edge", lit(1)),
+            Seq("pa", "pb"), "left")
+          .withColumn("is_edge", coalesce(col("is_edge"), lit(0)))
+          .orderBy(col("is_edge"), col("aa_micro").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+              |nbr AS (SELECT a AS z, b AS v FROM verified
+              |        UNION ALL SELECT b, a FROM verified),
+              |deg AS (SELECT z, COUNT(*) AS deg FROM nbr GROUP BY 1),
+              |wtd AS (
+              |  SELECT nbr.z, nbr.v,
+              |    CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w_micro
+              |  FROM nbr JOIN deg ON deg.z = nbr.z),
+              |cand AS (
+              |  SELECT x.v AS pa, y.v AS pb, COUNT(*) AS common_nbrs,
+              |    CAST(SUM(x.w_micro) AS BIGINT) AS aa_micro
+              |  FROM wtd x JOIN wtd y ON x.z = y.z AND x.v < y.v
+              |  GROUP BY 1, 2),
+              |edges AS (SELECT LEAST(a, b) AS pa, GREATEST(a, b) AS pb FROM verified)
+              |SELECT cand.pa, cand.pb, common_nbrs, aa_micro,
+              |  CASE WHEN e.pa IS NULL THEN 0 ELSE 1 END AS is_edge
+              |FROM cand LEFT JOIN edges e ON e.pa = cand.pa AND e.pb = cand.pb
+              |ORDER BY is_edge, aa_micro DESC, cand.pa, cand.pb LIMIT 20""".stripMargin))
   )
 }

@@ -468,6 +468,116 @@ object TimeSeries {
              |  CAST(SUM(CASE WHEN hi = 1 OR lo = 1
              |    THEN date_diff('day', DATE '1970-01-01', dday) ELSE 0 END) AS BIGINT)
              |    AS flag_checksum
-             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Autocorrelation function: Pearson r of each type's daily-count
+    // series against itself at lags 1..7 — the periodicity probe run
+    // before choosing a seasonal model (a weekly cycle shows as an
+    // ACF spike at lag 7). Day positions are dense ranks so gaps in
+    // the calendar can't misalign the lag; the lagged pairing is a
+    // self-join on (type, i+k) fanned over a 7-row lag spine. Every
+    // moment (Σx, Σy, Σxy, Σx², Σy², n over the n−k overlapping days)
+    // is an exact BIGINT from integer daily counts; r is one float
+    // expression over those six integers — sqrt/divide are IEEE
+    // correctly-rounded, so it is bit-equal with no quantization.
+    // The raw-event agg is the only heavy pass; everything after runs
+    // on ≤ types·days rows.
+    QueryDef(
+      "q_ts_acf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("dday"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i",
+            row_number().over(Window.partitionBy("event_type").orderBy("dday")).cast("long"))
+        val lags = daily.sparkSession.range(1, 8).select(col("id").as("k"))
+        daily.crossJoin(broadcast(lags))
+          .select(col("event_type"), col("k"), (col("i") + col("k")).as("j"), col("x").as("xa"))
+          .join(daily.select(col("event_type"), col("i").as("j"), col("x").as("xb")),
+            Seq("event_type", "j"))
+          .groupBy("event_type", "k")
+          .agg(count(lit(1)).as("n"),
+            sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+            sum(col("xa") * col("xb")).as("sxy"),
+            sum(col("xa") * col("xa")).as("sxx"),
+            sum(col("xb") * col("xb")).as("syy"))
+          .selectExpr("event_type", "CAST(k AS BIGINT) AS lag", "n",
+            """CAST(n * sxy - sx * sy AS DOUBLE)
+              | / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf""".stripMargin)
+          .orderBy("event_type", "lag")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS dday, COUNT(*) AS x,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS i
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT a.event_type, k.k, COUNT(*) AS n,
+             |    CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(b.x) AS BIGINT) AS sy,
+             |    CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+             |    CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+             |    CAST(SUM(b.x * b.x) AS BIGINT) AS syy
+             |  FROM daily a
+             |  CROSS JOIN (SELECT UNNEST(range(1, 8)) AS k) k
+             |  JOIN daily b ON b.event_type = a.event_type AND b.i = a.i + k.k
+             |  GROUP BY 1, 2)
+             |SELECT event_type, CAST(k AS BIGINT) AS lag, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE)
+             |  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+             |FROM m ORDER BY event_type, lag""".stripMargin)),
+
+    // CUSUM changepoint: the day where each type's cumulative
+    // deviation from its own mean peaks — the classic level-shift
+    // locator (a regime change shows as the max |Σ(xᵢ − µ)|). The
+    // textbook statistic divides by n; multiplying through by n
+    // instead (S'ᵗ = n·Σ₍ᵢ≤ᵗ₎xᵢ − t·Σx) keeps every term an exact
+    // BIGINT — no float ever enters, so argmax and value are
+    // bit-identical. One keyed agg over raw events, one per-type
+    // cumulative window over ≤ days rows, one per-type rank to pin
+    // the argmax (ties → earliest day).
+    QueryDef(
+      "q_ts_cusum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("dday"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"))
+        val wc = Window.partitionBy("event_type").orderBy("dday")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wr = Window.partitionBy("event_type")
+        val s1 = daily.join(broadcast(tot), "event_type")
+          .withColumn("t", count(lit(1)).over(wc))
+          .withColumn("cum", sum(col("x")).over(wc))
+          .withColumn("s_scaled", col("nd") * col("cum") - col("t") * col("sx"))
+          .withColumn("rn", row_number().over(
+            wr.orderBy(abs(col("s_scaled")).desc, col("dday"))))
+        s1.filter(col("rn") === 1)
+          .select(col("event_type"), col("dday").as("change_day"),
+            col("s_scaled"), col("nd").as("n_days"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS dday, COUNT(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT event_type, COUNT(*) AS nd, SUM(x) AS sx FROM daily GROUP BY 1),
+             |c AS (
+             |  SELECT d.event_type, d.dday, t.nd,
+             |    CAST(t.nd * SUM(d.x) OVER w - (ROW_NUMBER() OVER w) * t.sx AS BIGINT)
+             |      AS s_scaled
+             |  FROM daily d JOIN tot t ON t.event_type = d.event_type
+             |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.dday)),
+             |r AS (
+             |  SELECT event_type, dday, s_scaled, nd,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY abs(s_scaled) DESC, dday) AS rn
+             |  FROM c)
+             |SELECT event_type, dday AS change_day, s_scaled,
+             |  CAST(nd AS BIGINT) AS n_days
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin))
   )
 }

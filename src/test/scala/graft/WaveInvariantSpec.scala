@@ -128,6 +128,71 @@ class WaveInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("itemcf cosine is a valid similarity and co-occurrence is bounded") {
+    val rows = SparkEntry.queries("q_rec_itemcf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (co, na, nb) = (r.getAs[Long]("co"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(co >= 1 && co <= math.min(na, nb))
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0.0 && c <= 1.0 + 1e-12)
+    }
+    val cs = rows.map(_.getAs[Double]("cosine"))
+    assert(cs.sameElements(cs.sorted.reverse), "not sorted by cosine desc")
+  }
+
+  test("nb classifier conserves the test population and stays in the label set") {
+    val rows = SparkEntry.queries("q_nb_lang")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val nTest = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nTest)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("true_lang")))
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+    }
+  }
+
+  test("acf values are valid correlations over shrinking overlaps") {
+    val rows = SparkEntry.queries("q_ts_acf")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9, s"acf out of range: $r")
+      val k = r.getAs[Long]("lag")
+      assert(k >= 1 && k <= 7)
+    }
+    // within a type, the pair count shrinks by exactly one per lag step
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val byLag = g.sortBy(_.getAs[Long]("lag")).map(_.getAs[Long]("n"))
+      byLag.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) === w(1) + 1)
+      }
+    }
+  }
+
+  test("cusum changepoint lands inside each series' date span") {
+    val span = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDate(1), r.getDate(2))).toMap
+    SparkEntry.queries("q_ts_cusum")(spark, sf).collect().foreach { r =>
+      val (lo, hi) = span(r.getString(0))
+      val day = r.getAs[java.sql.Date]("change_day")
+      assert(!day.before(lo) && !day.after(hi))
+    }
+  }
+
+  test("link prediction ranks non-edges first with positive evidence") {
+    val rows = SparkEntry.queries("q_graph_linkpred")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("common_nbrs") >= 1)
+      assert(r.getAs[Long]("aa_micro") > 0)
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+    }
+    // non-edges (the actual predictions) sort ahead of closed triangles
+    val flags = rows.map(_.getAs[Int]("is_edge"))
+    assert(flags.sameElements(flags.sorted))
+  }
+
   test("tpch q20 returns only nation-3 suppliers with a qualifying red part") {
     val q20 = SparkEntry.queries("q_tpch_q20")(spark, sf).collect()
     val nat3 = Tables.supplier(spark, sf)
