@@ -312,7 +312,15 @@ object Bench {
     "q_graph_linkpred",
     "q_nb_lang",
     "q_ts_acf",
-    "q_ts_cusum")
+    "q_ts_cusum",
+    // round 11, tenth wave: spatial grid join (×9 cell fan-out of the
+    // small side), bitmap exact distinct (word-keyed bit_or fold),
+    // LDP randomized response (two md5 coins + spine join), weekly
+    // stickiness (one (day,user) distinct + two rollups)
+    "q_join_spatial",
+    "q_agg_bitmap",
+    "q_ldp_freq",
+    "q_stickiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -981,6 +981,55 @@ object Aggregates {
               |        ${sqlDsum("l_quantity * l_quantity", 4)} AS sxx,
               |        stddev_samp(l_quantity) AS sd_builtin
               |      FROM lineitem GROUP BY l_returnflag)
-              |ORDER BY l_returnflag""".stripMargin))
+              |ORDER BY l_returnflag""".stripMargin)),
+
+    // Bitmap-index exact distinct: users bucketed into 64-bit words
+    // (word = id/63, bit = id%63 — 63-bit words keep the shift off the
+    // sign bit, which DuckDB's checked << rejects), OR-folded per (type, word), then
+    // popcounted — the roaring-bitmap COUNT(DISTINCT) pattern. The
+    // raw ids shuffle ONCE keyed by (type, word) with a map-side
+    // bit_or partial, so the exchange carries at most one word per
+    // 63 ids — for dense id spaces that is a ~64× shuffle reduction
+    // over hash-distinct, and the per-group state is one BIGINT
+    // (vs HLL's approximation: this is exact). The exact hash
+    // countDistinct rides along and the published `matches` column
+    // pins bitmap == exact inside the result itself.
+    QueryDef(
+      "q_agg_bitmap",
+      (s, d) => {
+        val bm = Tables.events(s, d)
+          .selectExpr("event_type", "user_id DIV 63 AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)) AS bit")
+          .groupBy("event_type", "word_idx")
+          .agg(expr("bit_or(bit)").as("word"))
+          .groupBy("event_type")
+          .agg(sum(expr("bit_count(word)")).cast("bigint").as("n_distinct_bitmap"),
+            count(lit(1)).as("n_words"))
+        val exact = Tables.events(s, d).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+        bm.join(exact, "event_type")
+          .withColumn("matches",
+            (col("n_distinct_bitmap") === col("n_distinct_exact")).cast("int"))
+          .select("event_type", "n_distinct_bitmap", "n_distinct_exact",
+            "n_words", "matches")
+          .orderBy("event_type")
+      },
+      Some("""WITH bm AS (
+             |  SELECT event_type,
+             |    CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct_bitmap,
+             |    COUNT(*) AS n_words
+             |  FROM (
+             |    SELECT event_type, user_id // 63 AS word_idx,
+             |      BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS word
+             |    FROM events GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |ex AS (
+             |  SELECT event_type,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+             |  FROM events GROUP BY 1)
+             |SELECT bm.event_type, n_distinct_bitmap, n_distinct_exact, n_words,
+             |  CAST(n_distinct_bitmap = n_distinct_exact AS INT) AS matches
+             |FROM bm JOIN ex ON ex.event_type = bm.event_type
+             |ORDER BY bm.event_type""".stripMargin))
   )
 }

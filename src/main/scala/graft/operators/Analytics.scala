@@ -1421,6 +1421,50 @@ object Analytics {
              |  CAST(co AS DOUBLE) / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS cosine
              |FROM co JOIN na sa ON sa.l_partkey = a
              |        JOIN na sb ON sb.l_partkey = b
-             |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin))
+             |ORDER BY cosine DESC, a, b LIMIT 20""".stripMargin)),
+
+    // Weekly stickiness: Σ(DAU)/(days·WAU) per ISO week — the
+    // DAU/MAU engagement ratio at the week grain this 30-day fixture
+    // supports (1.0 = every weekly user shows up every day). The only
+    // heavy pass is the (day, user) distinct — one fact shuffle; the
+    // weekly re-distinct reuses the same keyed layout (week is a
+    // function of day), and the final ratio divides two exact BIGINTs
+    // per ≤ 5 output rows.
+    QueryDef(
+      "q_stickiness",
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(to_date(col("ts")).as("dday"), col("user_id")).distinct()
+        val dau = du.groupBy("dday").agg(count(lit(1)).as("dau"))
+          .withColumn("week", date_trunc("week", col("dday")).cast("date"))
+          .groupBy("week")
+          .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+        val wau = du
+          .select(date_trunc("week", col("dday")).cast("date").as("week"), col("user_id"))
+          .distinct()
+          .groupBy("week").agg(count(lit(1)).as("wau"))
+        dau.join(wau, "week")
+          .selectExpr("week", "n_days", "dau_sum", "wau",
+            "CAST(dau_sum AS DOUBLE) / (n_days * wau) AS stickiness")
+          .orderBy("week")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS dday, user_id FROM events),
+             |dau AS (
+             |  SELECT week, COUNT(*) AS n_days, CAST(SUM(dau) AS BIGINT) AS dau_sum
+             |  FROM (
+             |    SELECT dday, CAST(date_trunc('week', dday) AS DATE) AS week,
+             |      COUNT(*) AS dau
+             |    FROM du GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |wau AS (
+             |  SELECT week, COUNT(*) AS wau FROM (
+             |    SELECT DISTINCT CAST(date_trunc('week', dday) AS DATE) AS week, user_id
+             |    FROM du)
+             |  GROUP BY 1)
+             |SELECT dau.week, n_days, dau_sum, wau,
+             |  CAST(dau_sum AS DOUBLE) / (n_days * wau) AS stickiness
+             |FROM dau JOIN wau ON wau.week = dau.week
+             |ORDER BY dau.week""".stripMargin))
   )
 }

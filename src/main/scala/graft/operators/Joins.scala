@@ -306,6 +306,57 @@ object Joins {
       Some(s"""SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice", 2)} AS sum_price
               |FROM lineitem JOIN orders
               |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
-              | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 3""".stripMargin))
+              | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 3""".stripMargin)),
+
+    // Grid-bucketed spatial radius join: customer and supplier sites
+    // (deterministic key-derived integer coordinates on a 1000×1000
+    // grid) paired when within Euclidean radius 8 — the standard
+    // distributed spatial-join shape: bucket space into radius-sized
+    // cells, EXPLODE one side to its 3×3 neighbor cells (a bounded
+    // ×9 fan-out of the smaller relation), equi-join on the cell id,
+    // then the exact integer d² filter. No cross join ever forms, the
+    // candidate set is density-bounded per cell, and the join key is
+    // a plain BIGINT — at 100 TB this hashes/partitions like any
+    // equi-join (skew = a dense city cell → the salting playbook).
+    // Each (dx,dy) neighbor cell is distinct, so no pair dedup pass
+    // is needed.
+    QueryDef(
+      "q_join_spatial",
+      (s, d) => {
+        val cust = Tables.customer(s, d).selectExpr("c_custkey",
+            "CAST(c_custkey * 37 % 1000 AS BIGINT) AS cx",
+            "CAST(c_custkey * 73 % 1000 AS BIGINT) AS cy")
+          .withColumn("cell", expr("(cx DIV 8) * 1000 + (cy DIV 8)"))
+        val suppCells = Tables.supplier(s, d).selectExpr("s_suppkey",
+            "CAST(s_suppkey * 41 % 1000 AS BIGINT) AS sx",
+            "CAST(s_suppkey * 59 % 1000 AS BIGINT) AS sy")
+          .selectExpr("s_suppkey", "sx", "sy",
+            """explode(flatten(transform(sequence(-1, 1), dx ->
+              |  transform(sequence(-1, 1), dy ->
+              |    ((sx DIV 8) + dx) * 1000 + ((sy DIV 8) + dy))))) AS cell""".stripMargin)
+        cust.join(suppCells, "cell")
+          .withColumn("d2",
+            expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"))
+          .filter(col("d2") <= 64)
+          .select("c_custkey", "s_suppkey", "cx", "cy", "sx", "sy", "d2")
+          .orderBy("d2", "c_custkey", "s_suppkey")
+          .limit(20)
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey, CAST(c_custkey * 37 % 1000 AS BIGINT) AS cx,
+             |    CAST(c_custkey * 73 % 1000 AS BIGINT) AS cy
+             |  FROM customer),
+             |sc AS (
+             |  SELECT s_suppkey, sx, sy,
+             |    ((sx // 8) + dx.d) * 1000 + ((sy // 8) + dy.d) AS cell
+             |  FROM (SELECT s_suppkey, CAST(s_suppkey * 41 % 1000 AS BIGINT) AS sx,
+             |          CAST(s_suppkey * 59 % 1000 AS BIGINT) AS sy FROM supplier),
+             |    (SELECT UNNEST([-1, 0, 1]) AS d) dx,
+             |    (SELECT UNNEST([-1, 0, 1]) AS d) dy)
+             |SELECT c_custkey, s_suppkey, cx, cy, sx, sy,
+             |  (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+             |FROM cust JOIN sc ON (cx // 8) * 1000 + (cy // 8) = sc.cell
+             |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 64
+             |ORDER BY d2, c_custkey, s_suppkey LIMIT 20""".stripMargin))
   )
 }

@@ -390,6 +390,67 @@ object Quality {
              |  FROM d)
              |SELECT digit, n, obs_share, exp_micro,
              |  CAST(round(obs_share * 1000000) AS BIGINT) - exp_micro AS dev_micro
-             |FROM s ORDER BY digit""".stripMargin))
+             |FROM s ORDER BY digit""".stripMargin)),
+
+    // Local differential privacy: randomized response over event_type
+    // (each event reports its true type w.p. 3/4, else a uniformly
+    // drawn type) plus the unbiased frequency estimator that inverts
+    // the mechanism. Like q_dp_counts, the randomness is a
+    // deterministic md5 uniform compared against integer literals —
+    // keep/flip is u < 3·2⁵⁸ on a 60-bit uniform (exactly p = 3/4),
+    // the replacement draw is a second independent hash mod k joined
+    // against the rank-indexed type spine — so both engines replay the
+    // identical coin flips bit-for-bit. The estimator
+    // n̂ = (20·obs − N)/15 keeps its numerator an exact BIGINT; one
+    // float division publishes it. Two stateless scans + keyed aggs;
+    // the 5-row spine broadcasts.
+    QueryDef(
+      "q_ldp_freq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val idx = Tables.events(s, d).select("event_type").distinct()
+          .withColumn("tidx",
+            (row_number().over(Window.orderBy("event_type")) - 1).cast("long"))
+        val ev = Tables.events(s, d).selectExpr("event_type",
+          "CAST(conv(substr(md5(concat('rr:', CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT) AS u1",
+          "CAST(conv(substr(md5(concat('pick:', CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 5 AS pick")
+        val reported = ev
+          .join(broadcast(idx.selectExpr("event_type AS alt", "tidx")),
+            col("pick") === col("tidx"))
+          .selectExpr(
+            "CASE WHEN u1 < 864691128455135232 THEN event_type ELSE alt END AS rep")
+          .groupBy(col("rep").as("event_type"))
+          .agg(count(lit(1)).as("obs_n"))
+        val truth = Tables.events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("true_n"))
+        val total = Tables.events(s, d).agg(count(lit(1)).as("n_total"))
+        truth.join(reported, Seq("event_type"), "left")
+          .withColumn("obs_n", coalesce(col("obs_n"), lit(0L)))
+          .crossJoin(broadcast(total))
+          .selectExpr("event_type", "true_n", "obs_n",
+            "CAST(20 * obs_n - n_total AS DOUBLE) / 15 AS est_n")
+          .orderBy("event_type")
+      },
+      Some("""WITH idx AS (
+             |  SELECT event_type AS alt,
+             |    ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS tidx
+             |  FROM (SELECT DISTINCT event_type FROM events)),
+             |ev AS (
+             |  SELECT event_type,
+             |    CAST(('0x' || substr(md5('rr:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS u1,
+             |    CAST(('0x' || substr(md5('pick:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS pick
+             |  FROM events),
+             |reported AS (
+             |  SELECT CASE WHEN u1 < 864691128455135232
+             |    THEN event_type ELSE alt END AS event_type, COUNT(*) AS obs_n
+             |  FROM ev JOIN idx ON tidx = pick
+             |  GROUP BY 1),
+             |truth AS (SELECT event_type, COUNT(*) AS true_n FROM events GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_total FROM events)
+             |SELECT t.event_type, true_n, COALESCE(obs_n, 0) AS obs_n,
+             |  CAST(20 * COALESCE(obs_n, 0) - n_total AS DOUBLE) / 15 AS est_n
+             |FROM truth t LEFT JOIN reported r ON r.event_type = t.event_type
+             |CROSS JOIN tot
+             |ORDER BY t.event_type""".stripMargin))
   )
 }

@@ -193,6 +193,55 @@ class WaveInvariantSpec extends AnyFunSuite {
     assert(flags.sameElements(flags.sorted))
   }
 
+  test("spatial join pairs are truly within radius and cell-complete") {
+    val rows = SparkEntry.queries("q_join_spatial")(spark, sf).collect()
+    rows.foreach { r =>
+      val d2 = r.getAs[Long]("d2")
+      assert(d2 >= 0 && d2 <= 64)
+      val dx = r.getAs[Long]("cx") - r.getAs[Long]("sx")
+      val dy = r.getAs[Long]("cy") - r.getAs[Long]("sy")
+      assert(dx * dx + dy * dy === d2)
+    }
+    // completeness vs the brute-force cross join at this tiny SF
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "c_custkey * 37 % 1000 AS cx", "c_custkey * 73 % 1000 AS cy")
+    val supp = Tables.supplier(spark, sf)
+      .selectExpr("s_suppkey", "s_suppkey * 41 % 1000 AS sx", "s_suppkey * 59 % 1000 AS sy")
+    val brute = cust.crossJoin(supp)
+      .filter(expr("(cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) <= 64")).count()
+    assert(rows.length === math.min(brute, 20L))
+  }
+
+  test("bitmap distinct equals hash distinct on every type") {
+    SparkEntry.queries("q_agg_bitmap")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Int]("matches") === 1)
+      assert(r.getAs[Long]("n_distinct_bitmap") === r.getAs[Long]("n_distinct_exact"))
+    }
+  }
+
+  test("ldp estimator is near the truth and the mechanism conserves events") {
+    val rows = SparkEntry.queries("q_ldp_freq")(spark, sf).collect()
+    // mechanism requires the k=5 type alphabet it is parameterized for
+    assert(rows.length === 5)
+    val total = rows.map(_.getAs[Long]("true_n")).sum
+    assert(rows.map(_.getAs[Long]("obs_n")).sum === total)
+    rows.foreach { r =>
+      val err = math.abs(r.getAs[Double]("est_n") - r.getAs[Long]("true_n"))
+      // RR noise at n≈total/5 has σ ≈ sqrt(N·19/400)/0.75; allow 6σ
+      val bound = 6 * math.sqrt(total * 19.0 / 400.0) / 0.75 + 1
+      assert(err <= bound, s"estimator off by $err > $bound: $r")
+    }
+  }
+
+  test("stickiness stays in (0, 1] and counts are consistent") {
+    SparkEntry.queries("q_stickiness")(spark, sf).collect().foreach { r =>
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+      // dau_sum ≤ n_days · wau (each day's actives ⊆ the week's actives)
+      assert(r.getAs[Long]("dau_sum") <= r.getAs[Long]("n_days") * r.getAs[Long]("wau"))
+    }
+  }
+
   test("tpch q20 returns only nation-3 suppliers with a qualifying red part") {
     val q20 = SparkEntry.queries("q_tpch_q20")(spark, sf).collect()
     val nat3 = Tables.supplier(spark, sf)
