@@ -320,7 +320,15 @@ object Bench {
     "q_join_spatial",
     "q_agg_bitmap",
     "q_ldp_freq",
-    "q_stickiness")
+    "q_stickiness",
+    // round 11, eleventh wave: MIPS top-k (broadcast queries + two
+    // per-query rank windows), 2-D PCA (one exact moment agg), the
+    // seasonal-naive backtest (keyed agg + per-type lag window),
+    // conversion latency (two keyed aggs + global rollup)
+    "q_sim_mips",
+    "q_pca_2d",
+    "q_ts_forecast",
+    "q_funnel_time")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1465,6 +1465,54 @@ object Analytics {
              |SELECT dau.week, n_days, dau_sum, wau,
              |  CAST(dau_sum AS DOUBLE) / (n_days * wau) AS stickiness
              |FROM dau JOIN wau ON wau.week = dau.week
-             |ORDER BY dau.week""".stripMargin))
+             |ORDER BY dau.week""".stripMargin)),
+
+    // Conversion latency: signup → first purchase-after-signup per
+    // user, rolled into the one-row report a growth team reads —
+    // converted count, mean latency, and the <1h / <24h / slower
+    // threshold buckets. Thresholds replace a global median because
+    // they need NO global sort/window at any scale: everything is two
+    // keyed aggs (per-user min signup, per-user min qualifying
+    // purchase) + one global integer rollup. Latencies are exact
+    // integer seconds; the mean is one float division.
+    QueryDef(
+      "q_funnel_time",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("es"))
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("es")).as("s_es"))
+        ev.filter(col("event_type") === "purchase")
+          .join(signup, "user_id")
+          .filter(col("es") >= col("s_es"))
+          .groupBy("user_id", "s_es").agg(min(col("es")).as("p_es"))
+          .withColumn("delta", col("p_es") - col("s_es"))
+          .agg(count(lit(1)).as("n_converted"),
+            sum(col("delta")).as("sum_s"),
+            max(col("delta")).as("max_s"),
+            sum(when(col("delta") < 3600, 1L).otherwise(0L)).as("n_1h"),
+            sum(when(col("delta") >= 3600 && col("delta") < 86400, 1L).otherwise(0L)).as("n_1d"),
+            sum(when(col("delta") >= 86400, 1L).otherwise(0L)).as("n_slow"))
+          .selectExpr("n_converted", "sum_s", "max_s", "n_1h", "n_1d", "n_slow",
+            "CAST(sum_s AS DOUBLE) / n_converted AS avg_s")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events),
+             |signup AS (
+             |  SELECT user_id, MIN(es) AS s_es FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |conv AS (
+             |  SELECT p.user_id, MIN(p.es) - ANY_VALUE(s_es) AS delta
+             |  FROM ev p JOIN signup s ON s.user_id = p.user_id
+             |  WHERE p.event_type = 'purchase' AND p.es >= s_es
+             |  GROUP BY p.user_id)
+             |SELECT COUNT(*) AS n_converted,
+             |  CAST(SUM(delta) AS BIGINT) AS sum_s,
+             |  CAST(MAX(delta) AS BIGINT) AS max_s,
+             |  CAST(SUM(CASE WHEN delta < 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_1h,
+             |  CAST(SUM(CASE WHEN delta >= 3600 AND delta < 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+             |  CAST(SUM(CASE WHEN delta >= 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+             |  CAST(SUM(delta) AS DOUBLE) / COUNT(*) AS avg_s
+             |FROM conv""".stripMargin))
   )
 }

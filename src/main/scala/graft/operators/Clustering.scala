@@ -1279,6 +1279,67 @@ object Clustering {
               |SELECT cand.pa, cand.pb, common_nbrs, aa_micro,
               |  CASE WHEN e.pa IS NULL THEN 0 ELSE 1 END AS is_edge
               |FROM cand LEFT JOIN edges e ON e.pa = cand.pa AND e.pb = cand.pb
-              |ORDER BY is_edge, aa_micro DESC, cand.pa, cand.pb LIMIT 20""".stripMargin))
+              |ORDER BY is_edge, aa_micro DESC, cand.pa, cand.pb LIMIT 20""".stripMargin)),
+
+    // Closed-form 2-D PCA per label over the first two embedding
+    // coordinates: eigenvalues of the 2×2 scatter matrix and the
+    // explained-variance ratio — the "is this cluster elongated or
+    // round" read, and the 2-D core of the whitening transform. The
+    // five moment sums are exact BIGINTs on the milli-quantized grid
+    // (ONE distributed agg pass, map-side combinable); the scatter
+    // entries A = n·Σaa − (Σa)² etc. and the quadratic-formula
+    // eigenvalues then run in DOUBLE (A² would overflow BIGINT) —
+    // the identical expression tree over identical integers, so
+    // +,−,×,/ and sqrt stay bit-equal cross-engine. State per label
+    // is six numbers: this runs at any scale the agg runs.
+    QueryDef(
+      "q_pca_2d",
+      (s, d) => Tables.embeddings(s, d)
+        .selectExpr("label",
+          "CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) * 1000) AS BIGINT) AS a",
+          "CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) * 1000) AS BIGINT) AS b")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("a") * col("b")).as("sab"))
+        .selectExpr("label", "n",
+          "CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa AS va",
+          "CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb AS vb",
+          "CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb AS cab")
+        .selectExpr("label", "n", "va", "vb", "cab",
+          "sqrt((va - vb) * (va - vb) + CAST(4 AS DOUBLE) * cab * cab) AS disc")
+        .selectExpr("label", "n",
+          "(va + vb + disc) / CAST(2 AS DOUBLE) AS lam1",
+          "(va + vb - disc) / CAST(2 AS DOUBLE) AS lam2",
+          "(va + vb + disc) / (CAST(2 AS DOUBLE) * (va + vb)) AS var_ratio")
+        .orderBy("label"),
+      Some("""WITH q AS (
+             |  SELECT label,
+             |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS a,
+             |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS b
+             |  FROM embeddings),
+             |mo AS (
+             |  SELECT label, COUNT(*) AS n,
+             |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             |    CAST(SUM(a * a) AS BIGINT) AS saa, CAST(SUM(b * b) AS BIGINT) AS sbb,
+             |    CAST(SUM(a * b) AS BIGINT) AS sab
+             |  FROM q GROUP BY 1),
+             |sc AS (
+             |  SELECT label, n,
+             |    CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa AS va,
+             |    CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb AS vb,
+             |    CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb AS cab
+             |  FROM mo),
+             |ds AS (
+             |  SELECT label, n, va, vb, cab,
+             |    sqrt((va - vb) * (va - vb) + CAST(4 AS DOUBLE) * cab * cab) AS disc
+             |  FROM sc)
+             |SELECT label, n,
+             |  (va + vb + disc) / CAST(2 AS DOUBLE) AS lam1,
+             |  (va + vb - disc) / CAST(2 AS DOUBLE) AS lam2,
+             |  (va + vb + disc) / (CAST(2 AS DOUBLE) * (va + vb)) AS var_ratio
+             |FROM ds ORDER BY label""".stripMargin))
   )
 }

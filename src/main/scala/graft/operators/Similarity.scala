@@ -1553,6 +1553,60 @@ object Similarity {
               |         CAST(cosine >= 0.3 AS INT) AS is_dup,
               |         ROW_NUMBER() OVER (PARTITION BY delta_id
               |                  ORDER BY cosine DESC, c_id) AS rn FROM probe)
-              |WHERE rn = 1 ORDER BY delta_id""".stripMargin))
+              |WHERE rn = 1 ORDER BY delta_id""".stripMargin)),
+
+    // Maximum-inner-product search (MIPS) — the retrieval objective of
+    // recommendation/two-tower models, where un-normalized magnitude
+    // IS signal (cosine top-k is the wrong answer). Brute-force dot
+    // top-5 per broadcast query, PLUS the norm-augmentation reduction
+    // executed alongside: after appending √(M²−|x|²) to every
+    // candidate (M = max candidate norm) all candidates share norm M,
+    // so cosine in the augmented space orders exactly like the raw
+    // dot — the published `order_matches` column pins that rank
+    // equivalence inside the result, which is precisely the property
+    // that lets MIPS ride the engine's existing cosine-ANN (LSH/IVF)
+    // machinery at 100 TB instead of needing its own index.
+    QueryDef(
+      "q_sim_mips",
+      (s, d) => {
+        val n = withNorm(s, d)
+        val m = n.filter(col("vec_id") >= 8).agg(max(col("nrm")).as("mnorm"))
+        val q = n.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val c = n.filter(col("vec_id") >= 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val scored = c.crossJoin(broadcast(q)).crossJoin(broadcast(m))
+          .selectExpr("q_id", "c_id",
+            s"${sparkDot("q_emb", "c_emb")} AS dot", "q_nrm", "mnorm")
+          .selectExpr("q_id", "c_id", "dot",
+            "dot / (q_nrm * mnorm) AS cos_aug")
+        val wDot = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id"))
+        val wAug = Window.partitionBy("q_id").orderBy(col("cos_aug").desc, col("c_id"))
+        scored.withColumn("rnk", row_number().over(wDot))
+          .withColumn("rnk_aug", row_number().over(wAug))
+          .filter(col("rnk") <= 5)
+          .selectExpr("q_id", "rnk", "c_id", "dot", "cos_aug",
+            "CAST(rnk = rnk_aug AS INT) AS order_matches")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH $duckNormCte,
+              |m AS (SELECT MAX(nrm) AS mnorm FROM n WHERE vec_id >= 8),
+              |scored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |    ${duckDot("q.embedding", "c.embedding")} AS dot,
+              |    ${duckDot("q.embedding", "c.embedding")} / (q.nrm * mnorm) AS cos_aug
+              |  FROM n q JOIN n c ON q.vec_id < 8 AND c.vec_id >= 8
+              |  CROSS JOIN m),
+              |ranked AS (
+              |  SELECT q_id, c_id, dot, cos_aug,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY dot DESC, c_id) AS INT) AS rnk,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY cos_aug DESC, c_id) AS INT) AS rnk_aug
+              |  FROM scored)
+              |SELECT q_id, rnk, c_id, dot, cos_aug,
+              |  CAST(rnk = rnk_aug AS INT) AS order_matches
+              |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
   )
 }

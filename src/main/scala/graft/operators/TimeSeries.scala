@@ -578,6 +578,53 @@ object TimeSeries {
              |  FROM c)
              |SELECT event_type, dday AS change_day, s_scaled,
              |  CAST(nd AS BIGINT) AS n_days
-             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin))
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // Seasonal-naive forecast backtest: predict each of the last 14
+    // days' per-type volume as "same weekday last week" (x̂ₜ = xₜ₋₇)
+    // and score the holdout MAE — the baseline every real forecaster
+    // must beat, and the cheapest useful capacity forecast. Day
+    // positions are dense ranks (calendar gaps can't misalign the
+    // lag); the absolute-error sum is an exact BIGINT of integer
+    // daily counts, MAE its single float division. One keyed agg over
+    // raw events + one per-type lag window over ≤ days rows.
+    QueryDef(
+      "q_ts_forecast",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("dday"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("dday")
+        daily
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("pred", lag(col("x"), 7).over(w))
+          .filter(col("pred").isNotNull && col("i") > col("nd") - 14)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs(col("x") - col("pred"))).as("sae"),
+            sum(col("x")).as("actual_sum"),
+            sum(col("pred")).as("pred_sum"))
+          .selectExpr("event_type", "n_eval", "sae", "actual_sum", "pred_sum",
+            "CAST(sae AS DOUBLE) / n_eval AS mae")
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS dday, COUNT(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, x,
+             |    ROW_NUMBER() OVER w AS i,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS nd,
+             |    LAG(x, 7) OVER w AS pred
+             |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY dday))
+             |SELECT event_type, COUNT(*) AS n_eval,
+             |  CAST(SUM(abs(x - pred)) AS BIGINT) AS sae,
+             |  CAST(SUM(x) AS BIGINT) AS actual_sum,
+             |  CAST(SUM(pred) AS BIGINT) AS pred_sum,
+             |  CAST(SUM(abs(x - pred)) AS DOUBLE) / COUNT(*) AS mae
+             |FROM r WHERE pred IS NOT NULL AND i > nd - 14
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -242,6 +242,46 @@ class WaveInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("mips rank equals augmented-cosine rank on every row") {
+    val rows = SparkEntry.queries("q_sim_mips")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("order_matches") === 1))
+    // per query, dots are non-increasing down the rank
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("dot"))
+      byRank.sliding(2).foreach(w => if (w.length == 2) assert(w(0) >= w(1)))
+    }
+  }
+
+  test("pca eigenvalues are ordered, non-negative, and trace-consistent") {
+    SparkEntry.queries("q_pca_2d")(spark, sf).collect().foreach { r =>
+      val (l1, l2) = (r.getAs[Double]("lam1"), r.getAs[Double]("lam2"))
+      assert(l1 >= l2)
+      assert(l2 >= -1e-6 * math.max(1.0, l1), s"negative eigenvalue: $r")
+      val ratio = r.getAs[Double]("var_ratio")
+      assert(ratio >= 0.5 - 1e-12 && ratio <= 1.0 + 1e-12)
+    }
+  }
+
+  test("forecast backtest evaluates at most 14 days with consistent mae") {
+    SparkEntry.queries("q_ts_forecast")(spark, sf).collect().foreach { r =>
+      val n = r.getAs[Long]("n_eval")
+      assert(n >= 1 && n <= 14)
+      assert(r.getAs[Double]("mae") === r.getAs[Long]("sae").toDouble / n)
+      // |Σactual − Σpred| ≤ Σ|actual − pred|
+      assert(math.abs(r.getAs[Long]("actual_sum") - r.getAs[Long]("pred_sum"))
+        <= r.getAs[Long]("sae"))
+    }
+  }
+
+  test("funnel-time buckets partition the converted population") {
+    val r = SparkEntry.queries("q_funnel_time")(spark, sf).collect().head
+    val n = r.getAs[Long]("n_converted")
+    assert(n > 0)
+    assert(r.getAs[Long]("n_1h") + r.getAs[Long]("n_1d") + r.getAs[Long]("n_slow") === n)
+    assert(r.getAs[Double]("avg_s") <= r.getAs[Long]("max_s").toDouble)
+  }
+
   test("tpch q20 returns only nation-3 suppliers with a qualifying red part") {
     val q20 = SparkEntry.queries("q_tpch_q20")(spark, sf).collect()
     val nat3 = Tables.supplier(spark, sf)
