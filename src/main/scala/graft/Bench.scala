@@ -328,7 +328,16 @@ object Bench {
     "q_sim_mips",
     "q_pca_2d",
     "q_ts_forecast",
-    "q_funnel_time")
+    "q_funnel_time",
+    // round 11, twelfth wave: vocab coverage (TakeOrdered vocab +
+    // broadcast probe), Zipf OLS fit (head-only moments), knn label
+    // noise (fifth consumer of the memoized edge frame), Welch t-test
+    // (two fact aggs), LOO target encoding (keyed agg broadcast back)
+    "q_vocab_coverage",
+    "q_text_zipf",
+    "q_knn_label_noise",
+    "q_welch_ttest",
+    "q_feature_target_enc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

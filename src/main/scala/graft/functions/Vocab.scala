@@ -561,6 +561,103 @@ object Vocab {
              |  CAST(SUM(nll_micro) AS BIGINT) AS nll_sum,
              |  CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS avg_nll_micro
              |FROM scored GROUP BY doc_id
-             |ORDER BY avg_nll_micro DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY avg_nll_micro DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Vocabulary coverage / OOV rate: fit a top-1000 vocabulary on the
+    // even doc_ids, measure what fraction of held-out token
+    // occurrences it covers — THE sizing read before freezing a
+    // tokenizer vocab (coverage vs size is the curve; this is one
+    // point on it). The vocab cut is a distributed TakeOrdered by
+    // (count DESC, token) — total order, no global window — and the
+    // held-out probe is one broadcast semi-style join tallied in the
+    // same pass (LEFT join + indicator sum, so in-vocab and OOV come
+    // from a single scan).
+    QueryDef(
+      "q_vocab_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = docs.filter(col("doc_id") % 2 === 0)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(1000)
+          .select(col("tok"), lit(1L).as("inv"))
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .join(broadcast(vocab), Seq("tok"), "left")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("inv"), lit(0L))).as("n_in_vocab"))
+          .selectExpr("n_tokens", "n_in_vocab", "n_tokens - n_in_vocab AS n_oov",
+            "CAST(n_tokens - n_in_vocab AS DOUBLE) / n_tokens AS oov_rate")
+      },
+      Some("""WITH vocab AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, COUNT(*) AS n FROM (
+             |      SELECT UNNEST(string_split(text, ' ')) AS tok
+             |      FROM documents WHERE doc_id % 2 = 0)
+             |    GROUP BY 1)
+             |  ORDER BY n DESC, tok LIMIT 1000),
+             |test AS (
+             |  SELECT UNNEST(string_split(text, ' ')) AS tok
+             |  FROM documents WHERE doc_id % 2 = 1)
+             |SELECT COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_in_vocab,
+             |  CAST(COUNT(*) - SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov,
+             |  CAST(COUNT(*) - SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*) AS oov_rate
+             |FROM test t LEFT JOIN vocab v ON v.tok = t.tok""".stripMargin)),
+
+    // Zipf fit: log-log OLS slope over the top-100 token frequencies —
+    // the health check that a corpus is natural-language-shaped
+    // (slope ≈ −1) rather than boilerplate- or spam-collapsed. Both
+    // ln terms are quantized to integer micros per point (ln of an
+    // INTEGER rank/count), the five OLS moments are exact BIGINT sums
+    // over 100 points, and slope/intercept are closed-form float
+    // expressions of those integers. The head cut is TakeOrdered; the
+    // rank window runs over the 100 surviving rows only.
+    QueryDef(
+      "q_text_zipf",
+      (s, d) => {
+        val top = tokens(s, d)
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(100)
+          .selectExpr("row_number() OVER (ORDER BY n DESC, tok) AS r", "n")
+          .selectExpr(
+            "CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS lx",
+            "CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ly")
+        top.agg(count(lit(1)).as("np"),
+            sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+            sum(col("lx") * col("lx")).as("sxx"),
+            sum(col("lx") * col("ly")).as("sxy"))
+          .selectExpr("np",
+            """(CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              | / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope""".stripMargin,
+            """(CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+              | / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS intercept""".stripMargin)
+      },
+      Some("""WITH counts AS (
+             |  SELECT tok, COUNT(*) AS n FROM (
+             |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |top AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r, n
+             |  FROM (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 100)),
+             |pts AS (
+             |  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+             |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+             |  FROM top),
+             |mo AS (
+             |  SELECT COUNT(*) AS np,
+             |    CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             |    CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+             |    CAST(SUM(lx * ly) AS BIGINT) AS sxy
+             |  FROM pts)
+             |SELECT np,
+             |  (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |  / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+             |  (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+             |  / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS intercept
+             |FROM mo""".stripMargin))
   )
 }

@@ -1513,6 +1513,79 @@ object Analytics {
              |  CAST(SUM(CASE WHEN delta >= 3600 AND delta < 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
              |  CAST(SUM(CASE WHEN delta >= 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
              |  CAST(SUM(delta) AS DOUBLE) / COUNT(*) AS avg_s
-             |FROM conv""".stripMargin))
+             |FROM conv""".stripMargin)),
+
+    // Welch two-sample t-test on a CONTINUOUS metric (mean order value,
+    // BUILDING vs MACHINERY customers) — the unequal-variance
+    // complement of q_ab_test's proportion z-test, i.e. the readout
+    // for revenue-type experiment metrics. Prices are floor-quantized
+    // to whole dollars so both moment sums stay exact BIGINTs (Σx² of
+    // cents would overflow; dollars keep Σx² < 2⁶³ through ~10¹¹
+    // rows); t and the Welch–Satterthwaite df are one shared float
+    // expression tree over six exact integers. Two broadcast-dim fact
+    // aggs — the scan dominates at any scale.
+    QueryDef(
+      "q_welch_ttest",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CAST(floor(o_totalprice) AS BIGINT) AS x")
+        o.groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"))
+          .agg(
+            max(when(col("seg") === "BUILDING", col("n"))).as("n1"),
+            max(when(col("seg") === "BUILDING", col("s1"))).as("a1"),
+            max(when(col("seg") === "BUILDING", col("s2"))).as("q1"),
+            max(when(col("seg") === "MACHINERY", col("n"))).as("n2"),
+            max(when(col("seg") === "MACHINERY", col("s1"))).as("a2"),
+            max(when(col("seg") === "MACHINERY", col("s2"))).as("q2"))
+          .selectExpr("n1", "n2",
+            "CAST(a1 AS DOUBLE) / n1 AS mean1", "CAST(a2 AS DOUBLE) / n2 AS mean2",
+            """(CAST(n1 AS DOUBLE) * q1 - CAST(a1 AS DOUBLE) * a1)
+              | / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1""".stripMargin,
+            """(CAST(n2 AS DOUBLE) * q2 - CAST(a2 AS DOUBLE) * a2)
+              | / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2""".stripMargin)
+          .selectExpr("n1", "n2", "mean1", "mean2",
+            "(mean1 - mean2) / sqrt(v1 / n1 + v2 / n2) AS t_stat",
+            """(v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+              | / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+              |    + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS df""".stripMargin)
+      },
+      Some("""WITH o AS (
+             |  SELECT c_mktsegment AS seg, CAST(floor(o_totalprice) AS BIGINT) AS x
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+             |g AS (
+             |  SELECT seg, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+             |    CAST(SUM(x * x) AS BIGINT) AS s2
+             |  FROM o GROUP BY 1),
+             |w AS (
+             |  SELECT
+             |    MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+             |    MAX(CASE WHEN seg = 'BUILDING' THEN s1 END) AS a1,
+             |    MAX(CASE WHEN seg = 'BUILDING' THEN s2 END) AS q1,
+             |    MAX(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+             |    MAX(CASE WHEN seg = 'MACHINERY' THEN s1 END) AS a2,
+             |    MAX(CASE WHEN seg = 'MACHINERY' THEN s2 END) AS q2
+             |  FROM g),
+             |v AS (
+             |  SELECT n1, n2,
+             |    CAST(a1 AS DOUBLE) / n1 AS mean1, CAST(a2 AS DOUBLE) / n2 AS mean2,
+             |    (CAST(n1 AS DOUBLE) * q1 - CAST(a1 AS DOUBLE) * a1)
+             |      / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+             |    (CAST(n2 AS DOUBLE) * q2 - CAST(a2 AS DOUBLE) * a2)
+             |      / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2
+             |  FROM w)
+             |SELECT n1, n2, mean1, mean2,
+             |  (mean1 - mean2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+             |  (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             |  / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+             |     + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS df
+             |FROM v""".stripMargin))
   )
 }

@@ -346,6 +346,61 @@ object Profiling {
                    "CASE WHEN o_totalprice < p05 THEN p05 WHEN o_totalprice > p95 THEN p95 ELSE CAST(o_totalprice AS DOUBLE) END",
                    4)} AS avg_winsorized
               |FROM orders JOIN b USING (o_orderpriority)
-              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Leave-one-out target encoding of the customer market segment by
+    // order value — the high-cardinality-categorical encoder whose LOO
+    // form prevents the row's own target from leaking into its
+    // feature. Each row's code is (S_seg − own)/(n_seg − 1) from the
+    // segment's EXACT cents sum (one keyed agg, broadcast back — no
+    // per-row window, no shuffle beyond the one agg). Per-row codes
+    // are floats, so the rollup publishes only order-independent
+    // reductions of them: min, max, and the count above the global
+    // mean (every comparison evaluates the identical float expression
+    // on exact integers in both engines — no float SUM ever happens).
+    QueryDef(
+      "q_feature_target_enc",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents")
+        val st = o.groupBy("seg")
+          .agg(count(lit(1)).as("n_seg"), sum(col("cents")).as("s_seg"))
+        val glob = o.agg(count(lit(1)).as("n_tot"), sum(col("cents")).as("s_tot"))
+        o.join(broadcast(st), "seg")
+          .crossJoin(broadcast(glob))
+          .selectExpr("seg", "n_seg", "s_seg",
+            "CAST(s_seg - cents AS DOUBLE) / (n_seg - 1) AS enc",
+            "CAST(s_tot AS DOUBLE) / n_tot AS gmean")
+          .groupBy("seg")
+          .agg(max(col("n_seg")).as("n_orders"),
+            max(col("s_seg")).as("sum_cents"),
+            min(col("enc")).as("enc_min"),
+            max(col("enc")).as("enc_max"),
+            sum(when(col("enc") > col("gmean"), 1L).otherwise(0L)).as("n_above_gmean"))
+          .orderBy("seg")
+      },
+      Some("""WITH o AS (
+             |  SELECT c_mktsegment AS seg,
+             |    CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |st AS (
+             |  SELECT seg, COUNT(*) AS n_seg, CAST(SUM(cents) AS BIGINT) AS s_seg
+             |  FROM o GROUP BY 1),
+             |gstats AS (
+             |  SELECT COUNT(*) AS n_tot, CAST(SUM(cents) AS BIGINT) AS s_tot FROM o),
+             |enc AS (
+             |  SELECT o.seg, n_seg, s_seg,
+             |    CAST(s_seg - cents AS DOUBLE) / (n_seg - 1) AS enc,
+             |    CAST(s_tot AS DOUBLE) / n_tot AS gmean
+             |  FROM o JOIN st ON st.seg = o.seg CROSS JOIN gstats)
+             |SELECT seg, MAX(n_seg) AS n_orders,
+             |  CAST(MAX(s_seg) AS BIGINT) AS sum_cents,
+             |  MIN(enc) AS enc_min, MAX(enc) AS enc_max,
+             |  CAST(SUM(CASE WHEN enc > gmean THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_above_gmean
+             |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

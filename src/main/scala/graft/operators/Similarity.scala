@@ -1607,6 +1607,50 @@ object Similarity {
               |  FROM scored)
               |SELECT q_id, rnk, c_id, dot, cos_aug,
               |  CAST(rnk = rnk_aug AS INT) AS order_matches
-              |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
+              |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
+    // Label-noise screen (confident-learning lite): flag vectors whose
+    // k=3 nearest neighbors strictly out-vote their own label — the
+    // cheap first pass before re-annotating a labeled training set.
+    // Rides the SAME memoized knn edge frame as the knn family (zero
+    // additional scoring passes — the fifth consumer of one build);
+    // the majority vote is a per-src count + rank window keyed by src,
+    // ties broken toward the smaller label id in both engines.
+    QueryDef(
+      "q_knn_label_noise",
+      (s, d) => {
+        val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        val votes = knnEdges(s, d, 3).select("src", "dst")
+          .join(lbl.select(col("vec_id").as("dst"), col("label").as("dlbl")), "dst")
+          .groupBy("src", "dlbl").agg(count(lit(1)).as("c"))
+        val wMaj = Window.partitionBy("src").orderBy(col("c").desc, col("dlbl"))
+        votes.withColumn("rn", row_number().over(wMaj))
+          .filter(col("rn") === 1)
+          .join(lbl.select(col("vec_id").as("src"), col("label").as("slbl")), "src")
+          .withColumn("flag",
+            (col("dlbl") =!= col("slbl") && col("c") >= 2).cast("long"))
+          .groupBy(col("slbl").as("label"))
+          .agg(count(lit(1)).as("n"), sum(col("flag")).as("n_flagged"))
+          .selectExpr("label", "n", "n_flagged",
+            "CAST(n_flagged AS DOUBLE) / n AS flag_rate")
+          .orderBy("label")
+      },
+      Some(s"""WITH ${duckKnnCtes(3)},
+              |votes AS (
+              |  SELECT knn.src, e.label AS dlbl, COUNT(*) AS c
+              |  FROM knn JOIN embeddings e ON e.vec_id = knn.dst
+              |  GROUP BY 1, 2),
+              |maj AS (
+              |  SELECT src, dlbl, c,
+              |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dlbl) AS rn
+              |  FROM votes)
+              |SELECT s.label, COUNT(*) AS n,
+              |  CAST(SUM(CASE WHEN maj.dlbl <> s.label AND maj.c >= 2
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+              |  CAST(SUM(CASE WHEN maj.dlbl <> s.label AND maj.c >= 2
+              |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS flag_rate
+              |FROM maj JOIN embeddings s ON s.vec_id = maj.src
+              |WHERE rn = 1
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

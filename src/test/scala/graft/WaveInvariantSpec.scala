@@ -282,6 +282,56 @@ class WaveInvariantSpec extends AnyFunSuite {
     assert(r.getAs[Double]("avg_s") <= r.getAs[Long]("max_s").toDouble)
   }
 
+  test("vocab coverage partitions held-out tokens and zipf slopes down") {
+    val cov = SparkEntry.queries("q_vocab_coverage")(spark, sf).collect().head
+    assert(cov.getAs[Long]("n_in_vocab") + cov.getAs[Long]("n_oov")
+      === cov.getAs[Long]("n_tokens"))
+    val rate = cov.getAs[Double]("oov_rate")
+    assert(rate >= 0.0 && rate <= 1.0)
+    val zipf = SparkEntry.queries("q_text_zipf")(spark, sf).collect().head
+    val nDistinct = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select("tok").distinct().count()
+    assert(zipf.getAs[Long]("np") === math.min(100L, nDistinct))
+    assert(zipf.getAs[Double]("slope") < 0.0, "zipf slope must be negative")
+  }
+
+  test("label-noise screen conserves the scored population") {
+    val rows = SparkEntry.queries("q_knn_label_noise")(spark, sf).collect()
+    val scored = operators.Similarity.knnEdges(spark, sf, 3)
+      .select("src").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === scored)
+    rows.foreach(r => assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n")))
+  }
+
+  test("welch t-test matches a direct two-sample recomputation") {
+    val r = SparkEntry.queries("q_welch_ttest")(spark, sf).collect().head
+    val xs = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .selectExpr("c_mktsegment AS seg", "CAST(floor(o_totalprice) AS BIGINT) AS x")
+      .collect().groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)) }
+    val b = xs("BUILDING").map(_.toDouble); val m = xs("MACHINERY").map(_.toDouble)
+    def meanVar(a: Array[Double]) = {
+      val mu = a.sum / a.length
+      (mu, a.map(x => (x - mu) * (x - mu)).sum / (a.length - 1))
+    }
+    val (m1, v1) = meanVar(b); val (m2, v2) = meanVar(m)
+    val t = (m1 - m2) / math.sqrt(v1 / b.length + v2 / m.length)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6)
+    assert(r.getAs[Long]("n1") === b.length && r.getAs[Long]("n2") === m.length)
+  }
+
+  test("target encoding bounds hold: min <= max and counts conserve") {
+    val rows = SparkEntry.queries("q_feature_target_enc")(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOrders)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("enc_min") <= r.getAs[Double]("enc_max"))
+      assert(r.getAs[Long]("n_above_gmean") <= r.getAs[Long]("n_orders"))
+    }
+  }
+
   test("tpch q20 returns only nation-3 suppliers with a qualifying red part") {
     val q20 = SparkEntry.queries("q_tpch_q20")(spark, sf).collect()
     val nat3 = Tables.supplier(spark, sf)
