@@ -337,7 +337,13 @@ object Bench {
     "q_text_zipf",
     "q_knn_label_noise",
     "q_welch_ttest",
-    "q_feature_target_enc")
+    "q_feature_target_enc",
+    // round 11, thirteenth wave: Poisson bootstrap (16-replicate
+    // explode, one pass), degree assortativity (two degree joins +
+    // moment agg), outage gaps (hour-domain lag window)
+    "q_sample_bootstrap",
+    "q_graph_assortativity",
+    "q_ts_gaps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

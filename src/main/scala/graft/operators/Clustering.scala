@@ -1340,6 +1340,55 @@ object Clustering {
              |  (va + vb + disc) / CAST(2 AS DOUBLE) AS lam1,
              |  (va + vb - disc) / CAST(2 AS DOUBLE) AS lam2,
              |  (va + vb + disc) / (CAST(2 AS DOUBLE) * (va + vb)) AS var_ratio
-             |FROM ds ORDER BY label""".stripMargin))
+             |FROM ds ORDER BY label""".stripMargin)),
+
+    // Degree assortativity: Pearson correlation of endpoint degrees
+    // over the directed edge list — "do hubs link to hubs" (r > 0,
+    // social-network-like) or to leaves (r < 0, star/hub-and-spoke),
+    // which predicts how duplication cascades through transitive
+    // closure. Degrees are integer counts joined onto each edge (two
+    // keyed joins against the degree relation — at scale the degree
+    // frame is vertex-sized, edges shuffle by endpoint, nothing is
+    // quadratic); the five moments are exact BIGINTs and r is one
+    // float expression over them.
+    QueryDef(
+      "q_graph_assortativity",
+      (s, d) => {
+        val pairs = Dedup.minhashPairs(s, d).select("a", "b")
+        val edges = pairs.union(pairs.selectExpr("b AS a", "a AS b"))
+        val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+        edges
+          .join(deg.select(col("a"), col("deg").as("dx")), "a")
+          .join(deg.select(col("a").as("b"), col("deg").as("dy")), "b")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .selectExpr("n_edges",
+            """CASE WHEN n_edges * sxx - sx * sx > 0 AND n_edges * syy - sy * sy > 0
+              |  THEN (CAST(n_edges AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              |    / (sqrt(CAST(n_edges AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              |       * sqrt(CAST(n_edges AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              |END AS assortativity""".stripMargin)
+      },
+      Some(s"""WITH ${Dedup.duckVerifiedPairsCtes},
+              |edges AS (SELECT a, b FROM verified
+              |          UNION ALL SELECT b, a FROM verified),
+              |deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY 1),
+              |m AS (
+              |  SELECT COUNT(*) AS n_edges,
+              |    CAST(SUM(x.deg) AS BIGINT) AS sx, CAST(SUM(y.deg) AS BIGINT) AS sy,
+              |    CAST(SUM(x.deg * y.deg) AS BIGINT) AS sxy,
+              |    CAST(SUM(x.deg * x.deg) AS BIGINT) AS sxx,
+              |    CAST(SUM(y.deg * y.deg) AS BIGINT) AS syy
+              |  FROM edges e JOIN deg x ON x.a = e.a JOIN deg y ON y.a = e.b)
+              |SELECT n_edges,
+              |  CASE WHEN n_edges * sxx - sx * sx > 0 AND n_edges * syy - sy * sy > 0
+              |    THEN (CAST(n_edges AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              |      / (sqrt(CAST(n_edges AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              |         * sqrt(CAST(n_edges AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              |  END AS assortativity
+              |FROM m""".stripMargin))
   )
 }

@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Poisson(1) inverse-CDF thresholds scaled to 2⁶⁰ for
+    * q_sample_bootstrap: T_k = floor(CDF(k)·2⁶⁰) for k = 0..7 (tail
+    * mass past 8 events < 1e-5·2⁻³ — truncated identically in both
+    * engines by construction). A 60-bit uniform u draws weight
+    * w = #{T_k ≤ u}. */
+  private[graft] val bootstrapThresholds: Seq[Long] = {
+    val pow = math.pow(2, 60)
+    val pmf = (1 to 7).scanLeft(math.exp(-1.0)) { case (p, k) => p / k }
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.min(pow - 1, math.floor(c * pow)).toLong)
+  }
+
   /** 0..99 hash percentile of a row key — the sampling coin. */
   private def pct(keyExpr: String): String = s"${tokHash(keyExpr)} % 100"
   private def duckPct(keyExpr: String): String = s"${duckTokHash(keyExpr)} % 100"
@@ -451,6 +462,56 @@ object Sampling {
               |  WHERE rn <= n_alloc GROUP BY l_returnflag)
               |SELECT l_returnflag, n_rows, sigma_q, n_alloc, n_drawn, key_checksum
               |FROM alloc JOIN drawn USING (l_returnflag)
-              |ORDER BY l_returnflag""".stripMargin))
+              |ORDER BY l_returnflag""".stripMargin)),
+
+    // Distributed Poisson bootstrap: 16 resampled means of the order
+    // value, the spread a CI comes from — the ONLY bootstrap that
+    // works at 100 TB, because each row draws its own iid Poisson(1)
+    // replicate weights and never materializes a resampled table
+    // (Σw ≈ n per replicate, one pass total). Randomness follows the
+    // q_dp_counts discipline: the Poisson(1) inverse CDF is
+    // precomputed ONCE into 2⁶⁰-scaled integer thresholds embedded in
+    // BOTH engines' SQL, the per-(row, replicate) uniform is a 60-bit
+    // md5, and the draw is a threshold count — a randomized resampler
+    // that is still bit-identical cross-engine. Weighted moment sums
+    // are exact BIGINT cents; each replicate mean is one float
+    // division.
+    QueryDef(
+      "q_sample_bootstrap",
+      (s, d) => {
+        val t = bootstrapThresholds.mkString("array(", ", ", ")")
+        val u = "CAST(conv(substr(md5(concat('bs:', CAST(r AS STRING), ':', " +
+          "CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        Tables.orders(s, d)
+          .selectExpr("o_orderkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents",
+            "explode(sequence(0, 15)) AS r")
+          .selectExpr("r", "cents", s"size(filter($t, t -> t <= $u)) AS w")
+          .groupBy("r")
+          .agg(sum(col("w").cast("long") * col("cents")).as("swx"),
+            sum(col("w").cast("long")).as("sw"))
+          .selectExpr("r AS replicate", "sw AS n_eff",
+            "CAST(swx AS DOUBLE) / (CAST(sw AS DOUBLE) * 100) AS boot_mean")
+          .orderBy("replicate")
+      },
+      Some {
+        val t = bootstrapThresholds.mkString("[", ", ", "]")
+        val u = "CAST(('0x' || substr(md5('bs:' || CAST(r AS VARCHAR) || ':' || " +
+          "CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+        s"""WITH ex AS (
+           |  SELECT o_orderkey,
+           |    CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
+           |    UNNEST(range(0, 16)) AS r
+           |  FROM orders),
+           |wt AS (
+           |  SELECT r, cents,
+           |    CAST(len(list_filter($t, t -> t <= $u)) AS BIGINT) AS w
+           |  FROM ex)
+           |SELECT r AS replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+           |  CAST(SUM(w * cents) AS DOUBLE) / (CAST(SUM(w) AS DOUBLE) * 100)
+           |    AS boot_mean
+           |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
+
 }

@@ -625,6 +625,44 @@ object TimeSeries {
              |  CAST(SUM(pred) AS BIGINT) AS pred_sum,
              |  CAST(SUM(abs(x - pred)) AS DOUBLE) / COUNT(*) AS mae
              |FROM r WHERE pred IS NOT NULL AND i > nd - 14
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Outage gaps: longest silent stretch per type at the hour grain —
+    // the missing-data/uptime read (a pipeline that stops emitting
+    // 'error' events for six hours IS the incident). Raw events first
+    // collapse to distinct present hours (one keyed agg, bounded by
+    // types × span-hours regardless of row count); the per-type lag
+    // window then runs over that DOMAIN-bOUNDED frame only — never
+    // over raw events. Gaps are exact integer seconds between
+    // consecutive present hours.
+    QueryDef(
+      "q_ts_gaps",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hours = Tables.events(s, d)
+          .select(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts")))).as("hes"))
+          .distinct()
+        val w = Window.partitionBy("event_type").orderBy("hes")
+        hours.withColumn("gap", col("hes") - lag(col("hes"), 1).over(w))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_present_hours"),
+            sum(when(col("gap") > 3600, 1L).otherwise(0L)).as("n_gaps"),
+            coalesce(max(when(col("gap") > 3600, col("gap"))), lit(0L)).as("max_gap_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hours AS (
+             |  SELECT DISTINCT event_type,
+             |    epoch_us(date_trunc('hour', ts)) // 1000000 AS hes
+             |  FROM events),
+             |g AS (
+             |  SELECT event_type,
+             |    hes - LAG(hes) OVER (PARTITION BY event_type ORDER BY hes) AS gap
+             |  FROM hours)
+             |SELECT event_type, COUNT(*) AS n_present_hours,
+             |  CAST(SUM(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+             |  CAST(COALESCE(MAX(CASE WHEN gap > 3600 THEN gap END), 0) AS BIGINT)
+             |    AS max_gap_s
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

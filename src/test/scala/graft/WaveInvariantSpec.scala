@@ -332,6 +332,42 @@ class WaveInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap replicates hover around the true mean with near-n weight") {
+    val rows = SparkEntry.queries("q_sample_bootstrap")(spark, sf).collect()
+    assert(rows.length === 16)
+    val n = Tables.orders(spark, sf).count()
+    val trueMean = Tables.orders(spark, sf)
+      .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS c")
+      .agg(sum("c")).collect().head.getLong(0).toDouble / (n * 100)
+    rows.foreach { r =>
+      // Poisson(1) total weight concentrates near n (6σ ≈ 6√n)
+      val w = r.getAs[Long]("n_eff")
+      assert(math.abs(w - n) <= 6 * math.sqrt(n.toDouble) + 8)
+      // each replicate mean is within 25% of the truth
+      assert(math.abs(r.getAs[Double]("boot_mean") - trueMean) <= 0.25 * trueMean)
+    }
+    // replicates differ (the resampler actually resamples)
+    assert(rows.map(_.getAs[Double]("boot_mean")).distinct.length > 1)
+  }
+
+  test("assortativity is a valid correlation when defined") {
+    val r = SparkEntry.queries("q_graph_assortativity")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_edges") > 0)
+    if (!r.isNullAt(r.fieldIndex("assortativity"))) {
+      val a = r.getAs[Double]("assortativity")
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    }
+  }
+
+  test("ts gaps only counts silences longer than an hour") {
+    SparkEntry.queries("q_ts_gaps")(spark, sf).collect().foreach { r =>
+      val (ng, mg) = (r.getAs[Long]("n_gaps"), r.getAs[Long]("max_gap_s"))
+      assert(ng >= 0)
+      if (ng > 0) assert(mg > 3600) else assert(mg === 0)
+      assert(r.getAs[Long]("n_present_hours") >= 1)
+    }
+  }
+
   test("tpch q20 returns only nation-3 suppliers with a qualifying red part") {
     val q20 = SparkEntry.queries("q_tpch_q20")(spark, sf).collect()
     val nat3 = Tables.supplier(spark, sf)
