@@ -343,7 +343,27 @@ object Bench {
     // moment agg), outage gaps (hour-domain lag window)
     "q_sample_bootstrap",
     "q_graph_assortativity",
-    "q_ts_gaps")
+    "q_ts_gaps",
+    // round 11, fourteenth wave: prefix-filtering exact set-similarity
+    // join (rare-token candidate join), n-gram novelty (one min-keyed
+    // shuffle on the memoized shingles), content-defined chunking
+    // (stateless scan), KS + Mann-Whitney (shared memoized two-pass
+    // distributed CDF)
+    "q_dedup_prefix_filter",
+    "q_ngram_novelty",
+    "q_cdc_chunks",
+    "q_ks_test",
+    "q_mannwhitney",
+    // round 11, fifteenth wave: ROC AUC (rank-sum over the PrefixSums
+    // score CDF), survival life table (user-keyed agg + day-domain
+    // windows), Markov next-event predictor, l-diversity audit,
+    // zone-map pruning effectiveness (two 32-zone layouts, one scan
+    // each)
+    "q_roc_auc",
+    "q_survival",
+    "q_markov_acc",
+    "q_ldiversity",
+    "q_zonemap_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

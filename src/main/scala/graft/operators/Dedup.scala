@@ -841,7 +841,168 @@ object Dedup {
         .limit(20),
       Some(s"""${duckWindowCtes(1)}
               |SELECT wh, COUNT(*) AS n_docs FROM wins GROUP BY wh
-              |HAVING COUNT(*) >= 2 ORDER BY n_docs DESC, wh LIMIT 20""".stripMargin))
+              |HAVING COUNT(*) >= 2 ORDER BY n_docs DESC, wh LIMIT 20""".stripMargin)),
+
+    // N-gram novelty: per language, the share of document shingles
+    // FIRST introduced by their document (min doc_id per shingle ==
+    // self) — the "how much of this batch is new text" read a crawl
+    // curation loop runs before paying for full dedup. Scale shape:
+    // rides the memoized shingle relation, one shuffle keyed on the
+    // shingle hash with a partial min — the same layout exact-dedup
+    // uses; the join-back is SHUFFLE_HASH on the already-partitioned
+    // key. Novelty is ONE float division of two exact BIGINT sums per
+    // ≤ |langs| output row.
+    QueryDef(
+      "q_ngram_novelty",
+      (s, d) => {
+        val sh = shingleFrame(s, d).selectExpr("doc_id", "explode(hs) AS h")
+        val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+        val perDoc = sh.join(first.hint("shuffle_hash"), "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_first"))
+        Tables.documents(s, d).select("doc_id", "lang")
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_sh"), lit(0L))).as("n_shingles"),
+            sum(coalesce(col("n_first"), lit(0L))).as("n_novel"))
+          .selectExpr("lang", "n_docs", "n_shingles", "n_novel",
+            "CASE WHEN n_shingles > 0 THEN CAST(n_novel AS DOUBLE) / n_shingles END AS novelty_rate")
+          .orderBy("lang")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, UNNEST($duckShingleHashes) AS h FROM documents),
+              |fst AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+              |pd AS (
+              |  SELECT sh.doc_id, COUNT(*) AS n_sh,
+              |    CAST(SUM(CASE WHEN sh.doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+              |  FROM sh JOIN fst USING (h) GROUP BY 1)
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(COALESCE(n_sh, 0)) AS BIGINT) AS n_shingles,
+              |  CAST(SUM(COALESCE(n_first, 0)) AS BIGINT) AS n_novel,
+              |  CASE WHEN SUM(COALESCE(n_sh, 0)) > 0
+              |    THEN CAST(SUM(COALESCE(n_first, 0)) AS DOUBLE) / SUM(COALESCE(n_sh, 0))
+              |  END AS novelty_rate
+              |FROM documents LEFT JOIN pd USING (doc_id)
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Prefix-filtering exact set-similarity join (AllPairs/PPJoin
+    // family): Jaccard ≥ 0.6 pairs over the 3-gram shingle sets with
+    // EXACT results — the candidate set is provably complete, unlike
+    // MinHash's probabilistic recall. Tokens get a global rarity order
+    // (document frequency, hash); each doc only emits its first
+    // |d| − ⌈τ·|d|⌉ + 1 rarest tokens (integer ⌈3·sz/5⌉ — no float in
+    // the cut), and two docs can pass τ only if their prefixes share a
+    // token — so the self-join runs over the RARE end of the token
+    // distribution, the load-bearing trick: frequent shingles never
+    // join. Verification is exact set arithmetic (|∩|·5 ≥ |∪|·3 —
+    // cross-multiplied, no float threshold). Per-doc sorted arrays are
+    // bounded by doc length; the candidate join is keyed on single
+    // rare tokens.
+    QueryDef(
+      "q_dedup_prefix_filter",
+      (s, d) => {
+        val sh = shingleFrame(s, d).selectExpr("doc_id", "explode(hs) AS h")
+        val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        val pref = sh.join(df.hint("shuffle_hash"), "h")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
+          .selectExpr("doc_id",
+            "slice(arr, 1, CAST(size(arr) - ((3 * size(arr) + 4) div 5) + 1 AS INT)) AS pre")
+          .selectExpr("doc_id", "explode(pre) AS p")
+          .selectExpr("doc_id", "p.h AS h")
+        val cand = pref.select(col("doc_id").as("a"), col("h"))
+          .join(pref.select(col("doc_id").as("b"), col("h")), "h")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val hs = shingleFrame(s, d).select(col("doc_id"), col("hs"))
+        cand
+          .join(hs.select(col("doc_id").as("a"), col("hs").as("hsa")), "a")
+          .join(hs.select(col("doc_id").as("b"), col("hs").as("hsb")), "b")
+          .selectExpr("a", "b",
+            "size(array_intersect(hsa, hsb)) AS inter",
+            "size(hsa) + size(hsb) - size(array_intersect(hsa, hsb)) AS un")
+          .filter(col("inter") * 5 >= col("un") * 3)
+          .selectExpr("a", "b", "inter", "un",
+            "CAST(inter AS DOUBLE) / un AS jaccard")
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, UNNEST($duckShingleHashes) AS h FROM documents),
+              |df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1),
+              |srt AS (
+              |  SELECT doc_id, h,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn,
+              |    COUNT(*) OVER (PARTITION BY doc_id) AS sz
+              |  FROM sh JOIN df USING (h)),
+              |pref AS (SELECT doc_id, h FROM srt
+              |         WHERE rn <= sz - (3 * sz + 4) // 5 + 1),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM pref x JOIN pref y ON x.h = y.h AND x.doc_id < y.doc_id),
+              |hs AS (SELECT doc_id, $duckShingleHashes AS hs FROM documents),
+              |v AS (
+              |  SELECT a, b,
+              |    CAST(len(list_intersect(ha.hs, hb.hs)) AS INT) AS inter,
+              |    CAST(len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)) AS INT) AS un
+              |  FROM cand JOIN hs ha ON ha.doc_id = a JOIN hs hb ON hb.doc_id = b)
+              |SELECT a, b, inter, un, CAST(inter AS DOUBLE) / un AS jaccard
+              |FROM v WHERE inter * 5 >= un * 3 ORDER BY a, b""".stripMargin)),
+
+    // Content-defined chunking (Rabin/FastCDC family, token grain):
+    // cut after token i whenever hash(token_i) ≡ 0 (mod 16) — the
+    // boundary depends only on LOCAL content, so an insertion early in
+    // a document shifts nothing downstream (fixed-size chunking
+    // invalidates every later chunk; this is why dedup stores chunk
+    // content-defined). Per-lang rollup of chunk counts, mean chunk
+    // length as one division of exact BIGINT sums, and a positional
+    // boundary checksum so the oracle pins WHERE the cuts land, not
+    // just how many. Stateless per-row scan — embarrassingly parallel.
+    QueryDef(
+      "q_cdc_chunks",
+      (s, d) => {
+        val th = graft.functions.TextAnalysis.tokHash("t")
+        Tables.documents(s, d)
+          .selectExpr("lang", s"transform(split(text, ' '), t -> $th) AS th")
+          .selectExpr("lang", "th", "size(th) AS n_toks",
+            "filter(sequence(1, size(th)), i -> element_at(th, i) % 16 = 0 AND i < size(th)) AS cuts")
+          .selectExpr("lang", "n_toks", "size(cuts) + 1 AS n_chunks",
+            "aggregate(cuts, CAST(0 AS BIGINT), " +
+              "(a, i) -> (a + CAST(i AS BIGINT) * element_at(th, i)) % 1000000007) AS bsum")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks").cast("long")).as("sum_toks"),
+            sum(col("n_chunks").cast("long")).as("sum_chunks"),
+            sum(col("bsum")).as("boundary_checksum"))
+          .selectExpr("lang", "n_docs", "sum_toks", "sum_chunks",
+            "CAST(sum_toks AS DOUBLE) / sum_chunks AS avg_chunk_toks",
+            "boundary_checksum")
+          .orderBy("lang")
+      },
+      Some {
+        val th = graft.functions.TextAnalysis.duckTokHash("t")
+        s"""WITH th AS (
+           |  SELECT lang, list_transform(string_split(text, ' '), t -> $th) AS th
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, th, CAST(len(th) AS INT) AS n_toks,
+           |    list_filter(generate_series(1, len(th)),
+           |      i -> th[i] % 16 = 0 AND i < len(th)) AS cuts
+           |  FROM th),
+           |p AS (
+           |  SELECT lang, n_toks, CAST(len(cuts) + 1 AS INT) AS n_chunks,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(cuts, i -> CAST(i AS BIGINT) * th[i])),
+           |      (a, x) -> (a + x) % 1000000007) AS bsum
+           |  FROM c)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+           |  CAST(SUM(n_chunks) AS BIGINT) AS sum_chunks,
+           |  CAST(SUM(n_toks) AS DOUBLE) / SUM(n_chunks) AS avg_chunk_toks,
+           |  CAST(SUM(bsum) AS BIGINT) AS boundary_checksum
+           |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+      })
   )
 
   /** The distinct per-doc 62-bit window-hash relation (doc_id, wh),

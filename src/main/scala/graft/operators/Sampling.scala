@@ -472,42 +472,73 @@ object Sampling {
     // q_dp_counts discipline: the Poisson(1) inverse CDF is
     // precomputed ONCE into 2⁶⁰-scaled integer thresholds embedded in
     // BOTH engines' SQL, the per-(row, replicate) uniform is a 60-bit
-    // md5, and the draw is a threshold count — a randomized resampler
-    // that is still bit-identical cross-engine. Weighted moment sums
-    // are exact BIGINT cents; each replicate mean is one float
-    // division.
+    // md5 slice, and the draw is a threshold count — a randomized
+    // resampler that is still bit-identical cross-engine. Weighted
+    // moment sums are exact BIGINT cents; each replicate mean is one
+    // float division.
+    //
+    // Cost shape (the r11 perf fix, 20.6 → sub-second at sf0.1): ONE
+    // md5 per replicate PAIR (halves are hex chars 1-15 and 17-31 of
+    // md5("bs:<g>:<okey>") — 8 digests/row, not 16), the threshold
+    // count is a codegen CASE chain over the ascending thresholds
+    // (not an interpreted array-HOF), and there is NO row explosion:
+    // all 16 (Σw·x, Σw) pairs accumulate as 32 columns of one global
+    // aggregate (partial map-side combine → 32 longs per partition),
+    // and the single result row is stack()ed into the 16 replicate
+    // rows at the very end.
     QueryDef(
       "q_sample_bootstrap",
       (s, d) => {
-        val t = bootstrapThresholds.mkString("array(", ", ", ")")
-        val u = "CAST(conv(substr(md5(concat('bs:', CAST(r AS STRING), ':', " +
-          "CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        val hashes = (0 until 8).map(g =>
+          s"md5(concat('bs:', '$g', ':', CAST(o_orderkey AS STRING))) AS h$g")
+        val uniforms = (0 until 16).map { r =>
+          val pos = 1 + 16 * (r % 2)
+          s"CAST(conv(substr(h${r / 2}, $pos, 15), 16, 10) AS BIGINT) AS u$r"
+        }
+        val weights = (0 until 16).map { r =>
+          val chain = bootstrapThresholds.zipWithIndex
+            .map { case (t, k) => s"WHEN u$r < ${t}L THEN $k" }.mkString(" ")
+          s"CAST(CASE $chain ELSE ${bootstrapThresholds.size} END AS BIGINT) AS w$r"
+        }
+        val sums = (0 until 16).flatMap(r => Seq(
+          sum(col(s"w$r") * col("cents")).as(s"swx$r"),
+          sum(col(s"w$r")).as(s"sw$r")))
         Tables.orders(s, d)
-          .selectExpr("o_orderkey",
-            "CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents",
-            "explode(sequence(0, 15)) AS r")
-          .selectExpr("r", "cents", s"size(filter($t, t -> t <= $u)) AS w")
-          .groupBy("r")
-          .agg(sum(col("w").cast("long") * col("cents")).as("swx"),
-            sum(col("w").cast("long")).as("sw"))
-          .selectExpr("r AS replicate", "sw AS n_eff",
+          // the sf0.1 orders parquet is a single scan split — without
+          // this the 8 digests/row all run on one core (same knob as
+          // Dedup.shingleFrame; a no-op at 100 TB where the scan
+          // itself yields enough partitions)
+          .repartition(s.sparkContext.defaultParallelism)
+          .selectExpr(Seq("o_orderkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents") ++
+            hashes: _*)
+          .selectExpr(Seq("cents") ++ uniforms: _*)
+          .selectExpr(Seq("cents") ++ weights: _*)
+          .agg(sums.head, sums.tail: _*)
+          .selectExpr("stack(16, " +
+            (0 until 16).map(r => s"$r, swx$r, sw$r").mkString(", ") +
+            ") AS (replicate, swx, sw)")
+          .selectExpr("replicate", "sw AS n_eff",
             "CAST(swx AS DOUBLE) / (CAST(sw AS DOUBLE) * 100) AS boot_mean")
           .orderBy("replicate")
       },
       Some {
-        val t = bootstrapThresholds.mkString("[", ", ", "]")
-        val u = "CAST(('0x' || substr(md5('bs:' || CAST(r AS VARCHAR) || ':' || " +
-          "CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+        val chain = bootstrapThresholds.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
         s"""WITH ex AS (
            |  SELECT o_orderkey,
            |    CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents,
            |    UNNEST(range(0, 16)) AS r
            |  FROM orders),
-           |wt AS (
+           |uni AS (
            |  SELECT r, cents,
-           |    CAST(len(list_filter($t, t -> t <= $u)) AS BIGINT) AS w
-           |  FROM ex)
-           |SELECT r AS replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+           |    CAST(('0x' || substr(md5('bs:' || CAST(r // 2 AS VARCHAR) || ':' ||
+           |      CAST(o_orderkey AS VARCHAR)), CAST(1 + 16 * (r % 2) AS INT), 15))
+           |      AS BIGINT) AS u
+           |  FROM ex),
+           |wt AS (SELECT r, cents, CAST(CASE $chain ELSE 8 END AS BIGINT) AS w
+           |  FROM uni)
+           |SELECT CAST(r AS INT) AS replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
            |  CAST(SUM(w * cents) AS DOUBLE) / (CAST(SUM(w) AS DOUBLE) * 100)
            |    AS boot_mean
            |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin

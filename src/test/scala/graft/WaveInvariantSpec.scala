@@ -377,4 +377,202 @@ class WaveInvariantSpec extends AnyFunSuite {
     q20.foreach(r => assert(nat3.contains(r.getAs[String]("s_name"))))
     assert(q20.length <= nat3.size)
   }
+
+  test("prefix filtering is COMPLETE: it finds exactly the brute-force Jaccard>=0.6 pairs") {
+    val got = SparkEntry.queries("q_dedup_prefix_filter")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("inter"), r.getAs[Int]("un"))).toSet
+    // brute-force ground truth over the same shingle sets
+    val hs = operators.Dedup.shingleFrame(spark, sf)
+      .selectExpr("doc_id", "hs").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val brute = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      (a, sa) = hs(i); (b, sb) = hs(j)
+      inter = (sa intersect sb).size
+      un = sa.size + sb.size - inter
+      if inter * 5 >= un * 3
+    } yield (a, b, inter, un)).toSet
+    assert(got === brute, s"prefix-filter pairs diverge from brute force")
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs — test is vacuous")
+  }
+
+  test("ks statistic matches a driver-side sorted-merge recompute") {
+    val r = SparkEntry.queries("q_ks_test")(spark, sf).collect().head
+    val seg = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_mktsegment", "CAST(floor(o_totalprice) AS BIGINT) AS x")
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val s1 = seg.filter(_._1 == "BUILDING").map(_._2)
+    val s2 = seg.filter(_._1 == "MACHINERY").map(_._2)
+    assert(r.getAs[Long]("n1") === s1.length.toLong)
+    assert(r.getAs[Long]("n2") === s2.length.toLong)
+    val values = (s1 ++ s2).distinct.sorted
+    val dNum = values.map { v =>
+      math.abs(s1.count(_ <= v).toLong * s2.length - s2.count(_ <= v).toLong * s1.length)
+    }.max
+    assert(r.getAs[Long]("d_numerator") === dNum)
+    assert(r.getAs[Double]("ks_d") >= 0.0 && r.getAs[Double]("ks_d") <= 1.0)
+  }
+
+  test("mann-whitney U matches a driver-side tied-rank recompute") {
+    val r = SparkEntry.queries("q_mannwhitney")(spark, sf).collect().head
+    val seg = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_mktsegment", "CAST(floor(o_totalprice) AS BIGINT) AS x")
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val all = seg.map(_._2).sorted
+    val rank = all.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2 + 1.0).sum / g.length } // avg tied rank
+    val n1 = seg.count(_._1 == "BUILDING").toLong
+    val r1 = seg.filter(_._1 == "BUILDING").map(p => rank(p._2)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert(r.getAs[Long]("n1") === n1)
+    assert(math.abs(r.getAs[Double]("u1") - u1) < 1e-6, s"u1 ${r.getAs[Double]("u1")} != $u1")
+  }
+
+  test("ngram novelty conserves: every distinct shingle is novel exactly once") {
+    val rows = SparkEntry.queries("q_ngram_novelty")(spark, sf).collect()
+    val distinctShingles = operators.Dedup.shingleFrame(spark, sf)
+      .selectExpr("explode(hs) AS h").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === distinctShingles)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      val rate = r.getAs[Double]("novelty_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("cdc chunk counts and boundary checksums match a driver-side recompute") {
+    import java.security.MessageDigest
+    def tokHash(t: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sf).selectExpr("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (lang, g) =>
+      var (toks, chunks, bsum) = (0L, 0L, 0L)
+      g.foreach { case (_, text) =>
+        val th = text.split(" ", -1).map(tokHash)
+        val cuts = (1 to th.length).filter(i => th(i - 1) % 16 == 0 && i < th.length)
+        toks += th.length; chunks += cuts.length + 1
+        bsum += cuts.foldLeft(0L)((a, i) => (a + i.toLong * th(i - 1)) % 1000000007L)
+      }
+      lang -> ((toks, chunks, bsum))
+    }
+    SparkEntry.queries("q_cdc_chunks")(spark, sf).collect().foreach { r =>
+      val (toks, chunks, bsum) = expect(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("sum_toks") === toks)
+      assert(r.getAs[Long]("sum_chunks") === chunks)
+      assert(r.getAs[Long]("boundary_checksum") === bsum)
+    }
+  }
+
+  test("roc auc matches brute-force pair counting over the scored corpus") {
+    val r = SparkEntry.queries("q_roc_auc")(spark, sf).collect().head
+    val (w, _, _) = operators.Classifier.train(spark, sf)
+    val scored = Tables.documents(spark, sf).selectExpr(
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y",
+        "n_chars", "text").collect().map { row =>
+      val toks = row.getAs[String]("text").split(" ", -1)
+      val stop = graft.functions.TextAnalysis.stop.toSet
+      val x = Array(1.0, row.getAs[Long]("n_chars") / 1000.0,
+        toks.count(stop) / toks.length.toDouble,
+        toks.distinct.length / toks.length.toDouble)
+      val z = w.zip(x).map { case (a, b) => a * b }.sum
+      (math.round(z * 1e6), row.getAs[Int]("y"))
+    }
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    var num = 0.0
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val brute = num / (pos.length.toDouble * neg.length)
+    assert(r.getAs[Long]("n1") === pos.length.toLong)
+    assert(r.getAs[Long]("n0") === neg.length.toLong)
+    // 1e-4 absorbs a possible ulp-level zq flip in the driver-side
+    // recompute (one tie flip moves AUC by ~1/(2·n1·n0) ≈ 8e-6 here);
+    // engine-side exactness is the oracle's job, not this spec's
+    assert(math.abs(r.getAs[Double]("auc") - brute) < 1e-4,
+      s"auc ${r.getAs[Double]("auc")} != brute $brute")
+    assert(r.getAs[Double]("auc") > 0.5, "trained model should beat coin flip")
+  }
+
+  test("survival life table conserves the population and hazards accumulate") {
+    val rows = SparkEntry.queries("q_survival")(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") === users,
+      "first at-risk set must be the whole population")
+    assert(rows.map(r => r.getAs[Long]("d_events") + r.getAs[Long]("c_censored")).sum === users)
+    // at-risk strictly decreases; cumulative hazard never decreases
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_risk") > b.getAs[Long]("n_risk"))
+        assert(a.getAs[Double]("cum_hazard") <= b.getAs[Double]("cum_hazard") + 1e-12)
+      case _ =>
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Double]("hazard")
+      assert(h >= 0.0 && h <= 1.0)
+    }
+  }
+
+  test("markov argmax predictor matches a driver-side transition recount") {
+    val rows = SparkEntry.queries("q_markov_acc")(spark, sf).collect()
+    val pairs = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("us"), r.getAs[Long]("event_id")),
+        r.getAs[String]("event_type")))
+      .groupBy(_._1).values.flatMap { g =>
+        val seq = g.toArray.sortBy(_._2).map(_._3)
+        seq.zip(seq.drop(1))
+      }.toArray
+    val counts = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      val from = r.getAs[String]("from_type")
+      val outs = counts.filter(_._1._1 == from)
+      val best = outs.toSeq.sortBy { case ((_, to), n) => (-n, to) }.head
+      assert(r.getAs[String]("pred_type") === best._1._2)
+      assert(r.getAs[Long]("n_hit") === best._2)
+      assert(r.getAs[Long]("n_total") === outs.values.sum)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("l-diversity histogram conserves customers and l stays in the segment domain") {
+    val rows = SparkEntry.queries("q_ldiversity")(spark, sf).collect()
+    val custs = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === custs)
+    val nSegs = Tables.customer(spark, sf)
+      .select("c_mktsegment").distinct().count()
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l")
+      assert(l >= 1L && l <= nSegs, s"l=$l outside 1..$nSegs")
+      assert(r.getAs[Double]("row_share") > 0.0 && r.getAs[Double]("row_share") <= 1.0)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("row_share")).sum - 1.0) < 1e-9)
+  }
+
+  test("zone maps: clustering prunes, matching rows are layout-invariant") {
+    val rows = SparkEntry.queries("q_zonemap_prune")(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val nat = rows("1_natural"); val clu = rows("2_clustered")
+    assert(nat.getAs[Long]("rows_total") === clu.getAs[Long]("rows_total"))
+    assert(nat.getAs[Long]("rows_matched") === clu.getAs[Long]("rows_matched"),
+      "a layout change must never change the answer")
+    assert(clu.getAs[Long]("n_zones_pruned") > nat.getAs[Long]("n_zones_pruned"),
+      "date-clustered zones must prune a date predicate better than key order")
+    assert(clu.getAs[Double]("scan_share") < nat.getAs[Double]("scan_share"))
+    // scanned zones must still cover every matching row
+    Seq(nat, clu).foreach(r =>
+      assert(r.getAs[Long]("rows_matched") <= r.getAs[Long]("rows_scanned")))
+  }
 }
