@@ -142,6 +142,29 @@ object Classifier {
        |w$t AS (SELECT $ws FROM g$t, $prev)""".stripMargin
   }
 
+  /** DuckDB twin of [[feats]] — shared by every oracle that replays
+    * the training chain. */
+  private lazy val duckFeatSql: String =
+    s"""f AS (SELECT
+       |  CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+       |  1.0 AS x0,
+       |  CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |       w -> w IN (${graft.functions.TextAnalysis.stopSql}))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS x2,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS x3
+       |FROM documents)""".stripMargin
+
+  /** The k-iteration GD weight chain, w0 → w$iters, as chained CTEs. */
+  private lazy val duckChainSql: String = {
+    val chain = (1 to iters)
+      .map(t => duckIter(t, if (t == 1) "w0" else s"w${t - 1}"))
+      .mkString(",\n")
+    s"""w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
+       |$chain""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -159,23 +182,8 @@ object Classifier {
           .orderBy("metric")
       },
       Some {
-        val featSql =
-          s"""f AS (SELECT
-             |  CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
-             |  1.0 AS x0,
-             |  CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
-             |  CAST(len(list_filter(string_split(text, ' '),
-             |       w -> w IN (${graft.functions.TextAnalysis.stopSql}))) AS DOUBLE)
-             |    / len(string_split(text, ' ')) AS x2,
-             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             |    / len(string_split(text, ' ')) AS x3
-             |FROM documents)""".stripMargin
-        val chain = (1 to iters)
-          .map(t => duckIter(t, if (t == 1) "w0" else s"w${t - 1}"))
-          .mkString(",\n")
-        s"""WITH $featSql,
-           |w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
-           |$chain,
+        s"""WITH $duckFeatSql,
+           |$duckChainSql,
            |acc AS (SELECT
            |    SUM(CASE WHEN ((b0*x0 + b1*x1 + b2*x2 + b3*x3) >= 0) = (y = 1.0)
            |             THEN 1 ELSE 0 END) AS n_correct,
@@ -189,5 +197,59 @@ object Classifier {
            |  UNION ALL SELECT 'w2', CAST(round(b2 * 1000000.0) AS BIGINT) FROM w$iters
            |  UNION ALL SELECT 'w3', CAST(round(b3 * 1000000.0) AS BIGINT) FROM w$iters)
            |ORDER BY metric""".stripMargin
-      }))
+      }),
+
+    // ROC AUC of the trained classifier, computed exactly via the
+    // rank-sum identity AUC = U₁ / (n₁·n₀) — the probability a random
+    // positive outscores a random negative, ties at ½ (threshold-sweep
+    // trapezoid integration gives the same number; the rank form needs
+    // no per-threshold loop). Scores are µ-quantized BIGINTs (zq =
+    // round(z·1e6) — the q_quality_classifier determinism grid), so
+    // grouping keys are integers and the whole statistic is exact:
+    // 2R₁ = Σ c₁·(2·C_prev + t + 1) over the score CDF (the
+    // q_mannwhitney doubled-rank identity), one float division at the
+    // end. The CDF is [[PrefixSums.cumulate]] — no unpartitioned
+    // window over the score domain; at 100 TB the 2R₁ moment column
+    // promotes to DECIMAL(38,0) as q_mannwhitney documents.
+    QueryDef(
+      "q_roc_auc",
+      (s, d) => {
+        val (w, _, _) = train(s, d)
+        val grouped = feats(s, d)
+          .select(round(zCol(w) * lit(1000000.0)).cast("long").as("zq"),
+            col("y"))
+          .groupBy("zq")
+          .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("c0"))
+        graft.operators.PrefixSums.cumulate(grouped, "zq", Seq("c1", "c0"))
+          .agg(max("cum_c1").as("n1"), max("cum_c0").as("n0"),
+            sum(expr("c1 * (2 * (cum_c1 + cum_c0 - c1 - c0) + (c1 + c0) + 1)"))
+              .as("r1x2"))
+          .selectExpr("n1", "n0", "r1x2 - n1 * (n1 + 1) AS u1x2")
+          .selectExpr("n1", "n0", "CAST(u1x2 AS DOUBLE) / 2 AS u1",
+            "CAST(u1x2 AS DOUBLE) / (2 * CAST(n1 AS DOUBLE) * n0) AS auc")
+      },
+      Some(s"""WITH $duckFeatSql,
+              |$duckChainSql,
+              |sc AS (SELECT
+              |    CAST(round((b0*x0 + b1*x1 + b2*x2 + b3*x3) * 1000000.0) AS BIGINT) AS zq,
+              |    y
+              |  FROM f, w$iters),
+              |g AS (SELECT zq,
+              |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              |    CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS c0
+              |  FROM sc GROUP BY 1),
+              |c AS (SELECT zq, c1, c0,
+              |    CAST(SUM(c1) OVER (ORDER BY zq) AS BIGINT) AS cum_c1,
+              |    CAST(SUM(c0) OVER (ORDER BY zq) AS BIGINT) AS cum_c0
+              |  FROM g),
+              |m AS (SELECT CAST(MAX(cum_c1) AS BIGINT) AS n1,
+              |    CAST(MAX(cum_c0) AS BIGINT) AS n0,
+              |    CAST(SUM(c1 * (2 * (cum_c1 + cum_c0 - c1 - c0) + (c1 + c0) + 1))
+              |      AS BIGINT) AS r1x2
+              |  FROM c),
+              |u AS (SELECT n1, n0, r1x2 - n1 * (n1 + 1) AS u1x2 FROM m)
+              |SELECT n1, n0, CAST(u1x2 AS DOUBLE) / 2 AS u1,
+              |  CAST(u1x2 AS DOUBLE) / (2 * CAST(n1 AS DOUBLE) * n0) AS auc
+              |FROM u""".stripMargin)))
 }

@@ -302,6 +302,93 @@ object Layout {
               |  COUNT(*) AS n_docs,
               |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
               |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
-              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Zone-map (min/max data skipping) effectiveness, measured — WHY
+    // clustering pays: the same 32-zone file simulation under two
+    // layouts. 'natural' zones orders by insertion key (o_orderkey —
+    // TPC-H dates are uncorrelated with keys, so every zone spans the
+    // whole date domain and NOTHING prunes); 'clustered' zones the
+    // table by o_orderdate first (each zone covers ~span/32 days, so a
+    // one-quarter predicate skips ~29/32 of the data). Per layout: zones
+    // a `BETWEEN '1995-07-01' AND '1995-09-30'` scan can prove empty
+    // from (min, max) alone, rows it still reads, rows that match, and
+    // the scan share — the number a lakehouse file-skipping design doc
+    // quotes. Integer throughout: zone ids come from broadcast key
+    // bounds (proportional split — one scalar agg, no rank shuffle);
+    // dates compare as DATE. The zone stats relation is 32 rows/layout.
+    QueryDef(
+      "q_zonemap_prune",
+      (s, d) => {
+        val lo = "DATE'1995-07-01'"
+        val hi = "DATE'1995-09-30'"
+        val o = Tables.orders(s, d)
+          .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS o_orderdate")
+        val dims = o.agg(min(col("o_orderkey")).as("kmin"),
+          max(col("o_orderkey")).as("kmax"),
+          min(unix_date(col("o_orderdate"))).as("dmin"),
+          max(unix_date(col("o_orderdate"))).as("dmax"))
+        def layout(name: String, zoneExpr: String) =
+          o.crossJoin(broadcast(dims))
+            .selectExpr(s"$zoneExpr AS zone", "o_orderdate")
+            .groupBy("zone")
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("o_orderdate")).as("zmin"),
+              max(col("o_orderdate")).as("zmax"),
+              sum(when(col("o_orderdate").between(expr(lo), expr(hi)), 1L)
+                .otherwise(0L)).as("n_match"))
+            .withColumn("pruned",
+              (col("zmax") < expr(lo)) || (col("zmin") > expr(hi)))
+            .agg(count(lit(1)).as("n_zones"),
+              sum(when(col("pruned"), 1L).otherwise(0L)).as("n_zones_pruned"),
+              sum(col("n_rows")).as("rows_total"),
+              sum(when(col("pruned"), 0L).otherwise(col("n_rows")))
+                .as("rows_scanned"),
+              sum(col("n_match")).as("rows_matched"))
+            .selectExpr(s"'$name' AS layout", "n_zones", "n_zones_pruned",
+              "rows_total", "rows_scanned", "rows_matched",
+              "CAST(rows_scanned AS DOUBLE) / rows_total AS scan_share")
+        layout("1_natural",
+            "CAST((o_orderkey - kmin) * 32 DIV (kmax - kmin + 1) AS BIGINT)")
+          .unionByName(layout("2_clustered",
+            "CAST((unix_date(o_orderdate) - dmin) * 32 DIV (dmax - dmin + 1) AS BIGINT)"))
+          .orderBy("layout")
+      },
+      Some("""WITH od AS (
+             |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt FROM orders),
+             |dims AS (
+             |  SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax,
+             |    MIN(CAST(dt - DATE '1970-01-01' AS BIGINT)) AS dmin,
+             |    MAX(CAST(dt - DATE '1970-01-01' AS BIGINT)) AS dmax
+             |  FROM od),
+             |z AS (
+             |  SELECT CAST((o_orderkey - kmin) * 32 // (kmax - kmin + 1) AS BIGINT) AS zn,
+             |    CAST((CAST(dt - DATE '1970-01-01' AS BIGINT) - dmin) * 32
+             |      // (dmax - dmin + 1) AS BIGINT) AS zc,
+             |    dt
+             |  FROM od, dims),
+             |stats AS (
+             |  SELECT '1_natural' AS layout, zn AS zone, COUNT(*) AS n_rows,
+             |    MIN(dt) AS zmin, MAX(dt) AS zmax,
+             |    CAST(SUM(CASE WHEN dt BETWEEN DATE '1995-07-01' AND DATE '1995-09-30'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+             |  FROM z GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT '2_clustered', zc, COUNT(*), MIN(dt), MAX(dt),
+             |    CAST(SUM(CASE WHEN dt BETWEEN DATE '1995-07-01' AND DATE '1995-09-30'
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM z GROUP BY 1, 2),
+             |p AS (
+             |  SELECT layout, n_rows, n_match,
+             |    (zmax < DATE '1995-07-01' OR zmin > DATE '1995-09-30') AS pruned
+             |  FROM stats)
+             |SELECT layout, COUNT(*) AS n_zones,
+             |  CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_zones_pruned,
+             |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+             |  CAST(SUM(CASE WHEN pruned THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+             |  CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+             |  CAST(SUM(CASE WHEN pruned THEN 0 ELSE n_rows END) AS DOUBLE)
+             |    / SUM(n_rows) AS scan_share
+             |FROM p GROUP BY layout ORDER BY layout""".stripMargin))
   )
 }

@@ -312,6 +312,42 @@ object Quality {
              |  CAST(n_rows_at_risk AS DOUBLE) / n_rows AS suppression_rate
              |FROM u ORDER BY level""".stripMargin)),
 
+    // Distinct l-diversity audit — the attack k-anonymity misses: a
+    // class can hold k rows yet leak the SENSITIVE attribute if all k
+    // share one value (homogeneity attack). Quasi-identifiers =
+    // (nation, balance millibucket) — q_kanon's L0 minus the segment,
+    // which here becomes the sensitive column; per class l = distinct
+    // sensitive values, rolled up to the per-l histogram privacy
+    // review reads (classes at l = 1 are fully leaked regardless of
+    // size). Two-level integer agg — rows → classes → ≤ |segments|
+    // histogram rows; the widest exchange carries one row per class.
+    QueryDef(
+      "q_ldiversity",
+      (s, d) => {
+        val cls = Tables.customer(s, d)
+          .groupBy(col("c_nationkey"),
+            expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_k"))
+          .agg(countDistinct(col("c_mktsegment")).as("l"),
+            count(lit(1)).as("sz"))
+          .localCheckpoint(true)
+        val tot = cls.agg(sum(col("sz")).as("n_rows_total"))
+        cls.groupBy("l")
+          .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("l", "n_classes", "n_rows",
+            "CAST(n_rows AS DOUBLE) / n_rows_total AS row_share")
+          .orderBy("l")
+      },
+      Some("""WITH cls AS (
+             |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+             |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l,
+             |    COUNT(*) AS sz
+             |  FROM customer GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_rows_total FROM cls)
+             |SELECT l, COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows,
+             |  CAST(SUM(sz) AS DOUBLE) / MAX(n_rows_total) AS row_share
+             |FROM cls, tot GROUP BY l ORDER BY l""".stripMargin)),
+
     // Freshness/staleness audit over the event stream: per event type,
     // the newest record's lag behind the stream head (integer seconds
     // — epoch arithmetic, no engine-divergent date maths), plus volume
