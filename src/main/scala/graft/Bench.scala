@@ -363,7 +363,14 @@ object Bench {
     "q_survival",
     "q_markov_acc",
     "q_ldiversity",
-    "q_zonemap_prune")
+    "q_zonemap_prune",
+    // round 11, sixteenth wave: grid DBSCAN (COUNT-gated point set,
+    // 3x3-cell candidate join, shared CC machinery), dynamic partition
+    // pruning join (write + DPP-filtered scan), skew audit (keyed
+    // count + TakeOrdered)
+    "q_dbscan_grid",
+    "q_join_dpp",
+    "q_skew_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1389,6 +1389,133 @@ object Clustering {
               |      / (sqrt(CAST(n_edges AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
               |         * sqrt(CAST(n_edges AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
               |  END AS assortativity
-              |FROM m""".stripMargin))
+              |FROM m""".stripMargin)),
+
+    // Grid-accelerated DBSCAN (ε = 8, minPts = 4) over a deterministic
+    // 2-D scatter (16 jittered cluster boxes derived from customer
+    // keys): density clustering, the class k-means can't express
+    // (k-means forces convex cells and a fixed k; DBSCAN finds the
+    // component structure and labels sparse points NOISE). Fully
+    // deterministic variant so DuckDB can replay it: core = ≥ minPts
+    // points within ε INCLUDING self; clusters = connected components
+    // of the core-core ε-graph labeled by min core id (the shared
+    // [[connectedComponents]] two-regime machinery); border points
+    // join the MIN label among their ε-reachable cores (plain DBSCAN
+    // leaves border assignment scan-order-dependent — min-label is the
+    // deterministic refinement); everything else is noise (cluster
+    // −1). Scale shape: candidate pairs come from a 3×3 neighbor-cell
+    // equi-join at cell size = ε (the q_join_spatial layout — each
+    // qualifying pair is generated exactly once per direction, no
+    // quadratic pass), and point count is COUNT-gated to ≤ 8k via a
+    // data-derived modulus BOTH engines compute, so the pair relation
+    // is bounded at any sf. The oracle's CC twin is a recursive CTE.
+    QueryDef(
+      "q_dbscan_grid",
+      (s, d) => {
+        val tot = Tables.customer(s, d).agg(count(lit(1)).as("n_tot"))
+        val pts = Tables.customer(s, d)
+          .crossJoin(broadcast(tot))
+          .filter(expr("c_custkey % ((n_tot + 7999) DIV 8000) = 0"))
+          .selectExpr("c_custkey AS id",
+            // md5 jitter, one independent seed per axis — a linear-
+            // congruential jitter correlates x with y (points collapse
+            // onto a 1-D lattice inside each box and the class mix
+            // degenerates); the hash scatter is genuinely 2-D
+            s"CAST((c_custkey % 16) % 4 * 250 + 125 + (${graft.functions.TextAnalysis.tokHash("concat('dx:', CAST(c_custkey AS STRING))")} % 61) - 30 AS BIGINT) AS x",
+            s"CAST((c_custkey % 16) DIV 4 * 250 + 125 + (${graft.functions.TextAnalysis.tokHash("concat('dy:', CAST(c_custkey AS STRING))")} % 61) - 30 AS BIGINT) AS y")
+          .localCheckpoint(true)
+        val probe = pts.selectExpr("id AS b_id", "x AS bx", "y AS by")
+          .selectExpr("b_id", "bx", "by",
+            """explode(flatten(transform(sequence(-1, 1), dx ->
+              |  transform(sequence(-1, 1), dy ->
+              |    ((bx DIV 8) + dx) * 1000 + ((by DIV 8) + dy))))) AS cell""".stripMargin)
+        val nb = pts.withColumn("cell", expr("(x DIV 8) * 1000 + (y DIV 8)"))
+          .join(probe.hint("shuffle_hash"), "cell")
+          .filter(col("id") =!= col("b_id") &&
+            expr("(x - bx) * (x - bx) + (y - by) * (y - by) <= 64"))
+          .select(col("id").as("a"), col("b_id").as("b"))
+          .localCheckpoint(true) // consumed by cores, edges, and border
+        val cores = nb.groupBy("a").agg(count(lit(1)).as("nnb"))
+          .filter(col("nnb") + 1 >= 4).select(col("a").as("id"))
+          .localCheckpoint(true)
+        val coreEdges = nb.filter(col("a") < col("b"))
+          .join(cores.selectExpr("id AS a").hint("shuffle_hash"), "a")
+          .join(cores.selectExpr("id AS b").hint("shuffle_hash"), "b")
+          .select("a", "b")
+        val cc = connectedComponents(coreEdges) // (v, lab)
+        // isolated cores (no core neighbor) are singleton clusters
+        val coreLabel = cores
+          .join(cc.withColumnRenamed("v", "id"), Seq("id"), "left")
+          .selectExpr("id", "coalesce(lab, id) AS cluster")
+          .localCheckpoint(true)
+        val border = nb
+          .join(cores.selectExpr("id AS a"), Seq("a"), "left_anti")
+          .join(coreLabel.selectExpr("id AS b", "cluster"), "b")
+          .groupBy(col("a").as("id")).agg(min(col("cluster")).as("cluster"))
+        val labeled = coreLabel.selectExpr("id", "cluster", "'core' AS role")
+          .unionByName(border.selectExpr("id", "cluster", "'border' AS role"))
+          .localCheckpoint(true)
+        val noise = pts.select("id")
+          .join(labeled.select("id"), Seq("id"), "left_anti")
+        labeled.groupBy("cluster")
+          .agg(count(lit(1)).as("n_points"),
+            sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+            sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
+            sum(col("id") * 7).as("member_checksum"))
+          .unionByName(noise
+            .select(lit(-1L).as("cluster"), col("id"))
+            .groupBy("cluster")
+            .agg(count(lit(1)).as("n_points"),
+              sum(lit(0L)).as("n_core"), sum(lit(0L)).as("n_border"),
+              sum(col("id") * 7).as("member_checksum")))
+          .selectExpr("cluster", "n_points", "n_core", "n_border",
+            "CAST(member_checksum AS BIGINT) AS member_checksum")
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE tot AS (SELECT COUNT(*) AS n_tot FROM customer),
+             |pts AS (
+             |  SELECT c_custkey AS id,
+             |    CAST((c_custkey % 16) % 4 * 250 + 125 + (${graft.functions.TextAnalysis.duckTokHash("'dx:' || CAST(c_custkey AS VARCHAR)")} % 61) - 30 AS BIGINT) AS x,
+             |    CAST((c_custkey % 16) // 4 * 250 + 125 + (${graft.functions.TextAnalysis.duckTokHash("'dy:' || CAST(c_custkey AS VARCHAR)")} % 61) - 30 AS BIGINT) AS y
+             |  FROM customer, tot WHERE c_custkey % ((n_tot + 7999) // 8000) = 0),
+             |nb AS (
+             |  SELECT p.id AS a, q.id AS b
+             |  FROM pts p JOIN pts q
+             |    ON p.id <> q.id
+             |   AND q.x BETWEEN p.x - 8 AND p.x + 8
+             |   AND q.y BETWEEN p.y - 8 AND p.y + 8
+             |  WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 64),
+             |cores AS (SELECT a AS id FROM nb GROUP BY a HAVING COUNT(*) + 1 >= 4),
+             |ce AS (SELECT a, b FROM nb WHERE a < b
+             |       AND a IN (SELECT id FROM cores) AND b IN (SELECT id FROM cores)),
+             |ed AS (SELECT a AS src, b AS dst FROM ce UNION ALL SELECT b, a FROM ce),
+             |reach(v, r) AS (
+             |  SELECT src, src FROM ed
+             |  UNION
+             |  SELECT reach.v, ed.dst FROM reach JOIN ed ON ed.src = reach.r),
+             |ccx AS (SELECT v, MIN(r) AS cluster FROM reach GROUP BY v),
+             |cl AS (SELECT id, COALESCE(cluster, id) AS cluster
+             |       FROM cores LEFT JOIN ccx ON ccx.v = cores.id),
+             |bord AS (
+             |  SELECT nb.a AS id, MIN(cl.cluster) AS cluster
+             |  FROM nb JOIN cl ON cl.id = nb.b
+             |  WHERE nb.a NOT IN (SELECT id FROM cores)
+             |  GROUP BY nb.a),
+             |lab AS (
+             |  SELECT id, cluster, 'core' AS role FROM cl
+             |  UNION ALL SELECT id, cluster, 'border' FROM bord),
+             |agg AS (
+             |  SELECT cluster, COUNT(*) AS n_points,
+             |    CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+             |    CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+             |    CAST(SUM(id * 7) AS BIGINT) AS member_checksum
+             |  FROM lab GROUP BY cluster
+             |  UNION ALL
+             |  SELECT CAST(-1 AS BIGINT), COUNT(*), CAST(0 AS BIGINT),
+             |    CAST(0 AS BIGINT), CAST(SUM(id * 7) AS BIGINT)
+             |  FROM pts WHERE id NOT IN (SELECT id FROM lab)
+             |  HAVING COUNT(*) > 0)
+             |SELECT cluster, n_points, n_core, n_border, member_checksum
+             |FROM agg ORDER BY cluster""".stripMargin))
   )
 }

@@ -357,6 +357,45 @@ object Joins {
              |  (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
              |FROM cust JOIN sc ON (cx // 8) * 1000 + (cy // 8) = sc.cell
              |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 64
-             |ORDER BY d2, c_custkey, s_suppkey LIMIT 20""".stripMargin))
+             |ORDER BY d2, c_custkey, s_suppkey LIMIT 20""".stripMargin)),
+
+    // Dynamic partition pruning — the runtime complement to the static
+    // pruning q_scan_partitioned pins: the fact side is a DISK-
+    // partitioned table (written here, partitioned by order year) and
+    // the dim side's filter is only known at plan time as a subquery,
+    // so Catalyst injects a `dynamicpruningexpression` into the fact
+    // scan's PartitionFilters — the fact files for odd years are never
+    // opened, which at 100 TB is the difference between scanning the
+    // whole table and scanning half of it. PlanSpec pins the pruning
+    // subquery's presence; this oracle pins the answer. Money stays in
+    // exact DECIMAL cents.
+    QueryDef(
+      "q_join_dpp",
+      (s, d) => {
+        val key = java.lang.Integer.toHexString(d.hashCode)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_dpp/$key"
+        Tables.orders(s, d)
+          .selectExpr("o_orderkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents",
+            "year(o_orderdate) AS o_year")
+          .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+        val fact = s.read.parquet(dir)
+        val dim = fact.selectExpr("o_year AS d_year").distinct()
+          .filter(col("d_year") % 2 === 0)
+        fact.join(broadcast(dim), col("o_year") === col("d_year"))
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .selectExpr("CAST(o_year AS INT) AS o_year", "n", "cents")
+          .orderBy("o_year")
+      },
+      Some("""WITH f AS (
+             |  SELECT year(o_orderdate) AS o_year,
+             |    CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders),
+             |dim AS (SELECT DISTINCT o_year AS d_year FROM f WHERE o_year % 2 = 0)
+             |SELECT CAST(o_year AS INT) AS o_year, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS cents
+             |FROM f JOIN dim ON o_year = d_year
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

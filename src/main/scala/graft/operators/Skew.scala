@@ -78,6 +78,40 @@ object Skew {
         .agg(sum(col("c")).cast("bigint").as("n_distinct_parts"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_parts
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Skew audit — the measurement that decides BETWEEN the two
+    // mitigations above: per-key row counts for the join/agg key, the
+    // 10 heaviest keys with their share, and skew_ratio = n / mean
+    // (the factor by which the hottest reducer outweighs an average
+    // one; > ~4 is when salting or AQE skew-join starts to pay).
+    // Shape: one keyed count (map-side combinable), materialized once
+    // and consumed by both the scalar stats row and the distributed
+    // TakeOrdered top-10 — the key-domain relation never exceeds the
+    // key cardinality, and nothing else leaves the executors.
+    QueryDef(
+      "q_skew_audit",
+      (s, d) => {
+        val counts = Tables.lineitem(s, d).groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val stats = counts.agg(sum(col("n")).as("n_total"),
+          count(lit(1)).as("n_keys"), max(col("n")).as("n_max"))
+        counts.crossJoin(broadcast(stats))
+          .selectExpr("l_suppkey", "n",
+            "CAST(n AS DOUBLE) / n_total AS share",
+            "CAST(n AS DOUBLE) * n_keys / n_total AS skew_ratio",
+            "CAST(n AS DOUBLE) * n_keys / n_total > 4.0 AS needs_salting")
+          .orderBy(col("n").desc, col("l_suppkey"))
+          .limit(10)
+      },
+      Some("""WITH c AS (
+             |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+             |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             |    COUNT(*) AS n_keys FROM c)
+             |SELECT l_suppkey, n, CAST(n AS DOUBLE) / n_total AS share,
+             |  CAST(n AS DOUBLE) * n_keys / n_total AS skew_ratio,
+             |  CAST(n AS DOUBLE) * n_keys / n_total > 4.0 AS needs_salting
+             |FROM c, s ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin))
   )
 }

@@ -472,4 +472,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!between.contains("Exchange hashpartitioning"),
       s"fact rows shuffled before the probe:\n$p")
   }
+
+  test("q_join_dpp: the fact scan carries a dynamic partition pruning filter") {
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
+    // the pruning must sit on the partitioned fact scan, not a post-scan Filter
+    val scanAt = p.indexOf("graft_dpp")
+    assert(scanAt >= 0, s"fact scan of the partitioned table missing:\n$p")
+  }
 }

@@ -575,4 +575,87 @@ class WaveInvariantSpec extends AnyFunSuite {
     Seq(nat, clu).foreach(r =>
       assert(r.getAs[Long]("rows_matched") <= r.getAs[Long]("rows_scanned")))
   }
+
+  test("dbscan summary matches an exact driver-side DBSCAN recompute") {
+    // sf0.01: at sf0.001 the scatter is too sparse to form any cluster
+    // (all 150 points are noise), which would leave the core/border
+    // logic untested — the denser fixture exercises all three classes
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_dbscan_grid")(spark, sf).collect()
+    // brute-force the same deterministic DBSCAN at fixture scale
+    val nTot = Tables.customer(spark, sf).count()
+    val rate = (nTot + 7999) / 8000
+    // the same md5 jitter the query computes via tokHash: first 8 hex
+    // chars of md5("dx:<id>") as an unsigned 32-bit value, mod 61
+    def jit(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 61
+    }
+    val pts = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).filter(_ % rate == 0)
+      .map(id => (id, (id % 16) % 4 * 250 + 125 + jit(s"dx:$id") - 30,
+        (id % 16) / 4 * 250 + 125 + jit(s"dy:$id") - 30))
+    def nbOf(p: (Long, Long, Long)) = pts.filter(q => q._1 != p._1 &&
+      (p._2 - q._2) * (p._2 - q._2) + (p._3 - q._3) * (p._3 - q._3) <= 64)
+    val core = pts.filter(p => nbOf(p).length + 1 >= 4).map(_._1).toSet
+    // CC over core-core edges, min-label
+    val label = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      for (p <- pts if core(p._1); q <- nbOf(p) if core(q._1)) {
+        val m = math.min(label(p._1), label(q._1))
+        if (label(p._1) != m || label(q._1) != m) {
+          label(p._1) = m; label(q._1) = m; changed = true
+        }
+      }
+    }
+    val borderLab = pts.filter(p => !core(p._1))
+      .flatMap { p =>
+        val cs = nbOf(p).filter(q => core(q._1)).map(q => label(q._1))
+        if (cs.isEmpty) None else Some(p._1 -> cs.min)
+      }.toMap
+    val noiseIds = pts.map(_._1).filterNot(id => core(id) || borderLab.contains(id))
+    val got = rows.map(r => r.getAs[Long]("cluster") ->
+      ((r.getAs[Long]("n_points"), r.getAs[Long]("n_core"),
+        r.getAs[Long]("n_border"), r.getAs[Long]("member_checksum")))).toMap
+    val expectClusters = (core.toSeq.map(id => label(id) -> (id, true)) ++
+      borderLab.toSeq.map { case (id, l) => l -> (id, false) })
+      .groupBy(_._1).map { case (cl, ms) =>
+        cl -> ((ms.length.toLong, ms.count(_._2._2).toLong,
+          ms.count(!_._2._2).toLong, ms.map(_._2._1 * 7).sum))
+      }
+    val expect = if (noiseIds.isEmpty) expectClusters
+      else expectClusters + (-1L -> ((noiseIds.length.toLong, 0L, 0L,
+        noiseIds.map(_ * 7).sum)))
+    assert(got === expect, s"dbscan summary diverges from brute force")
+    assert(expect.keys.exists(_ >= 0), "fixture produced no clusters — vacuous")
+    assert(noiseIds.nonEmpty, "fixture produced no noise — vacuous")
+  }
+
+  test("dpp join returns exactly the even-year partitions, fully counted") {
+    val rows = SparkEntry.queries("q_join_dpp")(spark, sf).collect()
+    val expect = Tables.orders(spark, sf)
+      .selectExpr("year(o_orderdate) AS y").collect().map(_.getInt(0))
+      .groupBy(identity).collect { case (y, g) if y % 2 == 0 => y -> g.length.toLong }
+      .toMap
+    assert(rows.map(_.getAs[Int]("o_year")).forall(_ % 2 == 0))
+    assert(rows.map(r => r.getAs[Int]("o_year") -> r.getAs[Long]("n")).toMap === expect)
+  }
+
+  test("skew audit: shares and ratios are consistent with a driver recount") {
+    val rows = SparkEntry.queries("q_skew_audit")(spark, sf).collect()
+    val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val nKeys = counts.size.toDouble
+    val top10 = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(rows.map(r => r.getAs[Long]("l_suppkey") -> r.getAs[Long]("n")).toSeq === top10)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      assert(math.abs(share - r.getAs[Long]("n") / total) < 1e-12)
+      assert(math.abs(r.getAs[Double]("skew_ratio") - share * nKeys) < 1e-9)
+    }
+  }
 }
