@@ -370,7 +370,16 @@ object Bench {
     // count + TakeOrdered)
     "q_dbscan_grid",
     "q_join_dpp",
-    "q_skew_audit")
+    "q_skew_audit",
+    // round 11, seventeenth wave: classifier calibration (decile
+    // reliability + Brier), WOE/IV feature screen, t-closeness EMD
+    // audit, null-aware anti join (NAAJ plan pin), watermark late-data
+    // accounting (two-pass prefix max)
+    "q_calibration",
+    "q_feature_woe",
+    "q_tcloseness",
+    "q_join_null_aware",
+    "q_stream_late")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

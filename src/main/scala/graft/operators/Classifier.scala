@@ -251,5 +251,61 @@ object Classifier {
               |u AS (SELECT n1, n0, r1x2 - n1 * (n1 + 1) AS u1x2 FROM m)
               |SELECT n1, n0, CAST(u1x2 AS DOUBLE) / 2 AS u1,
               |  CAST(u1x2 AS DOUBLE) / (2 * CAST(n1 AS DOUBLE) * n0) AS auc
-              |FROM u""".stripMargin)))
+              |FROM u""".stripMargin)),
+
+    // Calibration audit of the trained classifier — AUC (q_roc_auc)
+    // measures ranking, not probability truth: a model can rank
+    // perfectly while its scores are useless as probabilities. Per
+    // predicted-probability decile: count, mean predicted probability,
+    // empirical positive rate, their gap (the reliability-diagram
+    // vertical), and the per-bin Brier contribution. The probability is
+    // the µ-quantized sigmoid (p_micro = round(σ(z)·1e6), the
+    // established determinism grid), so binning keys and both moment
+    // sums are exact integers: Σ p_micro and Σ (p_micro − y_micro)²
+    // accumulate as DECIMAL(38,0) (p² terms reach 1e12/row — a BIGINT
+    // sum would wrap near ~9M rows; decimal is the documented 100 TB
+    // promotion, same as q_mannwhitney), and each published double is
+    // ONE division at the end. Scale shape: one scan of the cached
+    // feature frame → 10-group agg; nothing else moves.
+    QueryDef(
+      "q_calibration",
+      (s, d) => {
+        val (w, _, _) = train(s, d)
+        feats(s, d)
+          .select(
+            round((lit(1.0) / (lit(1.0) + exp(-zCol(w)))) * lit(1000000.0))
+              .cast("long").as("p"),
+            (col("y") * lit(1000000.0)).cast("long").as("ym"),
+            col("y"))
+          .selectExpr("least(p DIV 100000, 9) AS bin", "p", "ym", "y")
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+            sum(col("p").cast("decimal(38,0)")).as("sp"),
+            sum(((col("p") - col("ym")) * (col("p") - col("ym")))
+              .cast("decimal(38,0)")).as("se"))
+          .selectExpr("CAST(bin AS BIGINT) AS bin", "n", "n_pos",
+            "CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean_pred",
+            "CAST(n_pos AS DOUBLE) / n AS frac_pos",
+            "CAST(n_pos AS DOUBLE) / n - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS gap",
+            "CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0) AS brier")
+          .orderBy("bin")
+      },
+      Some(s"""WITH $duckFeatSql,
+              |$duckChainSql,
+              |sc AS (SELECT
+              |    CAST(round((1.0 / (1.0 + exp(-(b0*x0 + b1*x1 + b2*x2 + b3*x3)))) * 1000000.0) AS BIGINT) AS p,
+              |    CAST(y * 1000000.0 AS BIGINT) AS ym, y
+              |  FROM f, w$iters),
+              |g AS (SELECT LEAST(p // 100000, 9) AS bin, COUNT(*) AS n,
+              |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              |    SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+              |    SUM(CAST((p - ym) * (p - ym) AS DECIMAL(38,0))) AS se
+              |  FROM sc GROUP BY 1)
+              |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+              |  CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean_pred,
+              |  CAST(n_pos AS DOUBLE) / n AS frac_pos,
+              |  CAST(n_pos AS DOUBLE) / n - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS gap,
+              |  CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0) AS brier
+              |FROM g ORDER BY bin""".stripMargin)))
 }

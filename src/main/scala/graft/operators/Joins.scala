@@ -396,6 +396,42 @@ object Joins {
              |SELECT CAST(o_year AS INT) AS o_year, COUNT(*) AS n,
              |  CAST(SUM(cents) AS BIGINT) AS cents
              |FROM f JOIN dim ON o_year = d_year
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Null-aware anti join — the plan shape behind SQL's NOT IN
+    // (subquery) when the subquery column is NULLABLE: three-valued
+    // logic means one NULL in the build side annihilates the whole
+    // result, so a plain LeftAnti hash join is WRONG and Spark must
+    // plan the null-aware variant (BroadcastHashJoin LeftAnti with the
+    // NAAJ flag — it checks the build side for nulls at runtime). The
+    // q_join_anti entry covers the provably-non-null NOT EXISTS shape;
+    // this one pins that a nullable-typed key (the CASE below is
+    // always-true on the data, but the optimizer cannot prove it)
+    // still plans as ONE broadcast hash join, not the O(n·m)
+    // BroadcastNestedLoopJoin fallback — at 100 TB that is the
+    // difference between a scan and a quadratic disaster. PlanSpec
+    // pins the NAAJ flag and the absence of a nested-loop node.
+    QueryDef(
+      "q_join_null_aware",
+      (s, d) => {
+        val id = java.util.UUID.randomUUID().toString.replace("-", "")
+        Tables.orders(s, d).createOrReplaceTempView(s"orders_$id")
+        Tables.customer(s, d).createOrReplaceTempView(s"customer_$id")
+        s.sql(s"""
+          |SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+          |FROM orders_$id
+          |WHERE o_custkey NOT IN (
+          |  SELECT CASE WHEN c_acctbal > -999999 THEN c_custkey END
+          |  FROM customer_$id WHERE c_mktsegment = 'BUILDING')
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders
+             |WHERE o_custkey NOT IN (
+             |  SELECT CASE WHEN c_acctbal > -999999 THEN c_custkey END
+             |  FROM customer WHERE c_mktsegment = 'BUILDING')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

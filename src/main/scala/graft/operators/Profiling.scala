@@ -401,6 +401,54 @@ object Profiling {
              |  MIN(enc) AS enc_min, MAX(enc) AS enc_max,
              |  CAST(SUM(CASE WHEN enc > gmean THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_above_gmean
-             |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Weight-of-evidence encoding + information value of the document
+    // language against the long-form label (the q_quality_classifier
+    // target) — the scorecard-modeling companion to the LOO target
+    // encoder above: WOE_i = ln(P(lang_i | pos) / P(lang_i | neg))
+    // says which way a category shifts the odds; IV_i = (P(lang_i|pos)
+    // − P(lang_i|neg))·WOE_i rolls up its predictive power (Σ IV < 0.02
+    // means "drop the feature"). Determinism: counts are exact; the
+    // Laplace +0.5 smoothing (the standard zero-cell guard — a lang
+    // with no negatives would send WOE to ∞) makes both ln arguments
+    // strictly positive; the single ln lands on the 1e-6 grid via the
+    // q_dq_entropy round-then-BIGINT discipline, and the IV factors
+    // reuse the published micro values so both engines multiply
+    // identical doubles. One scan → |langs|-group agg; the totals row
+    // broadcasts back.
+    QueryDef(
+      "q_feature_woe",
+      (s, d) => {
+        val cls = Tables.documents(s, d)
+          .selectExpr("lang", "CASE WHEN n_chars >= 300 THEN 1L ELSE 0L END AS y")
+          .groupBy("lang")
+          .agg(sum(col("y")).as("pos"),
+            sum(lit(1L) - col("y")).as("neg"))
+          .localCheckpoint(true)
+        val tot = cls.agg(sum(col("pos")).cast("bigint").as("pt"),
+          sum(col("neg")).cast("bigint").as("nt"))
+        cls.crossJoin(broadcast(tot))
+          .selectExpr("lang", "pos", "neg",
+            "CAST(round(ln(((CAST(pos AS DOUBLE) + 0.5) / pt) / ((CAST(neg AS DOUBLE) + 0.5) / nt)) * 1000000.0) AS BIGINT) AS woe_micro",
+            "CAST(pos AS DOUBLE) / pt - CAST(neg AS DOUBLE) / nt AS dshare")
+          .selectExpr("lang", "pos", "neg", "woe_micro",
+            "dshare * (CAST(woe_micro AS BIGINT) / 1000000.0) AS iv")
+          .orderBy("lang")
+      },
+      Some("""WITH cls AS (
+             |  SELECT lang,
+             |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS pt,
+             |    CAST(SUM(neg) AS BIGINT) AS nt FROM cls),
+             |w AS (SELECT lang, pos, neg,
+             |    CAST(round(ln(((CAST(pos AS DOUBLE) + 0.5) / pt) / ((CAST(neg AS DOUBLE) + 0.5) / nt)) * 1000000.0) AS BIGINT) AS woe_micro,
+             |    CAST(pos AS DOUBLE) / pt - CAST(neg AS DOUBLE) / nt AS dshare
+             |  FROM cls, tot)
+             |SELECT lang, pos, neg, woe_micro,
+             |  dshare * (CAST(woe_micro AS BIGINT) / 1000000.0) AS iv
+             |FROM w ORDER BY lang""".stripMargin))
   )
 }

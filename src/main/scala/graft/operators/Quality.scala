@@ -348,6 +348,81 @@ object Quality {
              |  CAST(SUM(sz) AS DOUBLE) / MAX(n_rows_total) AS row_share
              |FROM cls, tot GROUP BY l ORDER BY l""".stripMargin)),
 
+    // t-closeness audit — the leak l-diversity misses for ORDERED
+    // sensitive attributes: a class can hold many distinct balance
+    // buckets yet still reveal "everyone here is rich" if its
+    // distribution sits far from the table's. Per quasi-identifier
+    // class (market segment), t = the Earth Mover's Distance between
+    // the class's balance-bucket distribution and the global one under
+    // the ordered-value ground metric: t = Σᵢ |F_class(i) − F_global(i)|
+    // / (m−1) over the m-bucket spine (Li et al.'s ordered-EMD form).
+    // Exactness: both CDFs stay integer — the summand is
+    // |cumc·tg − cumg·tc| in BIGINT (class-total × global-total units;
+    // ≤ n² ≈ 2e12 at sf10 — the 100 TB promotion is DECIMAL(38,0),
+    // same as q_mannwhitney) and the single division to double happens
+    // once per class. Scale shape: one rows→(class, bucket) count is
+    // the only full-data exchange; the dense spine cross-join, both
+    // cumulative windows, and the EMD fold all run over ≤ |classes|·m
+    // rows (the per-class window is bounded by the m-bucket spine, not
+    // by data volume).
+    QueryDef(
+      "q_tcloseness",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = Tables.customer(s, d)
+          .groupBy(col("c_mktsegment").as("seg"),
+            expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val spine = cnt.groupBy("b").agg(sum(col("cnt")).cast("bigint").as("gcnt"))
+        val segs = cnt.groupBy("seg").agg(sum(col("cnt")).cast("bigint").as("tc"))
+        val tot = spine.agg(sum(col("gcnt")).cast("bigint").as("tg"),
+          count(lit(1)).as("m"))
+        // global CDF over the m-row spine: bounded by construction
+        val g = spine.withColumn("cumg",
+          sum(col("gcnt")).over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+        val wc = Window.partitionBy("seg").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        segs.crossJoin(spine.select("b"))
+          .join(cnt, Seq("seg", "b"), "left")
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          .withColumn("cumc", sum(col("cnt")).over(wc).cast("bigint"))
+          .join(broadcast(g.select("b", "cumg")), "b")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("seg"), col("tc"), col("tg"), col("m"))
+          .agg(sum(abs(col("cumc") * col("tg") - col("cumg") * col("tc")))
+            .cast("bigint").as("s_abs"))
+          .selectExpr("seg", "tc AS n_rows", "CAST(m AS BIGINT) AS m",
+            "CAST(s_abs AS DOUBLE) / (CAST(tc AS DOUBLE) * tg * (m - 1)) AS t",
+            "CAST(s_abs AS DOUBLE) / (CAST(tc AS DOUBLE) * tg * (m - 1)) > 0.15 AS breach")
+          .orderBy("seg")
+      },
+      Some("""WITH cnt AS (
+             |  SELECT c_mktsegment AS seg,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b, COUNT(*) AS cnt
+             |  FROM customer GROUP BY 1, 2),
+             |spine AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cnt GROUP BY 1),
+             |segs AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS tc FROM cnt GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS tg,
+             |    CAST(COUNT(*) AS BIGINT) AS m FROM spine),
+             |g AS (SELECT b, CAST(SUM(gcnt) OVER (ORDER BY b) AS BIGINT) AS cumg
+             |  FROM spine),
+             |dense AS (SELECT s.seg, s.tc, p.b, COALESCE(c.cnt, 0) AS cnt
+             |  FROM segs s CROSS JOIN spine p
+             |  LEFT JOIN cnt c ON c.seg = s.seg AND c.b = p.b),
+             |cum AS (SELECT seg, tc, b,
+             |    CAST(SUM(cnt) OVER (PARTITION BY seg ORDER BY b) AS BIGINT) AS cumc
+             |  FROM dense),
+             |sc AS (SELECT seg, tc,
+             |    CAST(SUM(ABS(cumc * tg - cumg * tc)) AS BIGINT) AS s_abs
+             |  FROM cum JOIN g ON cum.b = g.b CROSS JOIN tot
+             |  GROUP BY seg, tc)
+             |SELECT seg, tc AS n_rows, m,
+             |  CAST(s_abs AS DOUBLE) / (CAST(tc AS DOUBLE) * tg * (m - 1)) AS t,
+             |  CAST(s_abs AS DOUBLE) / (CAST(tc AS DOUBLE) * tg * (m - 1)) > 0.15 AS breach
+             |FROM sc, tot ORDER BY seg""".stripMargin)),
+
     // Freshness/staleness audit over the event stream: per event type,
     // the newest record's lag behind the stream head (integer seconds
     // — epoch arithmetic, no engine-divergent date maths), plus volume

@@ -155,6 +155,75 @@ object StreamingTwins {
       Some("""SELECT c_mktsegment AS segment, event_type,
              |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
              |FROM events JOIN customer ON user_id = c_custkey
-             |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin)),
+
+    // Late-data accounting twin — what a 10-minute watermark WOULD have
+    // dropped: replaying the stream in ARRIVAL order, the high-water
+    // mark before each event is the running max event time over
+    // everything that arrived strictly earlier, and the event is
+    // late-dropped iff its own time is more than 600 s behind that
+    // mark (the `withWatermark("ts", "10 minutes")` rule, evaluated
+    // per-row instead of per-batch — the deterministic twin DuckDB can
+    // replay; the real stream's batch-boundary watermark drops a
+    // SUBSET of these, so this is the audit's upper bound). The
+    // fixture's event_id sequence is exactly ts-sorted (measured: zero
+    // disorder — an in-order stream drops nothing and proves nothing),
+    // so arrival = ts + a deterministic md5 delay < 30 min per event —
+    // the bounded out-of-order delivery model, replayed identically by
+    // both engines; ~3% of events arrive behind a >10-min-newer mark.
+    // Per tumbling 10-min EVENT-time window: total, late, on-time.
+    // Scale shape: the running max is the [[graft.operators
+    // .PrefixSums]] two-pass trick with max in place of sum — range-
+    // partition on arrival order, per-partition running max, ONE
+    // ≤32-row offset frame broadcast back; no unpartitioned window
+    // ever sees the full stream.
+    QueryDef(
+      "q_stream_late",
+      (s, d) => {
+        val jit = graft.functions.TextAnalysis
+          .tokHash("concat('arr:', CAST(event_id AS STRING))")
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), unix_timestamp(col("ts")).as("es"))
+          .selectExpr("event_id", "es", s"es + $jit % 1800 AS arr")
+        val g = ev.repartitionByRange(32, col("arr"), col("event_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint(true)
+        val wLocal = Window.partitionBy("pid").orderBy("arr", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // per-partition max frame: <= 32 rows, window bounded by construction
+        val wPrefix = Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = g.groupBy("pid").agg(max(col("es")).as("pmax"))
+          .withColumn("omax", max(col("pmax")).over(wPrefix))
+          .select("pid", "omax")
+        g.withColumn("lmax", max(col("es")).over(wLocal))
+          .join(broadcast(offs), "pid")
+          .withColumn("hwm", greatest(col("lmax"), col("omax")))
+          .withColumn("late",
+            when(col("hwm").isNull, 0L)
+              .otherwise((col("es") < col("hwm") - 600L).cast("long")))
+          .selectExpr("es DIV 600 * 600 AS ws", "late")
+          .groupBy("ws")
+          .agg(count(lit(1)).as("n"), sum(col("late")).as("n_late"),
+            (count(lit(1)) - sum(col("late"))).as("n_ontime"))
+          .orderBy("ws")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_id, epoch_us(ts) // 1000000 AS es,
+             |    epoch_us(ts) // 1000000 + ${graft.functions.TextAnalysis
+                    .duckTokHash("'arr:' || CAST(event_id AS VARCHAR)")} % 1800 AS arr
+             |  FROM events),
+             |m AS (SELECT es,
+             |    MAX(es) OVER (ORDER BY arr, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+             |  FROM ev),
+             |l AS (SELECT es,
+             |    CASE WHEN hwm IS NULL THEN 0
+             |         WHEN es < hwm - 600 THEN 1 ELSE 0 END AS late
+             |  FROM m)
+             |SELECT es // 600 * 600 AS ws, COUNT(*) AS n,
+             |  CAST(SUM(late) AS BIGINT) AS n_late,
+             |  CAST(COUNT(*) - SUM(late) AS BIGINT) AS n_ontime
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -473,6 +473,32 @@ class PlanSpec extends AnyFunSuite {
       s"fact rows shuffled before the probe:\n$p")
   }
 
+  test("q_join_null_aware: NOT IN plans as a null-aware broadcast hash join, not a nested loop") {
+    val p = plan("q_join_null_aware")
+    // the NAAJ flag is the trailing boolean of the BroadcastHashJoin
+    // argString: "..., LeftAnti, BuildRight, true"
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"expected a null-aware LeftAnti broadcast hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN fell back to the quadratic nested loop:\n$p")
+  }
+
+  test("q_stream_late: the running watermark max is partition-local, never a full-stream window") {
+    val p = plan("q_stream_late")
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"expected window nodes in:\n$p")
+    // the per-row running max (ordered by event_id) must be partitioned
+    // by pid — an unpartitioned one serializes the stream in one task;
+    // the only window allowed without a partition key is the <=32-row
+    // offset frame ordered by pid itself
+    winSpecs.foreach { s =>
+      if (s.contains("event_id#"))
+        assert(s.trim.startsWith("pid#"),
+          s"full-stream window not partitioned by pid: $s\n$p")
+    }
+  }
+
   test("q_join_dpp: the fact scan carries a dynamic partition pruning filter") {
     val p = plan("q_join_dpp")
     assert(p.contains("dynamicpruning"),

@@ -644,6 +644,118 @@ class WaveInvariantSpec extends AnyFunSuite {
     assert(rows.map(r => r.getAs[Int]("o_year") -> r.getAs[Long]("n")).toMap === expect)
   }
 
+  test("calibration deciles conserve the corpus and respect bin bounds") {
+    val rows = SparkEntry.queries("q_calibration")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nDocs)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val mp = r.getAs[Double]("mean_pred")
+      val fp = r.getAs[Double]("frac_pos")
+      assert(bin >= 0 && bin <= 9)
+      // bin 9 absorbs p = 1.0 exactly, so its upper bound is closed
+      assert(mp >= bin * 0.1 - 1e-9 && mp <= (bin + 1) * 0.1 + 1e-9,
+        s"mean_pred $mp escapes decile $bin")
+      assert(fp >= 0.0 && fp <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - (fp - mp)) < 1e-12)
+      assert(r.getAs[Double]("brier") >= 0.0)
+    }
+  }
+
+  test("woe encoding matches a driver-side recompute from raw counts") {
+    val rows = SparkEntry.queries("q_feature_woe")(spark, sf).collect()
+    val counts = Tables.documents(spark, sf)
+      .selectExpr("lang", "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val pt = counts.count(_._2 == 1).toDouble
+    val nt = counts.count(_._2 == 0).toDouble
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val p = counts.count(c => c._1 == lang && c._2 == 1)
+      val q = counts.count(c => c._1 == lang && c._2 == 0)
+      assert(r.getAs[Long]("pos") === p && r.getAs[Long]("neg") === q)
+      val woe = math.log(((p + 0.5) / pt) / ((q + 0.5) / nt))
+      // Spark's ln and the JVM's may differ by an ulp before the grid
+      // snap, so allow the adjacent micro cell
+      assert(math.abs(r.getAs[Long]("woe_micro") - math.round(woe * 1e6)) <= 1,
+        s"$lang woe ${r.getAs[Long]("woe_micro")} vs recompute ${woe * 1e6}")
+      // IV contribution shares the sign structure of (share diff) × WOE
+      val dshare = p / pt - q / nt
+      assert(r.getAs[Double]("iv") * (dshare * woe) >= -1e-12,
+        s"$lang iv sign diverges from recompute")
+    }
+  }
+
+  test("t-closeness matches an exact BigInt EMD recompute per segment") {
+    val rows = SparkEntry.queries("q_tcloseness")(spark, sf).collect()
+    val data = Tables.customer(spark, sf)
+      .selectExpr("c_mktsegment", "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val spine = data.map(_._2).distinct.sorted
+    val m = spine.length
+    val tg = data.length.toLong
+    val gCum = spine.map(b => data.count(_._2 <= b).toLong)
+    data.map(_._1).distinct.sorted.zip(rows).foreach { case (seg, r) =>
+      assert(r.getAs[String]("seg") === seg)
+      val segRows = data.filter(_._1 == seg)
+      val tc = segRows.length.toLong
+      val cCum = spine.map(b => segRows.count(_._2 <= b).toLong)
+      val sAbs = spine.indices.map(i =>
+        (BigInt(cCum(i)) * tg - BigInt(gCum(i)) * tc).abs).sum
+      val t = sAbs.toDouble / (tc.toDouble * tg * (m - 1))
+      assert(r.getAs[Long]("n_rows") === tc)
+      assert(r.getAs[Long]("m") === m)
+      assert(math.abs(r.getAs[Double]("t") - t) < 1e-12,
+        s"$seg t ${r.getAs[Double]("t")} vs recompute $t")
+      assert(r.getAs[Boolean]("breach") === (t > 0.15))
+    }
+  }
+
+  test("null-aware anti join equals the set-difference recompute") {
+    val rows = SparkEntry.queries("q_join_null_aware")(spark, sf).collect()
+    val building = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val expect = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderpriority").collect()
+      .filterNot(r => building(r.getLong(0)))
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r =>
+      r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n")).toMap === expect)
+  }
+
+  test("late-data accounting matches a sequential replay of the arrival order") {
+    val rows = SparkEntry.queries("q_stream_late")(spark, sf).collect()
+    // the query's arrival model: es + md5("arr:<id>") % 1800
+    def delay(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arr:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 1800
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, es) => (es + delay(id), id) }
+    var hwm = Long.MinValue
+    val flags = ev.map { case (_, es) =>
+      val late = hwm != Long.MinValue && es < hwm - 600L
+      hwm = math.max(hwm, es)
+      (es / 600 * 600, if (late) 1L else 0L)
+    }
+    val expect = flags.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(rows.map(_.getAs[Long]("n")).sum === ev.length)
+    rows.foreach { r =>
+      val (n, late) = expect(r.getAs[Long]("ws"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("n_late") === late, s"window ${r.getAs[Long]("ws")}")
+      assert(r.getAs[Long]("n_ontime") === n - late)
+    }
+    // the fixture must actually exercise both classes
+    assert(flags.map(_._2).sum > 0, "no late events — vacuous")
+    assert(flags.map(_._2).sum < ev.length, "all late — vacuous")
+  }
+
   test("skew audit: shares and ratios are consistent with a driver recount") {
     val rows = SparkEntry.queries("q_skew_audit")(spark, sf).collect()
     val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
