@@ -379,7 +379,12 @@ object Bench {
     "q_feature_woe",
     "q_tcloseness",
     "q_join_null_aware",
-    "q_stream_late")
+    "q_stream_late",
+    // round 11, eighteenth wave: modularity of the LPA communities
+    // (exact BIGINT numerator), existence join (IN under OR — one hash
+    // probe, never a re-executed subquery)
+    "q_graph_modularity",
+    "q_join_existence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -841,6 +841,79 @@ object Clustering {
            |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
       }),
 
+    // Newman modularity of the label-propagation communities — the
+    // number that says whether q_graph_labelprop's partition actually
+    // FOUND structure (Q near 0 = no better than random wiring; the
+    // optimizer family — Louvain/Leiden — exists to maximize exactly
+    // this). Q = Σ_c [e_c/m − (d_c/2m)²] over communities c, with e_c
+    // the intra-community edge count, d_c the community degree sum, m
+    // the edge count. Exactness: the whole sum stays one BIGINT —
+    // Q = Σ_c (4·m·e_c − d_c²) / (4m²), every term ≤ 4m² ≈ 4e12 at
+    // sf10 (the 100 TB promotion is DECIMAL(38,0)); ONE division at
+    // the end. Scale shape: two keyed label joins on the memoized pair
+    // relation + two keyed aggs; the per-community frame (≤ |labels|
+    // rows) is the only thing that reaches the final fold.
+    QueryDef(
+      "q_graph_modularity",
+      (s, d) => {
+        val lbl = labelProp(s, d) // (v, lbl)
+        val e = Dedup.minhashPairs(s, d).select("a", "b")
+        val mm = e.agg(count(lit(1)).as("m"))
+        val withLbl = e
+          .join(lbl.selectExpr("v AS a", "lbl AS la").hint("shuffle_hash"), "a")
+          .join(lbl.selectExpr("v AS b", "lbl AS lb").hint("shuffle_hash"), "b")
+        val intra = withLbl.filter(col("la") === col("lb"))
+          .groupBy(col("la").as("c")).agg(count(lit(1)).as("ec"))
+        val dsum = e.selectExpr("a AS v").unionAll(e.selectExpr("b AS v"))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+          .join(lbl, "v")
+          .groupBy(col("lbl").as("c")).agg(sum(col("deg")).cast("bigint").as("dc"))
+        dsum.join(intra, Seq("c"), "left")
+          .withColumn("ec", coalesce(col("ec"), lit(0L)))
+          .crossJoin(broadcast(mm))
+          .agg(count(lit(1)).as("n_communities"),
+            max(col("m")).as("n_edges"),
+            sum(lit(4L) * col("m") * col("ec") - col("dc") * col("dc"))
+              .cast("bigint").as("q_num"))
+          .selectExpr("n_communities", "n_edges", "q_num",
+            "CAST(q_num AS DOUBLE) / (4.0 * n_edges * n_edges) AS modularity")
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"l${i - 1}"
+          s"""v$i AS (SELECT v, lbl, COUNT(*) AS n FROM (
+             |  SELECT e.a AS v, l.lbl FROM e JOIN $prev l ON l.v = e.b
+             |  UNION ALL SELECT e.b, l.lbl FROM e JOIN $prev l ON l.v = e.a
+             |  UNION ALL SELECT v, lbl FROM $prev) GROUP BY v, lbl),
+             |l$i AS (SELECT v, lbl FROM (
+             |  SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+             |    ORDER BY n DESC, lbl) AS rk FROM v$i) WHERE rk = 1)""".stripMargin
+        }
+        s"""WITH ${Dedup.duckVerifiedPairsCtes},
+           |e AS (SELECT a, b FROM verified),
+           |n0 AS (SELECT DISTINCT v FROM (
+           |  SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+           |l0 AS (SELECT v, v AS lbl FROM n0),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |mm AS (SELECT COUNT(*) AS m FROM e),
+           |intra AS (SELECT la.lbl AS c, COUNT(*) AS ec
+           |  FROM e JOIN l3 la ON la.v = e.a JOIN l3 lb ON lb.v = e.b
+           |  WHERE la.lbl = lb.lbl GROUP BY 1),
+           |deg AS (SELECT v, COUNT(*) AS deg FROM (
+           |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+           |dsum AS (SELECT l3.lbl AS c, CAST(SUM(deg) AS BIGINT) AS dc
+           |  FROM deg JOIN l3 ON l3.v = deg.v GROUP BY 1),
+           |per AS (SELECT dsum.c, COALESCE(ec, 0) AS ec, dc
+           |  FROM dsum LEFT JOIN intra ON intra.c = dsum.c),
+           |agg AS (SELECT COUNT(*) AS n_communities,
+           |    CAST(MAX(m) AS BIGINT) AS n_edges,
+           |    CAST(SUM(4 * m * ec - dc * dc) AS BIGINT) AS q_num
+           |  FROM per, mm)
+           |SELECT n_communities, n_edges, q_num,
+           |  CAST(q_num AS DOUBLE) / (4.0 * n_edges * n_edges) AS modularity
+           |FROM agg""".stripMargin
+      }),
+
     // Triangle count over the near-dup graph — the clustering-coefficient
     // numerator (how clique-like the duplication neighborhoods are; for
     // exact-copy groups the verified-pair graph is a clique, so the

@@ -432,6 +432,38 @@ object Joins {
              |WHERE o_custkey NOT IN (
              |  SELECT CASE WHEN c_acctbal > -999999 THEN c_custkey END
              |  FROM customer WHERE c_mktsegment = 'BUILDING')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Existence join — the third subquery plan shape after semi
+    // (q_join_semi) and null-aware anti (above): an IN-subquery that
+    // CANNOT become a semi join because it sits under an OR (a semi
+    // join drops the non-matching rows, but here they may still
+    // qualify via the other disjunct). Spark materializes the
+    // membership test as a boolean `exists` column (ExistenceJoin) and
+    // filters on the disjunction afterwards — still ONE hash join
+    // probe per row, never a per-row subquery re-execution or a
+    // nested loop. PlanSpec pins the ExistenceJoin node.
+    QueryDef(
+      "q_join_existence",
+      (s, d) => {
+        val id = java.util.UUID.randomUUID().toString.replace("-", "")
+        Tables.orders(s, d).createOrReplaceTempView(s"orders_$id")
+        Tables.customer(s, d).createOrReplaceTempView(s"customer_$id")
+        s.sql(s"""
+          |SELECT o_orderpriority, COUNT(*) AS n,
+          |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+          |FROM orders_$id
+          |WHERE o_custkey IN (
+          |    SELECT c_custkey FROM customer_$id WHERE c_mktsegment = 'BUILDING')
+          |  OR o_totalprice > 400000.0
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders
+             |WHERE o_custkey IN (
+             |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             |  OR o_totalprice > 400000.0
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -499,6 +499,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_existence: IN under OR plans as an ExistenceJoin hash probe") {
+    val p = plan("q_join_existence")
+    assert(p.contains("ExistenceJoin(exists#"),
+      s"expected an ExistenceJoin membership column:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"IN-under-OR fell back to the nested loop:\n$p")
+  }
+
   test("q_join_dpp: the fact scan carries a dynamic partition pruning filter") {
     val p = plan("q_join_dpp")
     assert(p.contains("dynamicpruning"),

@@ -756,6 +756,50 @@ class WaveInvariantSpec extends AnyFunSuite {
     assert(flags.map(_._2).sum < ev.length, "all late — vacuous")
   }
 
+  test("modularity matches an exact recompute from the edge list and LPA labels") {
+    val row = SparkEntry.queries("q_graph_modularity")(spark, sf).head()
+    val e = operators.Dedup.minhashPairs(spark, sf).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lbl = operators.Clustering.labelProp(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val m = e.length.toLong
+    val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity).view
+      .mapValues(_.length.toLong)
+    val ec = e.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy(p => lbl(p._1)).view.mapValues(_.length.toLong)
+    val dc = deg.toSeq.groupBy(p => lbl(p._1)).view
+      .mapValues(_.map(_._2).sum)
+    val qNum = dc.keys.toSeq.map { c =>
+      val ecc: Long = ec.getOrElse(c, 0L)
+      BigInt(4) * BigInt(m) * BigInt(ecc) - BigInt(dc(c)) * BigInt(dc(c))
+    }.foldLeft(BigInt(0))(_ + _)
+    assert(row.getAs[Long]("n_edges") === m)
+    assert(row.getAs[Long]("n_communities") === dc.size)
+    assert(row.getAs[Long]("q_num") === qNum.toLong)
+    val q = qNum.toDouble / (4.0 * m * m)
+    assert(math.abs(row.getAs[Double]("modularity") - q) < 1e-12)
+    // a community structure the LPA genuinely found, not degenerate
+    assert(row.getAs[Double]("modularity") > 0.0, "Q <= 0 — no structure found")
+  }
+
+  test("existence join equals the disjunction recompute") {
+    val rows = SparkEntry.queries("q_join_existence")(spark, sf).collect()
+    val building = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val expect = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "o_orderpriority", "o_totalprice").collect()
+      .filter(r => building(r.getLong(0)) || r.getDouble(2) > 400000.0)
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r =>
+      r.getAs[String]("o_orderpriority") -> r.getAs[Long]("n")).toMap === expect)
+    // both disjuncts must fire for the plan shape to be non-vacuous
+    val viaPrice = Tables.orders(spark, sf)
+      .filter(!col("o_custkey").isin(building.toSeq: _*) &&
+        col("o_totalprice") > 400000.0).count()
+    assert(viaPrice > 0, "price disjunct never fires — vacuous")
+  }
+
   test("skew audit: shares and ratios are consistent with a driver recount") {
     val rows = SparkEntry.queries("q_skew_audit")(spark, sf).collect()
     val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
