@@ -384,7 +384,12 @@ object Bench {
     // (exact BIGINT numerator), existence join (IN under OR — one hash
     // probe, never a re-executed subquery)
     "q_graph_modularity",
-    "q_join_existence")
+    "q_join_existence",
+    // round 11, nineteenth wave: NDCG@10 over the memoized BM25 frame,
+    // bounded-frame rolling median, parquet mergeSchema evolution scan
+    "q_rank_ndcg",
+    "q_ts_rolling_median",
+    "q_scan_merge_schema")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -258,6 +258,63 @@ object Ranking {
              |  round(CAST(round(ln(CAST(n_docs AS DOUBLE) * c_ab / (CAST(x.c AS DOUBLE) * y.c)) * 1e6) AS BIGINT) / 1e6, 6) AS pmi
              |FROM pairs JOIN ca x ON x.tok = t1 JOIN ca y ON y.tok = t2
              |CROSS JOIN n
-             |ORDER BY c_ab DESC, t1, t2 LIMIT 30""".stripMargin))
+             |ORDER BY c_ab DESC, t1, t2 LIMIT 30""".stripMargin)),
+
+    // NDCG@10 of the BM25 ranking — the eval metric that closes the IR
+    // loop (q_bm25 retrieves, q_rrf_fusion combines, this grades):
+    // graded relevance = how many distinct query terms the document
+    // contains (0–3, computable by both engines without judgments),
+    // DCG = Σ rel_i·disc_i over the retrieved top-10, IDCG the same
+    // sum over the best POSSIBLE 10 by relevance, NDCG their ratio.
+    // Exactness: the only transcendental is the rank discount
+    // 1/log₂(i+1) for the ten fixed i, micro-quantized
+    // (round(1e6/log2(i+1)) — the same grid discipline as every ln in
+    // this codebase), so both DCG sums are exact BIGINTs and NDCG is
+    // ONE division. Plan discipline: both 10-row lists come from
+    // TakeOrderedAndProject cuts (the memoized BM25 frame; the
+    // relevance scan) — the rank windows then cover 10 rows each,
+    // bounded by construction.
+    QueryDef(
+      "q_rank_ndcg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rel = Tables.documents(s, d).selectExpr("doc_id",
+          s"CAST(size(array_intersect(array_distinct(split(text, ' ')), array($termsSql))) AS BIGINT) AS rel")
+        val discExpr = "CAST(round(1000000.0 / log2(rank + 1.0)) AS BIGINT)"
+        val got = bm25Scored(s, d)
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .join(rel, "doc_id")
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .selectExpr(s"rel * $discExpr AS g")
+          .agg(sum(col("g")).cast("bigint").as("dcg_micro"))
+        val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rel").desc, col("doc_id"))))
+          .selectExpr(s"rel * $discExpr AS g")
+          .agg(sum(col("g")).cast("bigint").as("idcg_micro"))
+        got.crossJoin(ideal)
+          .selectExpr("dcg_micro", "idcg_micro",
+            "CAST(dcg_micro AS DOUBLE) / idcg_micro AS ndcg")
+      },
+      Some(s"""WITH $duckBm25Ctes,
+              |rel AS (SELECT doc_id,
+              |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+              |      [$termsSql])) AS BIGINT) AS rel
+              |  FROM documents),
+              |got AS (SELECT rel,
+              |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+              |  FROM (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 10)
+              |  JOIN rel USING (doc_id)),
+              |dcg AS (SELECT CAST(SUM(rel * CAST(round(1000000.0 / log2(rank + 1.0)) AS BIGINT)) AS BIGINT) AS dcg_micro
+              |  FROM got),
+              |ideal AS (SELECT rel,
+              |    ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank
+              |  FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT 10)),
+              |idcg AS (SELECT CAST(SUM(rel * CAST(round(1000000.0 / log2(rank + 1.0)) AS BIGINT)) AS BIGINT) AS idcg_micro
+              |  FROM ideal)
+              |SELECT dcg_micro, idcg_micro,
+              |  CAST(dcg_micro AS DOUBLE) / idcg_micro AS ndcg
+              |FROM dcg, idcg""".stripMargin))
   )
 }

@@ -663,6 +663,40 @@ object TimeSeries {
              |  CAST(SUM(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
              |  CAST(COALESCE(MAX(CASE WHEN gap > 3600 THEN gap END), 0) AS BIGINT)
              |    AS max_gap_s
-             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Rolling MEDIAN over the trailing 5 observations per user — the
+    // robust twin of q_win_rolling's moving mean: one wild sensor
+    // reading drags a mean for 5 windows but moves the median not at
+    // all (the standard robust-smoothing pre-pass before anomaly
+    // scoring). Median = LOWER median (element (n−1) DIV 2, 0-based,
+    // of the sorted frame) so even-sized head-of-series frames pick an
+    // ACTUAL observation identically in both engines — no averaging of
+    // middles, no float. Values are cents-quantized once
+    // (round(value·100), bit-identical per engine). Scale shape: the
+    // window is partitioned by user and the frame is 5 rows, so the
+    // per-row sort cost is constant and state never exceeds the frame
+    // — the same bounded-frame contract as q_win_rolling.
+    QueryDef(
+      "q_ts_rolling_median",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, 0)
+        Tables.events(s, d)
+          .selectExpr("event_id", "user_id", "ts",
+            "CAST(round(value * 100) AS BIGINT) AS cents")
+          .withColumn("lst", collect_list(col("cents")).over(w))
+          .selectExpr("event_id",
+            "element_at(array_sort(lst), CAST((size(lst) - 1) DIV 2 AS INT) + 1) AS med_cents")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, l[(len(l) - 1) // 2 + 1] AS med_cents FROM (
+             |  SELECT event_id,
+             |    list_sort(list(CAST(round(value * 100) AS BIGINT))
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l
+             |  FROM events)
+             |ORDER BY event_id""".stripMargin))
   )
 }

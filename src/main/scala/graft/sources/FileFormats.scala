@@ -239,6 +239,45 @@ object FileFormats {
              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
              |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Parquet schema evolution — the lakehouse reality every long-lived
+    // table hits: old files were written before a column existed, new
+    // files carry it, and ONE read must span both vintages. Two
+    // vintages are written here (≤1995 orders without o_year; later
+    // orders with it), read back through `mergeSchema` — Spark unions
+    // the footers into the superset schema and fills the missing
+    // column with NULL for legacy files (no rewrite of old data, the
+    // whole point at 100 TB). The aggregate then proves the NULL
+    // semantics: legacy rows land in the `-1` bucket via coalesce, new
+    // rows group by their real year, and totals conserve the source
+    // table. Money stays exact DECIMAL cents.
+    QueryDef(
+      "q_scan_merge_schema",
+      (s, d) => {
+        val dir = sliceDir(d, "evolved")
+        val base = Tables.orders(s, d).selectExpr("o_orderkey",
+          "CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents",
+          "year(o_orderdate) AS yr")
+        base.filter(col("yr") <= 1995).select("o_orderkey", "cents")
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        base.filter(col("yr") > 1995)
+          .selectExpr("o_orderkey", "cents", "yr AS o_year")
+          .write.mode("overwrite").parquet(s"$dir/v2")
+        s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+          .groupBy(coalesce(col("o_year"), lit(-1)).as("o_year"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .selectExpr("CAST(o_year AS INT) AS o_year", "n",
+            "CAST(cents AS BIGINT) AS cents")
+          .orderBy("o_year")
+      },
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN year(o_orderdate) <= 1995 THEN -1
+             |              ELSE year(o_orderdate) END AS o_year,
+             |    CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT CAST(o_year AS INT) AS o_year, COUNT(*) AS n,
+             |  CAST(SUM(cents) AS BIGINT) AS cents
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

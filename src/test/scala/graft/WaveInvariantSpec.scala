@@ -800,6 +800,58 @@ class WaveInvariantSpec extends AnyFunSuite {
     assert(viaPrice > 0, "price disjunct never fires — vacuous")
   }
 
+  test("ndcg@10 matches a full driver-side recompute of both DCG sums") {
+    val row = SparkEntry.queries("q_rank_ndcg")(spark, sf).head()
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val terms = Set("hash", "join", "stream")
+    val rel = docs.map { case (id, t) =>
+      id -> t.split(" ").distinct.count(terms).toLong
+    }.toMap
+    def disc(i: Int): Long = math.round(1e6 / (math.log(i + 1.0) / math.log(2.0)))
+    val got = functions.Ranking.bm25Scored(spark, sf)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select("doc_id").collect().map(_.getLong(0))
+    val dcg = got.zipWithIndex.map { case (id, i) => rel(id) * disc(i + 1) }.sum
+    val idcg = rel.values.toSeq.sortBy(-_).take(10).zipWithIndex
+      .map { case (r, i) => r * disc(i + 1) }.sum
+    assert(row.getAs[Long]("dcg_micro") === dcg)
+    assert(row.getAs[Long]("idcg_micro") === idcg)
+    assert(row.getAs[Double]("ndcg") > 0.0 && row.getAs[Double]("ndcg") <= 1.0)
+    assert(dcg <= idcg, "retrieved DCG exceeds the ideal — metric broken")
+  }
+
+  test("rolling median is always a member of its own trailing window") {
+    val med = SparkEntry.queries("q_ts_rolling_median")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "unix_timestamp(ts) AS es",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        val expect = frame((frame.length - 1) / 2)
+        assert(med(ordered(i)._1) === expect,
+          s"event ${ordered(i)._1}: ${med(ordered(i)._1)} vs $expect")
+      }
+    }
+  }
+
+  test("merge-schema scan conserves the orders table across both vintages") {
+    val rows = SparkEntry.queries("q_scan_merge_schema")(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("year(o_orderdate) AS yr").collect().map(_.getInt(0))
+    assert(rows.map(_.getAs[Long]("n")).sum === orders.length)
+    val legacy = rows.find(_.getAs[Int]("o_year") == -1).get
+    assert(legacy.getAs[Long]("n") === orders.count(_ <= 1995))
+    rows.filter(_.getAs[Int]("o_year") != -1).foreach { r =>
+      assert(r.getAs[Int]("o_year") > 1995)
+      assert(r.getAs[Long]("n") === orders.count(_ == r.getAs[Int]("o_year")))
+    }
+  }
+
   test("skew audit: shares and ratios are consistent with a driver recount") {
     val rows = SparkEntry.queries("q_skew_audit")(spark, sf).collect()
     val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
