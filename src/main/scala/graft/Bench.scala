@@ -389,7 +389,9 @@ object Bench {
     // bounded-frame rolling median, parquet mergeSchema evolution scan
     "q_rank_ndcg",
     "q_ts_rolling_median",
-    "q_scan_merge_schema")
+    "q_scan_merge_schema",
+    // round 11, twentieth wave: PSI drift monitor between time slices
+    "q_profile_psi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -449,6 +449,55 @@ object Profiling {
              |  FROM cls, tot)
              |SELECT lang, pos, neg, woe_micro,
              |  dshare * (CAST(woe_micro AS BIGINT) / 1000000.0) AS iv
-             |FROM w ORDER BY lang""".stripMargin))
+             |FROM w ORDER BY lang""".stripMargin)),
+
+    // Population Stability Index — the drift monitor run between a
+    // reference window and a current one before trusting any model
+    // trained on the former: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    // value buckets b (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25
+    // retrain). Slices: orders ≤ 1995 (reference) vs > 1995 (current),
+    // bucketed by fixed 25k price bands — fixed bands, not quantiles,
+    // so the bucket map is a stateless per-row expression in both
+    // engines. Laplace +0.5 per (bucket, slice) keeps empty cells
+    // finite (the WOE discipline); the ln lands on the 1e-6 grid, the
+    // share difference is a double from exact integer counts, and each
+    // bucket's PSI term multiplies the two published values — both
+    // engines multiply identical doubles. One scan → |buckets|×2 agg;
+    // the totals broadcast back.
+    QueryDef(
+      "q_profile_psi",
+      (s, d) => {
+        val cells = Tables.orders(s, d)
+          .selectExpr(
+            "CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS b",
+            "CASE WHEN year(o_orderdate) <= 1995 THEN 1L ELSE 0L END AS ref")
+          .groupBy("b")
+          .agg(sum(col("ref")).as("n_ref"),
+            sum(lit(1L) - col("ref")).as("n_cur"))
+          .localCheckpoint(true)
+        val tot = cells.agg(sum(col("n_ref")).cast("bigint").as("t_ref"),
+          sum(col("n_cur")).cast("bigint").as("t_cur"))
+        cells.crossJoin(broadcast(tot))
+          .selectExpr("b", "n_ref", "n_cur",
+            "CAST(round(ln(((CAST(n_ref AS DOUBLE) + 0.5) / t_ref) / ((CAST(n_cur AS DOUBLE) + 0.5) / t_cur)) * 1000000.0) AS BIGINT) AS lr_micro",
+            "CAST(n_ref AS DOUBLE) / t_ref - CAST(n_cur AS DOUBLE) / t_cur AS dshare")
+          .selectExpr("b", "n_ref", "n_cur", "lr_micro",
+            "dshare * (CAST(lr_micro AS BIGINT) / 1000000.0) AS psi_term")
+          .orderBy("b")
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS b,
+             |    CAST(SUM(CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             |    CAST(SUM(CASE WHEN year(o_orderdate) <= 1995 THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+             |  FROM orders GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             |    CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM cells),
+             |w AS (SELECT b, n_ref, n_cur,
+             |    CAST(round(ln(((CAST(n_ref AS DOUBLE) + 0.5) / t_ref) / ((CAST(n_cur AS DOUBLE) + 0.5) / t_cur)) * 1000000.0) AS BIGINT) AS lr_micro,
+             |    CAST(n_ref AS DOUBLE) / t_ref - CAST(n_cur AS DOUBLE) / t_cur AS dshare
+             |  FROM cells, tot)
+             |SELECT b, n_ref, n_cur, lr_micro,
+             |  dshare * (CAST(lr_micro AS BIGINT) / 1000000.0) AS psi_term
+             |FROM w ORDER BY b""".stripMargin))
   )
 }

@@ -852,6 +852,29 @@ class WaveInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("psi terms conserve both slices and match a driver recompute") {
+    val rows = SparkEntry.queries("q_profile_psi")(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS b",
+        "year(o_orderdate) <= 1995 AS ref")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val tRef = orders.count(_._2).toDouble
+    val tCur = orders.count(!_._2).toDouble
+    assert(rows.map(_.getAs[Long]("n_ref")).sum === tRef.toLong)
+    assert(rows.map(_.getAs[Long]("n_cur")).sum === tCur.toLong)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("b")
+      val nRef = orders.count(o => o._1 == b && o._2).toLong
+      val nCur = orders.count(o => o._1 == b && !o._2).toLong
+      assert(r.getAs[Long]("n_ref") === nRef && r.getAs[Long]("n_cur") === nCur)
+      val lr = math.log(((nRef + 0.5) / tRef) / ((nCur + 0.5) / tCur))
+      assert(math.abs(r.getAs[Long]("lr_micro") - math.round(lr * 1e6)) <= 1)
+      // every PSI term is >= 0 up to smoothing noise at the micro grid
+      assert(r.getAs[Double]("psi_term") >= -1e-6,
+        s"bucket $b psi_term ${r.getAs[Double]("psi_term")} < 0")
+    }
+  }
+
   test("skew audit: shares and ratios are consistent with a driver recount") {
     val rows = SparkEntry.queries("q_skew_audit")(spark, sf).collect()
     val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
