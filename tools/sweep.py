@@ -56,7 +56,9 @@ def run_bench(sf_dir, only=None):
     if not line:
         sys.exit(f"bench produced no JSON for {sf_dir} (only={only}):\n"
                  f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
-    d = json.loads(line[-1])
+    # Bench prints the full per-query line first and a compact tail-safe
+    # summary (slowest-40) last — take the longest line = the full one.
+    d = json.loads(max(line, key=len))
     if d.get("errors"):
         sys.exit(f"bench errors at {sf_dir}: {d['errors']}")
     return d["queries"]
