@@ -391,7 +391,16 @@ object Bench {
     "q_ts_rolling_median",
     "q_scan_merge_schema",
     // round 11, twentieth wave: PSI drift monitor between time slices
-    "q_profile_psi")
+    "q_profile_psi",
+    // round 12, first wave: mergeable HLL sketches (per-day build +
+    // stored-sketch union rollup), Holt level+trend smoothing (keyed
+    // fold, 2-BIGINT state), Mahalanobis outliers (one exact moment agg
+    // + stateless scan + TakeOrdered 20), mix-shift decomposition (one
+    // broadcast dim join + one (segment, period) agg)
+    "q_agg_hll_merge",
+    "q_ts_holt",
+    "q_stat_mahalanobis",
+    "q_mix_decompose")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

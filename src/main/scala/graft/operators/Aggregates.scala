@@ -1030,6 +1030,54 @@ object Aggregates {
              |SELECT bm.event_type, n_distinct_bitmap, n_distinct_exact, n_words,
              |  CAST(n_distinct_bitmap = n_distinct_exact AS INT) AS matches
              |FROM bm JOIN ex ON ex.event_type = bm.event_type
-             |ORDER BY bm.event_type""".stripMargin))
+             |ORDER BY bm.event_type""".stripMargin)),
+
+    // MERGEABLE distinct sketches — the incremental form of
+    // q_agg_hll. At 100 TB nobody re-scans history for a distinct
+    // count: each day materializes its own HLL sketch (datasketches
+    // `hll_sketch_agg`, a few KB), and any rollup — month, year, ad-hoc
+    // slice — is a `hll_union_agg` over the STORED sketches, never a
+    // re-aggregation of the raw rows. The checkable cross-engine claims
+    // follow the q_agg_hll/q_agg_approxpct contract (sketch internals
+    // are not hash-stable): per-slice exact counts from DuckDB, plus
+    // booleans pinning (a) each sketch's 5% accuracy and (b) the merge
+    // invariance — the union of the daily sketches estimating within
+    // 2% of the one-shot global sketch (datasketches unions through a
+    // common coupon space, so the two agree tightly; exact equality is
+    // not contractual across target-type promotions). A wrong sketch,
+    // a wrong union, or a broken estimate flips a boolean and fails
+    // the driver hash.
+    QueryDef(
+      "q_agg_hll_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val daily = ev.groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            countDistinct(col("user_id")).as("n_exact"))
+          .localCheckpoint(true)
+        val dayRows = daily.selectExpr(
+          "CAST(day AS STRING) AS slice", "n_exact",
+          "abs(hll_sketch_estimate(sk) - n_exact) <= CAST(n_exact AS DOUBLE) * 0.05 AS est_within_5pct",
+          "TRUE AS merge_matches_global")
+        val merged = daily
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("m"))
+        val global = ev
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("g"),
+            countDistinct(col("user_id")).as("n_exact"))
+        val allRow = global.crossJoin(broadcast(merged)).selectExpr(
+          "'ALL' AS slice", "n_exact",
+          "abs(m - n_exact) <= CAST(n_exact AS DOUBLE) * 0.05 AS est_within_5pct",
+          "abs(m - g) <= greatest(CAST(g AS DOUBLE) * 0.02, 1.0) AS merge_matches_global")
+        dayRows.unionAll(allRow).orderBy("slice")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events GROUP BY 1)
+             |SELECT CAST(day AS VARCHAR) AS slice, n AS n_exact,
+             |  TRUE AS est_within_5pct, TRUE AS merge_matches_global FROM daily
+             |UNION ALL
+             |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE, TRUE FROM events
+             |ORDER BY slice""".stripMargin))
   )
 }

@@ -1792,7 +1792,74 @@ object Analytics {
              |SELECT from_type, pred_type, CAST(n_hit AS BIGINT) AS n_hit,
              |  n_total, CAST(n_hit AS DOUBLE) / n_total AS hit_rate
              |FROM p JOIN t USING (from_type) WHERE rn = 1
-             |ORDER BY from_type""".stripMargin))
+             |ORDER BY from_type""".stripMargin)),
+
+    // Mix-shift decomposition — "did the average move because segments
+    // changed, or because the customer mix changed?" The Oaxaca-style
+    // split every metrics review reaches for when a topline shifts:
+    // Δavg = Σ_g share_cur·(rate_cur − rate_ref)   (rate effect)
+    //      + Σ_g (share_cur − share_ref)·rate_ref  (mix effect).
+    // Rates and shares are micro-quantized BIGINTs (exact decimal sums
+    // → one round() each), so every effect term is an EXACT integer
+    // product (≤1e6·1e12 < 2⁶³) both engines reproduce bit-for-bit —
+    // no double accumulation anywhere. Scale shape: one broadcast dim
+    // join + one (segment, period) aggregate; the pivot-to-effects step
+    // runs over |segments| rows.
+    QueryDef(
+      "q_mix_decompose",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END AS ref",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS v")
+        val g = o.groupBy("seg")
+          .agg(sum(col("ref")).cast("bigint").as("n_ref"),
+            sum(lit(1) - col("ref")).cast("bigint").as("n_cur"),
+            sum(when(col("ref") === 1, col("v"))).cast("double").as("s_ref"),
+            sum(when(col("ref") === 0, col("v"))).cast("double").as("s_cur"))
+        val tot = g.agg(sum(col("n_ref")).cast("bigint").as("t_ref"),
+          sum(col("n_cur")).cast("bigint").as("t_cur"))
+        g.crossJoin(broadcast(tot))
+          .selectExpr("seg", "n_ref", "n_cur",
+            "CAST(round(s_ref / n_ref * 1000000.0) AS BIGINT) AS rate_ref_micro",
+            "CAST(round(s_cur / n_cur * 1000000.0) AS BIGINT) AS rate_cur_micro",
+            "CAST(round(CAST(n_ref AS DOUBLE) / t_ref * 1000000.0) AS BIGINT) AS share_ref_micro",
+            "CAST(round(CAST(n_cur AS DOUBLE) / t_cur * 1000000.0) AS BIGINT) AS share_cur_micro")
+          .selectExpr("seg", "n_ref", "n_cur",
+            "rate_ref_micro", "rate_cur_micro",
+            "share_ref_micro", "share_cur_micro",
+            "share_cur_micro * (rate_cur_micro - rate_ref_micro) AS rate_effect_p",
+            "(share_cur_micro - share_ref_micro) * rate_ref_micro AS mix_effect_p")
+          .orderBy("seg")
+      },
+      Some("""WITH o AS (
+             |  SELECT c_mktsegment AS seg,
+             |    CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END AS ref,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |g AS (
+             |  SELECT seg, CAST(SUM(ref) AS BIGINT) AS n_ref,
+             |    CAST(SUM(1 - ref) AS BIGINT) AS n_cur,
+             |    CAST(SUM(CASE WHEN ref = 1 THEN v END) AS DOUBLE) AS s_ref,
+             |    CAST(SUM(CASE WHEN ref = 0 THEN v END) AS DOUBLE) AS s_cur
+             |  FROM o GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             |    CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM g),
+             |q AS (
+             |  SELECT seg, n_ref, n_cur,
+             |    CAST(round(s_ref / n_ref * 1000000.0) AS BIGINT) AS rate_ref_micro,
+             |    CAST(round(s_cur / n_cur * 1000000.0) AS BIGINT) AS rate_cur_micro,
+             |    CAST(round(CAST(n_ref AS DOUBLE) / t_ref * 1000000.0) AS BIGINT) AS share_ref_micro,
+             |    CAST(round(CAST(n_cur AS DOUBLE) / t_cur * 1000000.0) AS BIGINT) AS share_cur_micro
+             |  FROM g, tot)
+             |SELECT seg, n_ref, n_cur, rate_ref_micro, rate_cur_micro,
+             |  share_ref_micro, share_cur_micro,
+             |  share_cur_micro * (rate_cur_micro - rate_ref_micro) AS rate_effect_p,
+             |  (share_cur_micro - share_ref_micro) * rate_ref_micro AS mix_effect_p
+             |FROM q ORDER BY seg""".stripMargin))
   )
 
   /** z for q_mannwhitney — ONE expression string shared verbatim by

@@ -498,6 +498,73 @@ object Profiling {
              |  FROM cells, tot)
              |SELECT b, n_ref, n_cur, lr_micro,
              |  dshare * (CAST(lr_micro AS BIGINT) / 1000000.0) AS psi_term
-             |FROM w ORDER BY b""".stripMargin))
+             |FROM w ORDER BY b""".stripMargin)),
+
+    // Multivariate outlier screen: squared Mahalanobis distance of each
+    // (l_quantity, l_extendedprice) row from the table's own 2-D
+    // distribution — the correlation-aware upgrade of q_outlier_iqr (a
+    // row can be unremarkable on each axis yet far off the joint
+    // ellipse). One exact moment pass (n, Σx, Σy, Σx², Σy², Σxy as
+    // DECIMAL — both columns are cents/integer-valued so scale-4
+    // products are exact and order-independent), the 2×2 covariance
+    // inverted in closed form, then a stateless scan computes each
+    // row's d² from broadcast scalars — identical double expressions on
+    // identical decimal-derived operands in both engines, micro-
+    // quantized before the rank so the top-20 cut is tie-stable.
+    // 100 TB shape: two scans (one agg + one top-k via TakeOrdered),
+    // no shuffle wider than 20 rows, moments are map-side-combined.
+    QueryDef(
+      "q_stat_mahalanobis",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y"))
+        val m = li.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(expr("CAST(x * x AS DECIMAL(38,4))")).cast("double").as("sxx"),
+          sum(expr("CAST(y * y AS DECIMAL(38,4))")).cast("double").as("syy"),
+          sum(expr("CAST(x * y AS DECIMAL(38,4))")).cast("double").as("sxy"))
+        li.crossJoin(broadcast(m))
+          .selectExpr("l_orderkey", "l_linenumber",
+            "CAST(x AS DOUBLE) - sx / n AS dx",
+            "CAST(y AS DOUBLE) - sy / n AS dy",
+            "(sxx - sx * sx / n) / (n - 1.0) AS vx",
+            "(syy - sy * sy / n) / (n - 1.0) AS vy",
+            "(sxy - sx * sy / n) / (n - 1.0) AS vxy")
+          .selectExpr("l_orderkey", "l_linenumber",
+            "CAST(round((dy * dy * vx + dx * dx * vy - 2.0 * dx * dy * vxy) " +
+              "/ (vx * vy - vxy * vxy) * 1000000.0) AS BIGINT) AS d2_micro")
+          .orderBy(col("d2_micro").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+             |  FROM li),
+             |dev AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(x AS DOUBLE) - sx / n AS dx,
+             |    CAST(y AS DOUBLE) - sy / n AS dy,
+             |    (sxx - sx * sx / n) / (n - 1.0) AS vx,
+             |    (syy - sy * sy / n) / (n - 1.0) AS vy,
+             |    (sxy - sx * sy / n) / (n - 1.0) AS vxy
+             |  FROM li, m)
+             |SELECT l_orderkey, l_linenumber,
+             |  CAST(round((dy * dy * vx + dx * dx * vy - 2.0 * dx * dy * vxy)
+             |    / (vx * vy - vxy * vxy) * 1000000.0) AS BIGINT) AS d2_micro
+             |FROM dev
+             |ORDER BY d2_micro DESC, l_orderkey, l_linenumber
+             |LIMIT 20""".stripMargin))
   )
 }

@@ -697,6 +697,61 @@ object TimeSeries {
              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
              |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l
              |  FROM events)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Holt double-exponential smoothing (level + trend) over the daily
+    // per-type volume — the forecasting step up from q_ts_ewma (which
+    // tracks level only and lags any trending series by construction).
+    // α = β = 1/2 in pure BIGINT: l_t = (c_t + l + b) div 2,
+    // b_t = (b + (l_t - l)) div 2, seeded l_1 = c_1, b_1 = 0 — integer
+    // division is the cross-engine-exact quantization (the q_ts_ewma
+    // discipline), replayed by the oracle as a recursive CTE carrying
+    // the same two-field state. Scale shape: one keyed daily aggregate
+    // (shuffle ∝ type×days), then a per-key fold over the sorted
+    // bounded series (≤ span days, a few KB per key) inside a single
+    // aggregate HOF — state is 2 BIGINTs per key, nothing iterative
+    // ever touches the driver, and keys fold in parallel.
+    QueryDef(
+      "q_ts_holt",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("event_type")
+          .agg(collect_list(struct(col("day"), col("cnt"))).as("ds"))
+          .selectExpr("event_type",
+            "transform(array_sort(ds), x -> x.cnt) AS cs")
+          .selectExpr("event_type",
+            "CAST(size(cs) AS BIGINT) AS n_days",
+            "aggregate(slice(cs, 2, size(cs) - 1), " +
+              "named_struct('l', element_at(cs, 1), 'b', CAST(0 AS BIGINT)), " +
+              "(st, v) -> named_struct(" +
+              "  'l', (v + st.l + st.b) div 2, " +
+              "  'b', (st.b + ((v + st.l + st.b) div 2 - st.l)) div 2)) AS st")
+          .selectExpr("event_type", "n_days",
+            "st.l AS level", "st.b AS trend", "st.l + st.b AS forecast_next")
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+             |  FROM daily),
+             |r AS (
+             |  SELECT event_type, i, cnt AS l, CAST(0 AS BIGINT) AS b
+             |  FROM idx WHERE i = 1
+             |  UNION ALL
+             |  SELECT idx.event_type, idx.i,
+             |    (idx.cnt + r.l + r.b) // 2,
+             |    (r.b + ((idx.cnt + r.l + r.b) // 2 - r.l)) // 2
+             |  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1),
+             |tot AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+             |SELECT r.event_type, tot.n_days, r.l AS level, r.b AS trend,
+             |  r.l + r.b AS forecast_next
+             |FROM r JOIN tot ON tot.event_type = r.event_type AND r.i = tot.n_days
+             |ORDER BY r.event_type""".stripMargin))
   )
 }

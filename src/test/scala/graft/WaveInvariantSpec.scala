@@ -889,4 +889,73 @@ class WaveInvariantSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("skew_ratio") - share * nKeys) < 1e-9)
     }
   }
+
+  test("hll merge: sketch accuracy and merge-invariance booleans all hold") {
+    val rows = SparkEntry.queries("q_agg_hll_merge")(spark, sf).collect()
+    assert(rows.count(_.getAs[String]("slice") == "ALL") === 1)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("est_within_5pct"),
+        s"slice ${r.getAs[String]("slice")} estimate off by >5%")
+      assert(r.getAs[Boolean]("merge_matches_global"),
+        s"union of daily sketches strayed >2% from the one-shot sketch")
+    }
+    val days = rows.filter(_.getAs[String]("slice") != "ALL")
+    val all = rows.find(_.getAs[String]("slice") == "ALL").get
+    // distinct users over the union can't exceed the sum of the days'
+    assert(all.getAs[Long]("n_exact") <= days.map(_.getAs[Long]("n_exact")).sum)
+    assert(all.getAs[Long]("n_exact") >= days.map(_.getAs[Long]("n_exact")).max)
+  }
+
+  test("holt smoothing replays exactly on a driver fold, trend tracks ewma lag") {
+    val rows = SparkEntry.queries("q_ts_holt")(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cs = daily.filter(_._1 == t).sortBy(_._2).map(_._3)
+      var (l, b) = (cs.head, 0L)
+      cs.tail.foreach { c =>
+        val l2 = (c + l + b) / 2
+        b = (b + (l2 - l)) / 2
+        l = l2
+      }
+      assert(r.getAs[Long]("n_days") === cs.length)
+      assert(r.getAs[Long]("level") === l, s"$t level")
+      assert(r.getAs[Long]("trend") === b, s"$t trend")
+      assert(r.getAs[Long]("forecast_next") === l + b)
+    }
+  }
+
+  test("mahalanobis top-20 is ranked and beats the table's mean d2") {
+    val rows = SparkEntry.queries("q_stat_mahalanobis")(spark, sf).collect()
+    assert(rows.length === 20)
+    val d2 = rows.map(_.getAs[Long]("d2_micro"))
+    assert(d2.sameElements(d2.sorted.reverse), "not rank-ordered")
+    // E[d2] = dim = 2 for the fitted distribution; the top outliers
+    // must sit far above it
+    assert(d2.last > 2 * 1000000L, s"20th outlier d2 ${d2.last} <= mean")
+  }
+
+  test("mix decomposition: shares sum to ~1e6 and effects sum to the topline delta") {
+    val rows = SparkEntry.queries("q_mix_decompose")(spark, sf).collect()
+    for (c <- Seq("share_ref_micro", "share_cur_micro")) {
+      val s = rows.map(_.getAs[Long](c)).sum
+      assert(math.abs(s - 1000000L) <= rows.length, s"$c sums to $s")
+    }
+    // Σ effects (picos) ≈ Δ topline avg (micro × shares' 1e6 scale),
+    // up to per-segment micro-rounding of rates and shares
+    val eff = rows.map(r =>
+      r.getAs[Long]("rate_effect_p") + r.getAs[Long]("mix_effect_p")).sum
+    val o = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("year(o_orderdate) <= 1995 AS ref", "o_totalprice AS v")
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1)))
+    val (ref, cur) = o.partition(_._1)
+    val delta = cur.map(_._2).sum / cur.length - ref.map(_._2).sum / ref.length
+    assert(math.abs(eff / 1e12 - delta) < 1.0,
+      s"effects ${eff / 1e12} vs topline delta $delta")
+  }
 }
