@@ -400,7 +400,15 @@ object Bench {
     "q_agg_hll_merge",
     "q_ts_holt",
     "q_stat_mahalanobis",
-    "q_mix_decompose")
+    "q_mix_decompose",
+    // round 12, second wave: embedding drift monitor (one explode agg
+    // + label-pair algebra on exact integer sums) and incremental
+    // sessionization (per-user carry state + one keyed left join; the
+    // oracle pins incremental == one-shot). q_dedup_lsh_recall stays a
+    // verify-gated evaluation entry: its ground-truth side is the N²
+    // baseline, tagged scaleExcluded.
+    "q_emb_drift",
+    "q_sessionize_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -265,6 +265,75 @@ object Cdc {
              |  CAST(SUM(CASE WHEN op = 'U' THEN payload ELSE 0 END) AS BIGINT)
              |    AS live_payload_sum
              |FROM fin WHERE rk = 1
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental sessionization — the 100 TB form of q_sessionize:
+    // history is NEVER re-scanned. The closed batch contributes (a) its
+    // finished session rows and (b) a per-user carry state {last_ts,
+    // sessions_opened}; the new batch sessionizes alone EXCEPT that each
+    // user's first event takes its gap test against the carried last_ts
+    // and its session index offsets by the carried count — a session
+    // bridging the boundary merges exactly. The oracle is the ONE-SHOT
+    // q_sessionize SQL over all events: the hash compare IS the
+    // incremental-equals-full invariant. Scale shape: the carry state is
+    // one row per user (the only thing a daily job persists); both
+    // windows stay user-partitioned; the batch split adds one keyed
+    // left join of the new batch against the state.
+    QueryDef(
+      "q_sessionize_incremental",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cutoff = "TIMESTAMP'2024-01-16 00:00:00'"
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+        def flagged(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        val ev = Tables.events(s, d).select("user_id", "ts", "event_id")
+        val b1 = flagged(ev.filter(expr(s"ts < $cutoff")))
+          .withColumn("gap_open", when(col("prev_ts").isNull
+            || col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+          .withColumn("session_idx", sum(col("gap_open")).over(cum))
+        // the persisted carry state: one row per user seen in batch 1
+        val state = b1.groupBy("user_id")
+          .agg(max(col("ts")).as("last_ts"),
+            max(col("session_idx")).as("n_sessions"))
+          .localCheckpoint(true)
+        val b2 = flagged(ev.filter(expr(s"ts >= $cutoff")))
+          .join(state, Seq("user_id"), "left_outer")
+          .withColumn("eff_prev", coalesce(col("prev_ts"), col("last_ts")))
+          .withColumn("gap_open", when(col("eff_prev").isNull
+            || col("ts").cast("long") - col("eff_prev").cast("long") > 1800, 1L)
+            .otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("gap_open")).over(cum) + coalesce(col("n_sessions"), lit(0L)))
+        val all = b1.select("user_id", "session_idx", "ts")
+          .unionAll(b2.select("user_id", "session_idx", "ts"))
+        all.groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("session_len"),
+            (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_s"))
+          .groupBy("session_len")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("dur_s")).cast("bigint").as("total_dur_s"))
+          .orderBy("session_len")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_ts IS NULL
+             |           OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS gap_open
+             |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS prev_ts FROM events)),
+             |sess AS (
+             |  SELECT user_id,
+             |    SUM(gap_open) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx,
+             |    ts FROM g),
+             |per AS (
+             |  SELECT user_id, session_idx, COUNT(*) AS session_len,
+             |    date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+             |  FROM sess GROUP BY user_id, session_idx)
+             |SELECT session_len, COUNT(*) AS n_sessions,
+             |  CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
+             |FROM per GROUP BY session_len ORDER BY session_len""".stripMargin))
   )
 }

@@ -1589,6 +1589,103 @@ object Clustering {
              |  FROM pts WHERE id NOT IN (SELECT id FROM lab)
              |  HAVING COUNT(*) > 0)
              |SELECT cluster, n_points, n_core, n_border, member_checksum
-             |FROM agg ORDER BY cluster""".stripMargin))
+             |FROM agg ORDER BY cluster""".stripMargin)),
+
+    // Embedding-space drift/health monitor: per-label centroid
+    // dispersion and nearest-neighbor centroid separation — the check a
+    // training pipeline runs when a new encoder version (or a new data
+    // slice) lands: did within-class spread blow up, did two classes
+    // collapse into each other? Pure algebra on exact integer sums, no
+    // per-pair row joins: E‖x−c‖² = Q/n − P/n² (Q = Σ‖x‖², P = Σ_d S_d²
+    // with S the per-dim coordinate sum), and centroid separation
+    // d²(a,b) = Σ_d (S_a·n_b − S_b·n_a)² / (n_a·n_b)² — numerators kept
+    // in DECIMAL so both engines add EXACT integers in any order; the
+    // only doubles are two final divisions, micro-quantized. Scale
+    // shape: one explode (rows×dims, map-side combined into
+    // |labels|×dims partial sums), then everything downstream operates
+    // on |labels|×dims ≤ a few thousand rows.
+    QueryDef(
+      "q_emb_drift",
+      (s, d) => {
+        val q = "CAST(floor(CAST(v AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)"
+        val dims = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .selectExpr("vec_id", "label", "pos + 1 AS dim", s"$q AS qv")
+        val cent = dims.groupBy("label", "dim")
+          .agg(sum(col("qv")).as("sd"))
+          .localCheckpoint(true)
+        val per = dims.groupBy("label").agg(
+          countDistinct(col("vec_id")).as("n"),
+          sum(expr("CAST(qv * qv AS DECIMAL(28,0))")).as("qq"))
+        val stats = cent.groupBy("label")
+          .agg(sum(expr("CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))")).as("p"))
+          .join(per, "label")
+          .selectExpr("label", "n",
+            "CAST(round((CAST(qq AS DOUBLE) / n - CAST(p AS DOUBLE) / n / n) " +
+              "/ 1099511627776.0 * 1000000.0) AS BIGINT) AS within_micro")
+        val nn = per.select(col("label"), col("n"))
+        val pairs = cent.as("a")
+          .join(cent.as("b"), col("a.dim") === col("b.dim")
+            && col("a.label") =!= col("b.label"))
+          .join(nn.select(col("label").as("la"), col("n").as("na")),
+            col("a.label") === col("la"))
+          .join(nn.select(col("label").as("lb"), col("n").as("nb")),
+            col("b.label") === col("lb"))
+          .selectExpr("la", "lb", "na", "nb",
+            "CAST(a.sd * nb - b.sd * na AS DECIMAL(19,0)) AS diff")
+          .groupBy("la", "lb", "na", "nb")
+          .agg(sum(expr("diff * diff")).as("num"))
+          .selectExpr("la AS label", "lb",
+            "CAST(round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb * na * nb) " +
+              "/ 1099511627776.0 * 1000000.0) AS BIGINT) AS between_micro")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(col("between_micro"), col("lb"))
+        val nearest = pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("label"), col("lb").as("nearest_label"),
+            col("between_micro").as("nearest_d2_micro"))
+        stats.join(nearest, "label")
+          .select("label", "n", "within_micro", "nearest_label", "nearest_d2_micro")
+          .orderBy("label")
+      },
+      Some("""WITH dims AS (
+             |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS qv
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sd
+             |  FROM dims GROUP BY 1, 2),
+             |per AS (
+             |  SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+             |    SUM(CAST(qv * qv AS DECIMAL(28,0))) AS qq
+             |  FROM dims GROUP BY 1),
+             |stats AS (
+             |  SELECT cent.label, n,
+             |    CAST(round((CAST(qq AS DOUBLE) / n
+             |      - CAST(SUM(CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))) AS DOUBLE) / n / n)
+             |      / 1099511627776.0 * 1000000.0) AS BIGINT) AS within_micro
+             |  FROM cent JOIN per ON per.label = cent.label
+             |  GROUP BY cent.label, n, qq),
+             |pairs AS (
+             |  SELECT a.label AS la, b.label AS lb, pa.n AS na, pb.n AS nb,
+             |    SUM(CAST(a.sd * pb.n - b.sd * pa.n AS DECIMAL(19,0))
+             |      * CAST(a.sd * pb.n - b.sd * pa.n AS DECIMAL(19,0))) AS num
+             |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+             |  JOIN per pa ON pa.label = a.label
+             |  JOIN per pb ON pb.label = b.label
+             |  GROUP BY 1, 2, 3, 4),
+             |bet AS (
+             |  SELECT la AS label, lb,
+             |    CAST(round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb * na * nb)
+             |      / 1099511627776.0 * 1000000.0) AS BIGINT) AS between_micro,
+             |    ROW_NUMBER() OVER (PARTITION BY la
+             |      ORDER BY CAST(round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb * na * nb)
+             |        / 1099511627776.0 * 1000000.0) AS BIGINT), lb) AS rn
+             |  FROM pairs)
+             |SELECT stats.label, n, within_micro,
+             |  lb AS nearest_label, between_micro AS nearest_d2_micro
+             |FROM stats JOIN bet ON bet.label = stats.label AND bet.rn = 1
+             |ORDER BY stats.label""".stripMargin))
   )
 }

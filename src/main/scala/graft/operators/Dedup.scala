@@ -1002,7 +1002,57 @@ object Dedup {
            |  CAST(SUM(n_toks) AS DOUBLE) / SUM(n_chunks) AS avg_chunk_toks,
            |  CAST(SUM(bsum) AS BIGINT) AS boundary_checksum
            |FROM p GROUP BY lang ORDER BY lang""".stripMargin
-      })
+      }),
+
+    // Screen evaluation: recall/precision of the production MinHash+LSH
+    // near-dup relation against the exact all-pairs shingle-Jaccard
+    // ground truth — the number that justifies (or indicts) the banding
+    // parameters before anyone trusts the screen at scale. Truth pays
+    // the N² twin's cost, so the ENTRY is scaleExcluded like its
+    // baseline; the measured relation (minhashPairs) is the production
+    // path unchanged. Truth jaccard is over raw shingles, the verified
+    // relation's over their 32-bit hashes — collisions can disagree at
+    // the 0.5 boundary, which is precisely what precision<1 surfaces.
+    QueryDef(
+      "q_dedup_lsh_recall",
+      (s, d) => {
+        val sh = shingleFrame(s, d).select("doc_id", "g")
+        val truth = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+          .selectExpr("x.doc_id AS a", "y.doc_id AS b",
+            "CAST(size(array_intersect(x.g, y.g)) AS DOUBLE) / size(array_union(x.g, y.g)) AS j")
+          .filter(col("j") >= 0.5).select("a", "b")
+        val got = minhashPairs(s, d).select(col("a"), col("b"))
+          .localCheckpoint(true)
+        val hits = truth.join(got, Seq("a", "b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(got.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .selectExpr("n_truth", "n_lsh", "n_hit",
+            "CAST(n_hit AS DOUBLE) / n_truth AS recall",
+            "CAST(n_hit AS DOUBLE) / n_lsh AS precision")
+      },
+      Some(s"""WITH $duckVerifiedPairsCtes,
+              |sh AS (SELECT doc_id, $duckShingles AS g FROM documents),
+              |truth AS (
+              |  SELECT a, b FROM (
+              |    SELECT x.doc_id AS a, y.doc_id AS b,
+              |      CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+              |        / len(list_distinct(list_cat(x.g, y.g))) AS j
+              |    FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+              |  WHERE j >= 0.5),
+              |got AS (SELECT a, b FROM verified),
+              |c AS (
+              |  SELECT
+              |    (SELECT COUNT(*) FROM truth) AS n_truth,
+              |    (SELECT COUNT(*) FROM got) AS n_lsh,
+              |    (SELECT COUNT(*) FROM truth t
+              |     JOIN got g ON g.a = t.a AND g.b = t.b) AS n_hit)
+              |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+              |  CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_hit AS BIGINT) AS n_hit,
+              |  CAST(n_hit AS DOUBLE) / n_truth AS recall,
+              |  CAST(n_hit AS DOUBLE) / n_lsh AS precision
+              |FROM c""".stripMargin),
+      scaleExcluded = true)
   )
 
   /** The distinct per-doc 62-bit window-hash relation (doc_id, wh),

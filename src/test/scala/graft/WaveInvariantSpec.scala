@@ -958,4 +958,39 @@ class WaveInvariantSpec extends AnyFunSuite {
     assert(math.abs(eff / 1e12 - delta) < 1.0,
       s"effects ${eff / 1e12} vs topline delta $delta")
   }
+
+  test("embedding drift: separation dominates dispersion symmetry and self-pairs are absent") {
+    val rows = SparkEntry.queries("q_emb_drift")(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.length === labels)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("within_micro") >= 0L)
+      assert(r.getAs[Long]("nearest_d2_micro") >= 0L)
+      assert(r.getAs[Int]("nearest_label") !== r.getAs[Int]("label"))
+    }
+    // population conserved
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+  }
+
+  test("incremental sessionization equals the one-shot histogram exactly") {
+    val inc = SparkEntry.queries("q_sessionize_incremental")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("session_len"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("total_dur_s")))
+    val full = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("session_len"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("total_dur_s")))
+    assert(inc.toSeq === full.toSeq)
+  }
+
+  test("lsh recall evaluation: counts are consistent and recall stays high") {
+    val r = SparkEntry.queries("q_dedup_lsh_recall")(spark, sf).head()
+    val (nTruth, nLsh, nHit) = (r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_lsh"), r.getAs[Long]("n_hit"))
+    assert(nHit <= nTruth && nHit <= nLsh)
+    assert(math.abs(r.getAs[Double]("recall") - nHit.toDouble / nTruth) < 1e-12)
+    // 16 perms / 4 bands at j >= 0.5 should catch the large majority
+    assert(r.getAs[Double]("recall") >= 0.6,
+      s"LSH recall ${r.getAs[Double]("recall")} collapsed")
+  }
 }
