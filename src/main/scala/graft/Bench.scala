@@ -408,7 +408,14 @@ object Bench {
     // verify-gated evaluation entry: its ground-truth side is the N²
     // baseline, tagged scaleExcluded.
     "q_emb_drift",
-    "q_sessionize_incremental")
+    "q_sessionize_incremental",
+    // round 12, third wave: rolling MAU from stored daily sketches
+    // (union of 7 few-KB sketches/day vs 7x raw re-scan), the GDPR
+    // retention rewrite (broadcast anti join + partitioned overwrite,
+    // audit from the read-back), and the SCD2 point-in-time read
+    "q_agg_hll_rolling",
+    "q_write_retention",
+    "q_scd2_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

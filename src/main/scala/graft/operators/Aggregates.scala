@@ -1078,6 +1078,53 @@ object Aggregates {
              |  TRUE AS est_within_5pct, TRUE AS merge_matches_global FROM daily
              |UNION ALL
              |SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE, TRUE FROM events
-             |ORDER BY slice""".stripMargin))
+             |ORDER BY slice""".stripMargin)),
+
+    // Rolling 7-day active users from STORED daily sketches — the
+    // query q_agg_hll_merge's materialization exists to serve. The
+    // naive form re-scans 7 days of raw events per output day (7× read
+    // amplification, growing with the window); the sketch form unions
+    // 7 already-built few-KB sketches per day — the scan cost is paid
+    // once at build, every window after that is metadata-sized. The
+    // oracle pins the exact trailing-window distincts (computed from
+    // the raw rows) and the 5%-accuracy boolean of each windowed union
+    // estimate, same contract as q_agg_hll_merge.
+    QueryDef(
+      "q_agg_hll_rolling",
+      (s, d) => {
+        val pairs = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val daily = pairs.groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .localCheckpoint(true)
+        val win = daily.as("a").join(daily.as("b"),
+            datediff(col("a.day"), col("b.day")).between(0, 6))
+          .groupBy(col("a.day").as("day"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(b.sk))").as("est"),
+            count(lit(1)).as("window_days"))
+        val exact = pairs.as("p").join(
+            daily.select(col("day").as("wday")).as("w"),
+            datediff(col("wday"), col("p.day")).between(0, 6))
+          .groupBy(col("wday").as("day"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(win, "day")
+          .selectExpr("CAST(day AS STRING) AS day", "n_exact", "window_days",
+            "abs(est - n_exact) <= CAST(n_exact AS DOUBLE) * 0.05 AS est_within_5pct")
+          .orderBy("day")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT day FROM pairs),
+             |ex AS (
+             |  SELECT w.day,
+             |    CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_exact,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM days d2
+             |     WHERE date_diff('day', d2.day, w.day) BETWEEN 0 AND 6) AS window_days
+             |  FROM days w JOIN pairs p
+             |    ON date_diff('day', p.day, w.day) BETWEEN 0 AND 6
+             |  GROUP BY w.day)
+             |SELECT CAST(day AS VARCHAR) AS day, n_exact, window_days,
+             |  TRUE AS est_within_5pct
+             |FROM ex ORDER BY day""".stripMargin))
   )
 }

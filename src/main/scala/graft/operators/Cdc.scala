@@ -267,6 +267,50 @@ object Cdc {
              |FROM fin WHERE rk = 1
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Point-in-time read over the SCD2 dimension q_scd2 builds — the
+    // consumption side of slowly-changing-dimension history: "what was
+    // every user's state at time T?" answered by one predicate
+    // (valid_from <= T < valid_to, open segment = NULL valid_to), no
+    // window re-computation. At 100 TB the dimension is stored sorted
+    // by (key, valid_from) and the filter prunes to ≤1 row per key;
+    // here the segments are rebuilt inline (same logic as q_scd2) and
+    // then filtered — the read itself is stateless.
+    QueryDef(
+      "q_scd2_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = "TIMESTAMP'2024-01-16 00:00:00'"
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seg = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(seg))
+          .withColumn("version", row_number().over(seg))
+          .filter(expr(s"valid_from <= $t AND (valid_to IS NULL OR valid_to > $t)"))
+          .select("user_id", "version", "event_type", "valid_from")
+          .orderBy("user_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |seg AS (
+             |  SELECT user_id, ts AS valid_from, event_type, event_id,
+             |    LEAD(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS valid_to,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS version
+             |  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             |  valid_from
+             |FROM seg
+             |WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00'
+             |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-16 00:00:00')
+             |ORDER BY user_id""".stripMargin)),
+
     // Incremental sessionization — the 100 TB form of q_sessionize:
     // history is NEVER re-scanned. The closed batch contributes (a) its
     // finished session rows and (b) a per-user carry state {last_ts,

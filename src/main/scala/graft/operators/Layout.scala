@@ -288,6 +288,52 @@ object Layout {
              |WHERE lang <> target OR doc_id % 2 = 0
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Right-to-be-forgotten sweep — the write-path compliance op a
+    // 100 TB event store runs continuously: materialize the delete set
+    // (here: every user that ever emitted an 'error' event — a
+    // deterministic stand-in for a deletion-request table), anti-join
+    // it out of the fact table, REWRITE the store, and emit the audit
+    // row a regulator asks for (rows before/after, users erased, kept
+    // checksum) from the read-back — the counts prove the erasure
+    // against the rewritten files, not against the plan. Scale shape:
+    // one broadcast-able distinct key set, one anti join (no wider
+    // shuffle than the delete keys), a partitioned overwrite, and one
+    // audit aggregate over the read-back.
+    QueryDef(
+      "q_write_retention",
+      (s, d) => {
+        val key = java.lang.Integer.toHexString(d.hashCode)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_retention/$key"
+        val ev = Tables.events(s, d)
+        val deleteSet = ev.filter(col("event_type") === "error")
+          .select("user_id").distinct()
+        ev.join(broadcast(deleteSet), Seq("user_id"), "left_anti")
+          .write.mode("overwrite").parquet(dir)
+        val kept = s.read.parquet(dir)
+        val before = ev.agg(count(lit(1)).as("rows_before"),
+          countDistinct(col("user_id")).as("users_before"))
+        val after = kept.agg(count(lit(1)).as("rows_after"),
+          countDistinct(col("user_id")).as("users_after"),
+          sum(col("user_id") * 7).cast("bigint").as("kept_checksum"))
+        before.crossJoin(after)
+          .selectExpr("rows_before", "rows_after",
+            "users_before - users_after AS n_users_erased",
+            "rows_before - rows_after AS n_rows_erased", "kept_checksum")
+      },
+      Some("""WITH del AS (
+             |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+             |kept AS (
+             |  SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM del)),
+             |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_before,
+             |  COUNT(DISTINCT user_id) AS users_before FROM events),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_after,
+             |  COUNT(DISTINCT user_id) AS users_after,
+             |  CAST(SUM(user_id * 7) AS BIGINT) AS kept_checksum FROM kept)
+             |SELECT rows_before, rows_after,
+             |  CAST(users_before - users_after AS BIGINT) AS n_users_erased,
+             |  rows_before - rows_after AS n_rows_erased, kept_checksum
+             |FROM b, a""".stripMargin)),
+
     QueryDef(
       "q_shard_assign",
       (s, d) => Tables.documents(s, d)

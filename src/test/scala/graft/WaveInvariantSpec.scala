@@ -993,4 +993,46 @@ class WaveInvariantSpec extends AnyFunSuite {
     assert(r.getAs[Double]("recall") >= 0.6,
       s"LSH recall ${r.getAs[Double]("recall")} collapsed")
   }
+
+  test("rolling hll: estimates hold 5%, window ramps 1..7 then stays 7") {
+    val rows = SparkEntry.queries("q_agg_hll_rolling")(spark, sf).collect()
+      .sortBy(_.getAs[String]("day"))
+    rows.foreach(r => assert(r.getAs[Boolean]("est_within_5pct")))
+    val wd = rows.map(_.getAs[Long]("window_days"))
+    assert(wd.take(7).toSeq === (1L to math.min(7, wd.length).toLong),
+      "window must ramp 1..7 over the first week")
+    wd.drop(7).foreach(w => assert(w === 7L))
+    // a trailing window can never hold fewer users than its newest day
+    val dailyExact = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_exact") >= dailyExact(r.getAs[String]("day"))))
+  }
+
+  test("retention rewrite: erased users are gone from the read-back files") {
+    val r = SparkEntry.queries("q_write_retention")(spark, sf).head()
+    assert(r.getAs[Long]("n_rows_erased") >= r.getAs[Long]("n_users_erased"))
+    val key = java.lang.Integer.toHexString(sf.hashCode)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_retention/$key"
+    val kept = spark.read.parquet(dir)
+    val errUsers = Tables.events(spark, sf)
+      .filter(col("event_type") === "error").select("user_id").distinct()
+    // the erasure must hold against the rewritten FILES, not the plan
+    assert(kept.join(errUsers, Seq("user_id"), "left_semi").count() === 0L)
+    assert(kept.count() === r.getAs[Long]("rows_after"))
+  }
+
+  test("scd2 as-of read returns exactly one live segment per covered user") {
+    val rows = SparkEntry.queries("q_scd2_asof")(spark, sf).collect()
+    val users = rows.map(_.getAs[Long]("user_id"))
+    assert(users.distinct.length === users.length, "duplicate user at T")
+    val t = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    rows.foreach(r => assert(!r.getAs[java.sql.Timestamp]("valid_from").after(t)))
+    // every user with any event before T is covered
+    val covered = Tables.events(spark, sf)
+      .filter(col("ts") <= lit(t)).select("user_id").distinct().count()
+    assert(rows.length.toLong === covered)
+  }
 }
