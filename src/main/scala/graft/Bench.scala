@@ -415,7 +415,15 @@ object Bench {
     // audit from the read-back), and the SCD2 point-in-time read
     "q_agg_hll_rolling",
     "q_write_retention",
-    "q_scd2_asof")
+    "q_scd2_asof",
+    // round 12, fourth wave: partition-spec evolution scan (day + month
+    // layouts, pruned independently, write + read timed end-to-end),
+    // exact distributed weighted percentile (per-(group, value) weight
+    // collapse + distinct-domain window), dedup threshold operating
+    // curve (11-row window over the memoized pair relation)
+    "q_part_evolution",
+    "q_agg_wpercentile",
+    "q_dedup_threshold_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1125,6 +1125,54 @@ object Aggregates {
              |  GROUP BY w.day)
              |SELECT CAST(day AS VARCHAR) AS day, n_exact, window_days,
              |  TRUE AS est_within_5pct
-             |FROM ex ORDER BY day""".stripMargin))
+             |FROM ex ORDER BY day""".stripMargin)),
+
+    // Weighted percentile (weighted median of price, weight = quantity)
+    // per group — the inventory-weighted "typical price" plain median
+    // misstates. Exact and distributed: collapse to per-(group, value)
+    // weight sums (map-side combined — the heavy reduction), cumulative
+    // weight over the collapsed value domain (a per-group sort of
+    // DISTINCT values, not rows), pick the first value whose cumulative
+    // weight covers half the total. Everything is integer (cents ×
+    // integer quantity), so the ½-total comparison is exact in both
+    // engines. Same family as q_agg_percentile_global's bisection; the
+    // window form is right while |distinct values| per group stays
+    // sort-able — the bisection is the escape hatch past that.
+    QueryDef(
+      "q_agg_wpercentile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vw = Tables.lineitem(s, d)
+          .selectExpr("l_returnflag AS flag",
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+            "CAST(l_quantity AS BIGINT) AS wt")
+          .groupBy("flag", "cents")
+          .agg(sum(col("wt")).as("w"))
+        val cum = Window.partitionBy("flag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = Window.partitionBy("flag")
+        vw.withColumn("cw", sum(col("w")).over(cum))
+          .withColumn("tw", sum(col("w")).over(tot))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy("flag")
+          .agg(min(col("cents")).as("wmedian_cents"),
+            max(col("tw")).as("total_weight"))
+          .orderBy("flag")
+      },
+      Some("""WITH vw AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (
+             |  SELECT flag, cents, w,
+             |    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+             |    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+             |  FROM vw)
+             |SELECT flag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+             |  CAST(MAX(tw) AS BIGINT) AS total_weight
+             |FROM c WHERE cw * 2 >= tw
+             |GROUP BY flag ORDER BY flag""".stripMargin))
   )
 }

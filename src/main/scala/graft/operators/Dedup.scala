@@ -1052,7 +1052,40 @@ object Dedup {
               |  CAST(n_hit AS DOUBLE) / n_truth AS recall,
               |  CAST(n_hit AS DOUBLE) / n_lsh AS precision
               |FROM c""".stripMargin),
-      scaleExcluded = true)
+      scaleExcluded = true),
+
+    // Threshold operating curve over the verified near-dup relation —
+    // the table a curator reads before picking "dedup at j ≥ X": pair
+    // volume per 0.05 Jaccard bin and the cumulative pairs-at-or-above
+    // each threshold. Rides the session-memoized pair relation (the
+    // expensive band join is already paid by the dedup family); the
+    // curve itself is an 11-row window. Jaccard is the same exact
+    // small-integer ratio both engines compute, so bin edges land
+    // identically.
+    QueryDef(
+      "q_dedup_threshold_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        minhashPairs(s, d)
+          .selectExpr("CAST(floor(jaccard * 20) AS BIGINT) AS bin")
+          .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+          .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
+          .selectExpr("bin", "CAST(bin AS DOUBLE) / 20.0 AS threshold", "n_pairs",
+            "CAST(n_pairs_ge AS BIGINT) AS n_pairs_ge")
+          .orderBy("bin")
+      },
+      Some(s"""WITH $duckVerifiedPairsCtes,
+              |bins AS (
+              |  SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bin,
+              |    COUNT(*) AS n_pairs
+              |  FROM verified GROUP BY 1)
+              |SELECT bin, bin / 20.0 AS threshold, n_pairs,
+              |  CAST(SUM(n_pairs) OVER (ORDER BY bin DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |    AS n_pairs_ge
+              |FROM bins ORDER BY bin""".stripMargin))
   )
 
   /** The distinct per-doc 62-bit window-hash relation (doc_id, wh),

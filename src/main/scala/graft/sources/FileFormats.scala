@@ -278,6 +278,47 @@ object FileFormats {
              |  FROM orders)
              |SELECT CAST(o_year AS INT) AS o_year, COUNT(*) AS n,
              |  CAST(SUM(cents) AS BIGINT) AS cents
-             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Partition-SPEC evolution (the layout sibling of
+    // q_scan_merge_schema's column evolution): history lands
+    // day-partitioned, the spec later coarsens to month — a 100 TB
+    // store carries both vintages side by side for years, and every
+    // reader must prune BOTH layouts for a date range that straddles
+    // the spec change. Each side filters on its own partition column
+    // (day=... / month=... reach the scans as PartitionFilters; the
+    // month side adds a row-level ts refinement for the sub-month
+    // remainder), then the union normalizes and aggregates. Values are
+    // cents-quantized once so the sum is exact integer.
+    QueryDef(
+      "q_part_evolution",
+      (s, d) => {
+        val dir = sliceDir(d, "ptev")
+        val ev = Tables.events(s, d).selectExpr("event_type", "ts",
+          "CAST(round(value * 100) AS BIGINT) AS cents",
+          "to_date(ts) AS day",
+          "CAST(date_trunc('month', ts) AS DATE) AS month")
+        ev.filter(col("day") <= lit("2024-01-15"))
+          .select("event_type", "ts", "cents", "day")
+          .write.partitionBy("day").mode("overwrite").parquet(s"$dir/daily")
+        ev.filter(col("day") > lit("2024-01-15"))
+          .select("event_type", "ts", "cents", "month")
+          .write.partitionBy("month").mode("overwrite").parquet(s"$dir/monthly")
+        val r1 = s.read.parquet(s"$dir/daily")
+          .filter(col("day").between(lit("2024-01-10"), lit("2024-01-20")))
+          .select("event_type", "cents")
+        val r2 = s.read.parquet(s"$dir/monthly")
+          .filter(col("month") === lit("2024-01-01"))
+          .filter(to_date(col("ts")).between(lit("2024-01-10"), lit("2024-01-20")))
+          .select("event_type", "cents")
+        r1.unionAll(r2).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).cast("bigint").as("cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN '2024-01-10' AND '2024-01-20'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1035,4 +1035,46 @@ class WaveInvariantSpec extends AnyFunSuite {
       .filter(col("ts") <= lit(t)).select("user_id").distinct().count()
     assert(rows.length.toLong === covered)
   }
+
+  test("partition evolution: both layouts prune to partition filters") {
+    val df = SparkEntry.queries("q_part_evolution")(spark, sf)
+    val total = df.collect().map(_.getAs[Long]("n")).sum
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(col("ts")).between(lit("2024-01-10"), lit("2024-01-20")))
+      .count()
+    assert(total === expected)
+    // the day-layout scan must carry a PartitionFilters entry on `day`
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "no partition pruning in plan")
+  }
+
+  test("weighted percentile: the picked value covers half the weight") {
+    val rows = SparkEntry.queries("q_agg_wpercentile")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag AS flag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        "CAST(l_quantity AS BIGINT) AS wt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (flag, med) = (r.getAs[String]("flag"), r.getAs[Long]("wmedian_cents"))
+      val g = li.filter(_._1 == flag)
+      val tot = g.map(_._3).sum
+      assert(r.getAs[Long]("total_weight") === tot)
+      val below = g.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = g.filter(_._2 <= med).map(_._3).sum
+      assert(below * 2 < tot && atOrBelow * 2 >= tot,
+        s"$flag wmedian $med: below=$below atOrBelow=$atOrBelow tot=$tot")
+    }
+  }
+
+  test("threshold curve: cumulative counts are monotone and sum to the pair relation") {
+    val rows = SparkEntry.queries("q_dedup_threshold_curve")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val nPairs = SparkEntry.queries("q_dedup_minhash")(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs)
+    // n_pairs_ge is a descending-threshold cumsum: lowest bin holds all
+    assert(rows.head.getAs[Long]("n_pairs_ge") === nPairs)
+    val ge = rows.map(_.getAs[Long]("n_pairs_ge"))
+    ge.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+  }
 }
