@@ -423,7 +423,10 @@ object Bench {
     // curve (11-row window over the memoized pair relation)
     "q_part_evolution",
     "q_agg_wpercentile",
-    "q_dedup_threshold_curve")
+    "q_dedup_threshold_curve",
+    // round 12, fifth wave: PCM feature extraction inside the audio
+    // payloads (batched mapPartitions decode, exact integer energies)
+    "q_media_audio_energy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

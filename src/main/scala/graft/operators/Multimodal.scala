@@ -160,6 +160,27 @@ object Multimodal {
     }
   }
 
+  /** Decode the PCM payload: walk the chunk list to `data` and read its
+    * body as signed little-endian 16-bit samples (interleaved channels
+    * flattened — energy features are channel-agnostic). None on
+    * non-WAVE containers, same tolerance contract as [[wavFmt]]. */
+  def wavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length < 12) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (new String(bytes, 0, 4, UTF_8) != "RIFF" ||
+        new String(bytes, 8, 4, UTF_8) != "WAVE") return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val ctype = new String(bytes, off, 4, UTF_8)
+      val clen = buf.getInt(off + 4)
+      if (clen < 0 || off + 8 + clen > bytes.length) return None
+      if (ctype == "data")
+        return Some(Array.tabulate(clen / 2)(i => buf.getShort(off + 8 + 2 * i).toInt))
+      off += 8 + clen + (clen & 1)
+    }
+    None
+  }
+
   // ---- JPEG: marker stream with JFIF APP0 + SOF ----------------------
 
   /** Structurally valid JPEG marker stream: SOI, JFIF APP0, a COM
@@ -625,6 +646,64 @@ object Multimodal {
              |        2 * (1 + doc_id % 2) AS ba
              |      FROM documents)
              |WHERE doc_id < 200
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Feature extraction INSIDE the binary payload — one step past the
+    // header codecs: decode the PCM body of every audio asset and
+    // compute framed signal features (64-sample frame energy, peak
+    // frame, totals) in the same batched mapPartitions shape a
+    // vectorized decode UDF runs at scale. The truth bridge is the
+    // builder's contract (PCM body = the doc's utf-8 bytes truncated to
+    // whole frames), so DuckDB reproduces every feature from the TEXT
+    // side with pure arithmetic — a parser that misreads the chunk
+    // walk, sample width, or endianness hash-mismatches. Energies are
+    // exact BIGINT sums of sample² — no float anywhere.
+    QueryDef(
+      "q_media_audio_energy",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        toMedia(Tables.documents(s, d))
+          .filter((r: MediaRow) => r.mime == "audio/wav")
+          .map { r =>
+            val sm = wavSamples(r.payload).getOrElse(Array.empty[Int])
+            val nFrames = sm.length / 64
+            val energies = Array.tabulate(nFrames) { f =>
+              var e = 0L
+              var i = 64 * f
+              while (i < 64 * (f + 1)) { e += sm(i).toLong * sm(i); i += 1 }
+              e
+            }
+            val peak = if (nFrames == 0) 0L else energies.max
+            val idx = if (nFrames == 0) 0 else energies.indexOf(peak) + 1
+            (r.doc_id, sm.length, nFrames, energies.sum, peak, idx)
+          }
+          .toDF("doc_id", "n_samples", "n_frames", "total_energy",
+            "peak_frame_energy", "peak_frame_idx")
+          .filter(org.apache.spark.sql.functions.col("n_frames") >= 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, text, 2 * (1 + doc_id % 2) AS ba
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |s AS (
+             |  SELECT doc_id,
+             |    list_transform(
+             |      range(1, (octet_length(CAST(text AS BLOB)) // ba * ba) // 2 + 1),
+             |      i -> CAST(ascii(substr(text, CAST(2*i-1 AS INT), 1))
+             |           + 256 * ascii(substr(text, CAST(2*i AS INT), 1)) AS BIGINT)) AS sm
+             |  FROM a),
+             |f AS (
+             |  SELECT doc_id, len(sm) AS n_samples, len(sm) // 64 AS n_frames,
+             |    list_transform(range(1, len(sm) // 64 + 1),
+             |      fr -> list_sum(list_transform(
+             |        sm[CAST((fr-1)*64+1 AS INT):CAST(fr*64 AS INT)], x -> x*x))) AS en
+             |  FROM s)
+             |SELECT doc_id, CAST(n_samples AS INT) AS n_samples,
+             |  CAST(n_frames AS INT) AS n_frames,
+             |  CAST(list_sum(en) AS BIGINT) AS total_energy,
+             |  CAST(list_max(en) AS BIGINT) AS peak_frame_energy,
+             |  CAST(list_position(en, list_max(en)) AS INT) AS peak_frame_idx
+             |FROM f WHERE n_frames >= 1 ORDER BY doc_id""".stripMargin))
   )
 }

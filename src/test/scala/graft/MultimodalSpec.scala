@@ -134,4 +134,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length === 130)
     assert(out.map(_.doc_id).toSet === (0L until 130L).toSet)
   }
+
+  test("wavSamples round-trips the PCM body as signed 16-bit LE") {
+    // even byte count, mono: samples are exactly the LE pairs
+    val body = Array[Byte](0x10, 0x00, 0x00, 0x01, 0xff.toByte, 0x7f, 0x00, 0x80.toByte)
+    val wav = Multimodal.buildWav(8000, 1, body)
+    val sm = Multimodal.wavSamples(wav).get
+    assert(sm.toSeq === Seq(16, 256, 32767, -32768))
+    // truncation to whole frames: stereo blockAlign 4 drops the tail pair
+    val wav2 = Multimodal.buildWav(8000, 2, body.take(6))
+    assert(Multimodal.wavSamples(wav2).get.length === 2)
+    // non-WAVE bytes refuse to parse
+    assert(Multimodal.wavSamples("not a riff".getBytes("UTF-8")) === None)
+    assert(Multimodal.wavSamples(Array.emptyByteArray) === None)
+  }
+
+  test("audio energy features replay on a driver recompute of one doc") {
+    val df = SparkEntry.queries("q_media_audio_energy")(spark, sf)
+    val row = df.head()
+    val docId = row.getAs[Long]("doc_id")
+    val text = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === docId)
+      .head().getAs[String]("text")
+    val ba = 2 * (1 + docId % 2).toInt
+    val bytes = text.getBytes("UTF-8")
+    val n = bytes.length / ba * ba / 2
+    val sm = (0 until n).map(i => (bytes(2 * i) & 0xff) + 256 * (bytes(2 * i + 1) & 0xff))
+    val energies = sm.take(n / 64 * 64).grouped(64)
+      .map(_.map(v => v.toLong * v).sum).toSeq
+    assert(row.getAs[Int]("n_samples") === n)
+    assert(row.getAs[Int]("n_frames") === energies.length)
+    assert(row.getAs[Long]("total_energy") === energies.sum)
+    assert(row.getAs[Long]("peak_frame_energy") === energies.max)
+    assert(row.getAs[Int]("peak_frame_idx") === energies.indexOf(energies.max) + 1)
+  }
 }

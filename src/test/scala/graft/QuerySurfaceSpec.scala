@@ -18,8 +18,10 @@ class QuerySurfaceSpec extends AnyFunSuite {
 
   test("quadratic baselines are tagged and mechanically excluded from scale benches") {
     val excluded = SparkEntry.allDefs.filter(_.scaleExcluded).map(_.name).toSet
-    // exactly the deliberately all-pairs / fixed-band fixtures
-    assert(excluded === Set("q_dedup_ngram", "q_dedup_embed", "q_dedup_simhash"))
+    // exactly the deliberately all-pairs / fixed-band fixtures, plus
+    // the screen-evaluation entry whose ground-truth side IS one
+    assert(excluded === Set("q_dedup_ngram", "q_dedup_embed",
+      "q_dedup_simhash", "q_dedup_lsh_recall"))
     // every tagged baseline keeps its oracle (verify-scale correctness
     // is the reason it exists) and never reaches the headline set
     excluded.foreach { n =>
