@@ -87,6 +87,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0L)
   }
 
+  test("session windows hold under the RocksDB state store provider") {
+    // the production state backend at 100 TB: keyed state spills to
+    // local RocksDB instead of living on the JVM heap (heap state is
+    // bounded by executor memory; RocksDB state is bounded by disk).
+    // The provider must be a pure swap — identical results to the
+    // default HDFS-backed heap provider on the same input.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runStream("t_session_rocks", EventStreams.sessionAgg)
+        .filter(col("user_id") >= 0)
+      val batch = StreamingTwins.defs.find(_.name == "q_stream_session").get
+        .fn(spark, sf)
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup keeps the first arrival per (user, type)") {
     val streamed = runStream("t_dedup", EventStreams.dedupStream)
       .filter(col("user_id") >= 0)
