@@ -426,7 +426,15 @@ object Bench {
     "q_dedup_threshold_curve",
     // round 12, fifth wave: PCM feature extraction inside the audio
     // payloads (batched mapPartitions decode, exact integer energies)
-    "q_media_audio_energy")
+    "q_media_audio_energy",
+    // round 12, sixth wave — entered the headline AFTER the round-12
+    // sweep was committed, so their first swept timings land in round
+    // 13 (the q_skyline_3d precedent): the PIT multi-feature
+    // enrichment (k features, ONE union-window pass — plan-pinned) and
+    // the per-source dedup impact report (one keyed agg over the
+    // memoized survivor relation)
+    "q_join_pit",
+    "q_corpus_dedup_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1296,6 +1296,43 @@ object Clustering {
               |       CAST(SUM(doc_id) AS BIGINT) AS kept_checksum
               |FROM kept""".stripMargin)),
 
+    // Dedup impact report, per source — the accounting table a corpus
+    // owner signs off on before a dedup pass ships: how many documents
+    // and tokens each source loses, and its loss rate. One left join of
+    // the doc frame against the removed set (both already computed by
+    // the dedup family's memoized relations — no new expensive stage),
+    // one keyed aggregate. The loss RATE is a single int/int division.
+    QueryDef(
+      "q_corpus_dedup_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .selectExpr("doc_id", "source", "size(split(text, ' ')) AS n_tok")
+        val cc = connectedComponents(Dedup.minhashPairs(s, d).select("a", "b"))
+        val removed = cc.filter(col("v") =!= col("lab"))
+          .select(col("v").as("doc_id"), lit(1L).as("rm"))
+        docs.join(removed, Seq("doc_id"), "left_outer")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("rm"), lit(0L))).cast("bigint").as("n_removed"),
+            sum(col("n_tok")).cast("bigint").as("n_toks"),
+            sum(coalesce(col("rm"), lit(0L)) * col("n_tok")).cast("bigint").as("toks_removed"))
+          .selectExpr("source", "n_docs", "n_removed", "n_toks", "toks_removed",
+            "CAST(toks_removed AS DOUBLE) / n_toks AS tok_loss_rate")
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $duckCcCtes,
+              |removed AS (SELECT v AS doc_id FROM cc WHERE v <> cluster),
+              |j AS (
+              |  SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
+              |    CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rm
+              |  FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(rm) AS BIGINT) AS n_removed,
+              |  CAST(SUM(n_tok) AS BIGINT) AS n_toks,
+              |  CAST(SUM(rm * n_tok) AS BIGINT) AS toks_removed,
+              |  CAST(SUM(rm * n_tok) AS DOUBLE) / SUM(n_tok) AS tok_loss_rate
+              |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
     // Link prediction over the near-dup graph: common-neighbors count
     // and Adamic-Adar score for every NON-adjacent pair that shares at
     // least one neighbor — "which documents will probably turn out to

@@ -240,6 +240,54 @@ object Joins {
              |FROM events p WHERE p.event_type = 'purchase'
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Point-in-time MULTI-feature enrichment — the feature-store read
+    // path: each probe row (purchase) takes the latest value of SEVERAL
+    // versioned attributes as of its own timestamp, with zero future
+    // leakage. The naive form is one as-of join per feature (k fact
+    // shuffles); this is q_join_asof's union-window generalized to k
+    // features in ONE pass — union the probe with every feature stream,
+    // one user-keyed window, one `last(ignoreNulls)` column per
+    // feature. k grows the column list, never the shuffle count. The
+    // oracle is the k-correlated-subqueries form.
+    QueryDef(
+      "q_join_pit",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"),
+            lit(null).cast("timestamp").as("f_signup_ts"),
+            lit(null).cast("long").as("f_click_cents"))
+        val fSignup = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"),
+            col("ts").as("f_signup_ts"),
+            lit(null).cast("long").as("f_click_cents"))
+        val fClick = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"),
+            lit(null).cast("timestamp").as("f_signup_ts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("f_click_cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        probes.unionAll(fSignup).unionAll(fClick)
+          .withColumn("last_signup_ts", last(col("f_signup_ts"), ignoreNulls = true).over(w))
+          .withColumn("last_click_cents", last(col("f_click_cents"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("last_signup_ts"), col("last_click_cents"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+             |  (SELECT MAX(s.ts) FROM events s
+             |   WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts)
+             |    AS last_signup_ts,
+             |  (SELECT CAST(round(c.value * 100) AS BIGINT) FROM events c
+             |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+             |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+             |    AS last_click_cents
+             |FROM events p WHERE p.event_type = 'purchase'
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Fuzzy join (record linkage): same-entity detection across dirty
     // name columns. The scalable shape is blocking → equi-join →
     // verify: candidates come from an equi-join on a cheap blocking key

@@ -515,4 +515,13 @@ class PlanSpec extends AnyFunSuite {
     val scanAt = p.indexOf("graft_dpp")
     assert(scanAt >= 0, s"fact scan of the partitioned table missing:\n$p")
   }
+
+  test("q_join_pit: k features ride ONE window pass — no per-feature join") {
+    val p = plan("q_join_pit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"PIT enrichment must not join per feature:\n$p")
+    // exactly one Window node computes both last() columns
+    val winCount = "\\bWindow\\b".r.findAllIn(p).length
+    assert(winCount === 1, s"expected ONE window pass, got $winCount:\n$p")
+  }
 }

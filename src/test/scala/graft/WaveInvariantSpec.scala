@@ -1077,4 +1077,32 @@ class WaveInvariantSpec extends AnyFunSuite {
     val ge = rows.map(_.getAs[Long]("n_pairs_ge"))
     ge.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
   }
+
+  test("dedup report: per-source removals sum to the survivor pass's global count") {
+    val rows = SparkEntry.queries("q_corpus_dedup_report")(spark, sf).collect()
+    val global = SparkEntry.queries("q_dedup_survivors")(spark, sf).head()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === global.getAs[Long]("n_total"))
+    assert(rows.map(_.getAs[Long]("n_removed")).sum === global.getAs[Long]("n_removed"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("toks_removed") <= r.getAs[Long]("n_toks"))
+      val rate = r.getAs[Double]("tok_loss_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("PIT multi-feature join: no future leakage, matches two single as-ofs") {
+    val rows = SparkEntry.queries("q_join_pit")(spark, sf).collect()
+    // the signup feature must equal the single-feature as-of join's answer
+    val single = SparkEntry.queries("q_join_asof")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[java.sql.Timestamp]("last_signup_ts"))
+      .toMap
+    assert(rows.length === single.size)
+    rows.foreach { r =>
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      assert(r.getAs[java.sql.Timestamp]("last_signup_ts") === single(r.getAs[Long]("event_id")))
+      // no feature value may come from the probe's future
+      Option(r.getAs[java.sql.Timestamp]("last_signup_ts"))
+        .foreach(f => assert(!f.after(ts)))
+    }
+  }
 }
