@@ -434,7 +434,9 @@ object Bench {
     // the per-source dedup impact report (one keyed agg over the
     // memoized survivor relation)
     "q_join_pit",
-    "q_corpus_dedup_report")
+    "q_corpus_dedup_report",
+    // mergeable histogram sketches (quantile analog of q_agg_hll_merge)
+    "q_agg_hist_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

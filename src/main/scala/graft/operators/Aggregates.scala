@@ -1127,6 +1127,82 @@ object Aggregates {
              |  TRUE AS est_within_5pct
              |FROM ex ORDER BY day""".stripMargin)),
 
+    // Mergeable HISTOGRAM sketches — the quantile analog of
+    // q_agg_hll_merge: each day materializes a fixed 64-bin count
+    // histogram of `value` (a few hundred bytes), and any rollup
+    // percentile is answered from the SUMMED bins, never a re-scan or
+    // a re-sort of raw rows. Unlike a t-digest the state is fully
+    // deterministic (bin = value div 8, integer counts), so the oracle
+    // replays the sketch EXACTLY — per-day p95 bins, the merged-bin
+    // p95, and the one-bin-accuracy boolean against each engine's own
+    // exact interpolated percentile. Error is bounded by the bin width
+    // by construction; the boolean makes it a checked value.
+    QueryDef(
+      "q_agg_hist_merge",
+      (s, d) => {
+        val binned = Tables.events(s, d)
+          .selectExpr("CAST(ts AS DATE) AS day",
+            "CAST(least(63.0, floor(value / 8.0)) AS INT) AS bin", "value")
+        val daily = binned.groupBy("day", "bin")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        def p95bin(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) = {
+          import org.apache.spark.sql.expressions.Window
+          val part = if (keys.isEmpty) Window.partitionBy(lit(1))
+                     else Window.partitionBy(keys.map(col): _*)
+          val w = part.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+          df.withColumn("cum", sum(col("c")).over(w))
+            .withColumn("tot", sum(col("c")).over(part))
+            .filter(col("cum") * 20 >= col("tot") * 19)
+            .groupBy(keys.map(col): _*)
+            .agg(min(col("bin")).as("p95_bin"), max(col("tot")).as("n"))
+        }
+        val dayRows = p95bin(daily, Seq("day"))
+          .selectExpr("CAST(day AS STRING) AS slice", "n", "p95_bin")
+        val merged = p95bin(
+          daily.groupBy("bin").agg(sum(col("c")).as("c")), Seq.empty)
+        val exact = Tables.events(s, d)
+          .agg(expr("percentile(value, 0.95)").as("p95_exact"))
+        val allRow = merged.crossJoin(exact)
+          .selectExpr("'ALL' AS slice", "n", "p95_bin",
+            "p95_exact >= p95_bin * 8.0 - 1e-9 AND p95_exact < (p95_bin + 1) * 8.0 + 1e-9 AS within_bin")
+        dayRows.withColumn("within_bin", lit(true))
+          .select("slice", "n", "p95_bin", "within_bin")
+          .unionAll(allRow.select("slice", "n", "p95_bin", "within_bin"))
+          .orderBy("slice")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(least(63.0, floor(value / 8.0)) AS INT) AS bin, value
+             |  FROM events),
+             |daily AS (SELECT day, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+             |dd AS (
+             |  SELECT day, bin, c,
+             |    SUM(c) OVER (PARTITION BY day ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(c) OVER (PARTITION BY day) AS tot
+             |  FROM daily),
+             |dayrows AS (
+             |  SELECT CAST(day AS VARCHAR) AS slice, CAST(MAX(tot) AS BIGINT) AS n,
+             |    CAST(MIN(bin) AS INT) AS p95_bin, TRUE AS within_bin
+             |  FROM dd WHERE cum * 20 >= tot * 19 GROUP BY day),
+             |m AS (SELECT bin, SUM(c) AS c FROM daily GROUP BY 1),
+             |mm AS (
+             |  SELECT bin, SUM(c) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(c) OVER () AS tot
+             |  FROM m),
+             |mr AS (SELECT CAST(MIN(bin) AS INT) AS p95_bin,
+             |    CAST(MAX(tot) AS BIGINT) AS n
+             |  FROM mm WHERE cum * 20 >= tot * 19),
+             |ex AS (SELECT quantile_cont(value, 0.95) AS p95_exact FROM events)
+             |SELECT slice, n, p95_bin, within_bin FROM dayrows
+             |UNION ALL
+             |SELECT 'ALL', n, p95_bin,
+             |  p95_exact >= p95_bin * 8.0 - 1e-9 AND p95_exact < (p95_bin + 1) * 8.0 + 1e-9
+             |FROM mr, ex
+             |ORDER BY slice""".stripMargin)),
+
     // Weighted percentile (weighted median of price, weight = quantity)
     // per group — the inventory-weighted "typical price" plain median
     // misstates. Exact and distributed: collapse to per-(group, value)

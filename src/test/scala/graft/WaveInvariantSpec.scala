@@ -1090,6 +1090,32 @@ class WaveInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("hist merge: merged-bin p95 equals a driver recompute and brackets the exact") {
+    val rows = SparkEntry.queries("q_agg_hist_merge")(spark, sf).collect()
+    val all = rows.find(_.getAs[String]("slice") == "ALL").get
+    val values = Tables.events(spark, sf).select("value").collect()
+      .map(_.getDouble(0)).sorted
+    // driver recompute of the merged histogram's p95 bin
+    val bins = values.map(v => math.min(63, math.floor(v / 8.0).toInt))
+    val counts = bins.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = values.length.toLong
+    var cum = 0L
+    val expectBin = (0 to 63).find { b =>
+      cum += counts.getOrElse(b, 0L); cum * 20 >= tot * 19
+    }.get
+    assert(all.getAs[Int]("p95_bin") === expectBin)
+    assert(all.getAs[Long]("n") === tot)
+    // the sketch's error contract: exact p95 within one bin width
+    val h = 1 + 0.95 * (values.length - 1)
+    val exact = values(h.toInt - 1) +
+      (h - h.toInt) * (values(math.min(values.length, h.toInt + 1) - 1) - values(h.toInt - 1))
+    assert(math.abs(exact - (expectBin * 8.0 + 4.0)) <= 8.0 + 1e-9,
+      s"exact $exact vs bin $expectBin")
+    // per-day rows conserve the event count
+    assert(rows.filter(_.getAs[String]("slice") != "ALL")
+      .map(_.getAs[Long]("n")).sum === tot)
+  }
+
   test("PIT multi-feature join: no future leakage, matches two single as-ofs") {
     val rows = SparkEntry.queries("q_join_pit")(spark, sf).collect()
     // the signup feature must equal the single-feature as-of join's answer
