@@ -896,10 +896,28 @@ object Dedup {
     // the cut), and two docs can pass τ only if their prefixes share a
     // token — so the self-join runs over the RARE end of the token
     // distribution, the load-bearing trick: frequent shingles never
-    // join. Verification is exact set arithmetic (|∩|·5 ≥ |∪|·3 —
+    // join. THREE candidate pruning stages run BEFORE the expensive
+    // exact-verification join (the r11 sf10 hotspot — 147.7 s median —
+    // was verifying every prefix-overlap pair):
+    //   1. length filter inside the token join: Jaccard ≥ 3/5 needs
+    //      5·min(|a|,|b|) ≥ 3·max(|a|,|b|) — cross-document size
+    //      mismatches die on the spot, never reaching the group-by;
+    //   2. PPJoin positional filter on the FIRST common prefix token
+    //      (min (pa,pb) over matched tokens — both docs sort by the
+    //      same global (df,h) order, so for any true pair the globally
+    //      first common token is inside both prefixes and lexicographic
+    //      min recovers its positions): overlap ≤ min(|a|−pa,|b|−pb)+1,
+    //      and passing τ needs 8·overlap ≥ 3·(|a|+|b|), so candidates
+    //      whose positional bound can't reach that die pre-join;
+    //   3. verification computes array_intersect ONCE per survivor and
+    //      derives the union from the carried sizes (|a|+|b|−|∩|) —
+    //      the full shingle arrays are projected away in the same
+    //      select, never carried past the intersect.
+    // Verification stays exact set arithmetic (|∩|·5 ≥ |∪|·3 —
     // cross-multiplied, no float threshold). Per-doc sorted arrays are
     // bounded by doc length; the candidate join is keyed on single
-    // rare tokens.
+    // rare tokens. WaveInvariantSpec pins completeness against the
+    // brute-force all-pairs truth; PlanSpec pins the pruning regime.
     QueryDef(
       "q_dedup_prefix_filter",
       (s, d) => {
@@ -908,21 +926,38 @@ object Dedup {
         val pref = sh.join(df.hint("shuffle_hash"), "h")
           .groupBy("doc_id")
           .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
-          .selectExpr("doc_id",
+          .selectExpr("doc_id", "size(arr) AS sz",
             "slice(arr, 1, CAST(size(arr) - ((3 * size(arr) + 4) div 5) + 1 AS INT)) AS pre")
-          .selectExpr("doc_id", "explode(pre) AS p")
-          .selectExpr("doc_id", "p.h AS h")
-        val cand = pref.select(col("doc_id").as("a"), col("h"))
-          .join(pref.select(col("doc_id").as("b"), col("h")), "h")
+          .selectExpr("doc_id", "sz", "posexplode(pre) AS (p0, pr)")
+          .selectExpr("doc_id", "sz", "p0 + 1 AS p", "pr.h AS h")
+        val cand = pref.select(col("doc_id").as("a"), col("sz").as("sza"),
+            col("p").as("pa"), col("h"))
+          .join(pref.select(col("doc_id").as("b"), col("sz").as("szb"),
+            col("p").as("pb"), col("h")), "h")
           .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
+          .filter(least(col("sza"), col("szb")) * 5 >=
+            greatest(col("sza"), col("szb")) * 3)
+          .groupBy("a", "b")
+          .agg(min(struct(col("pa"), col("pb"))).as("fst"),
+            first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+          .filter((least(col("sza") - col("fst.pa"), col("szb") - col("fst.pb"))
+            + 1) * 8 >= (col("sza") + col("szb")) * 3)
+          .select("a", "b", "sza", "szb")
         val hs = shingleFrame(s, d).select(col("doc_id"), col("hs"))
         cand
-          .join(hs.select(col("doc_id").as("a"), col("hs").as("hsa")), "a")
-          .join(hs.select(col("doc_id").as("b"), col("hs").as("hsb")), "b")
-          .selectExpr("a", "b",
-            "size(array_intersect(hsa, hsb)) AS inter",
-            "size(hsa) + size(hsb) - size(array_intersect(hsa, hsb)) AS un")
+          .join(hs.select(col("doc_id").as("a"), col("hs").as("hsa"))
+            .hint("shuffle_hash"), "a")
+          .join(hs.select(col("doc_id").as("b"), col("hs").as("hsb"))
+            .hint("shuffle_hash"), "b")
+          // explode-of-singleton is a deliberate optimizer barrier: a
+          // filter cannot push through a Generate's OUTPUT attribute,
+          // so the τ predicate below stays ABOVE this projection and
+          // array_intersect is evaluated exactly once per candidate
+          // (plain select would let PushDownPredicates substitute the
+          // intersect into the filter — the r11 double-eval defect)
+          .selectExpr("a", "b", "sza", "szb",
+            "explode(array(size(array_intersect(hsa, hsb)))) AS inter")
+          .selectExpr("a", "b", "inter", "sza + szb - inter AS un")
           .filter(col("inter") * 5 >= col("un") * 3)
           .selectExpr("a", "b", "inter", "un",
             "CAST(inter AS DOUBLE) / un AS jaccard")

@@ -524,4 +524,25 @@ class PlanSpec extends AnyFunSuite {
     val winCount = "\\bWindow\\b".r.findAllIn(p).length
     assert(winCount === 1, s"expected ONE window pass, got $winCount:\n$p")
   }
+
+  test("q_dedup_prefix_filter: candidates are length+position pruned BEFORE exact verification, one intersect") {
+    val p = plan("q_dedup_prefix_filter")
+    // (1) the length filter (5·min ≥ 3·max) runs inside the candidate
+    // token join — greatest/least appear as join-stage predicates
+    assert(p.contains("greatest") && p.contains("least"),
+      s"length filter missing from candidate stage:\n$p")
+    // (2) the PPJoin positional bound gates the verification join: the
+    // (bound+1)*8 >= (sza+szb)*3 predicate must be in the plan
+    assert(p.contains("* 8)") && p.contains("* 3)"),
+      s"positional filter missing:\n$p")
+    // (3) exact verification computes array_intersect exactly ONCE —
+    // the r11 plan evaluated it twice per candidate (inter and union)
+    val intersects = "array_intersect".r.findAllIn(p).length
+    assert(intersects === 1,
+      s"expected ONE array_intersect in the plan, got $intersects:\n$p")
+    // (4) the full shingle arrays never survive past the intersect —
+    // no sort operator over an hs-carrying frame (hash join, not SMJ)
+    assert(!p.contains("SortMergeJoin"),
+      s"verification join must hash, not sort the array payloads:\n$p")
+  }
 }
