@@ -27,13 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Poisson(1) inverse-CDF thresholds scaled to 2⁶⁰ for
-    * q_sample_bootstrap: T_k = floor(CDF(k)·2⁶⁰) for k = 0..7 (tail
-    * mass past 8 events < 1e-5·2⁻³ — truncated identically in both
-    * engines by construction). A 60-bit uniform u draws weight
-    * w = #{T_k ≤ u}. */
+  /** Poisson(1) inverse-CDF thresholds scaled to 2³⁰ for
+    * q_sample_bootstrap: T_k = floor(CDF(k)·2³⁰) for k = 0..7 (the
+    * truncated tail past 8 events carries ~1.1e-6 of the mass —
+    * truncated identically in both engines by construction). A 30-bit
+    * uniform u draws weight w = #{T_k ≤ u}. 30 bits (not the r11 60)
+    * so each md5 digest yields FOUR uniforms — the r12 digest-halving:
+    * an 8-hex-char slice is 32 uniform bits and 2³² is divisible by
+    * 2³⁰, so `% 2³⁰` is exactly unbiased, no rejection step needed. */
   private[graft] val bootstrapThresholds: Seq[Long] = {
-    val pow = math.pow(2, 60)
+    val pow = math.pow(2, 30)
     val pmf = (1 to 7).scanLeft(math.exp(-1.0)) { case (p, k) => p / k }
     pmf.scanLeft(0.0)(_ + _).tail.map(c => math.min(pow - 1, math.floor(c * pow)).toLong)
   }
@@ -477,23 +480,25 @@ object Sampling {
     // moment sums are exact BIGINT cents; each replicate mean is one
     // float division.
     //
-    // Cost shape (the r11 perf fix, 20.6 → sub-second at sf0.1): ONE
-    // md5 per replicate PAIR (halves are hex chars 1-15 and 17-31 of
-    // md5("bs:<g>:<okey>") — 8 digests/row, not 16), the threshold
-    // count is a codegen CASE chain over the ascending thresholds
-    // (not an interpreted array-HOF), and there is NO row explosion:
-    // all 16 (Σw·x, Σw) pairs accumulate as 32 columns of one global
-    // aggregate (partial map-side combine → 32 longs per partition),
-    // and the single result row is stack()ed into the 16 replicate
-    // rows at the very end.
+    // Cost shape (r11 fix: one pass, no explosion; r12 fix: digest
+    // halving): ONE md5 per replicate QUAD — each digest's four
+    // 8-hex-char slices are four independent 32-bit uniforms, reduced
+    // mod 2³⁰ (exact, since 2³² | 2³⁰ evenly divides) to match the
+    // 2³⁰-scaled thresholds — so 4 digests/row, not the r11 8 or the
+    // original 16. The threshold count is a codegen CASE chain over
+    // the ascending thresholds (not an interpreted array-HOF), and
+    // there is NO row explosion: all 16 (Σw·x, Σw) pairs accumulate as
+    // 32 columns of one global aggregate (partial map-side combine →
+    // 32 longs per partition), and the single result row is stack()ed
+    // into the 16 replicate rows at the very end.
     QueryDef(
       "q_sample_bootstrap",
       (s, d) => {
-        val hashes = (0 until 8).map(g =>
+        val hashes = (0 until 4).map(g =>
           s"md5(concat('bs:', '$g', ':', CAST(o_orderkey AS STRING))) AS h$g")
         val uniforms = (0 until 16).map { r =>
-          val pos = 1 + 16 * (r % 2)
-          s"CAST(conv(substr(h${r / 2}, $pos, 15), 16, 10) AS BIGINT) AS u$r"
+          val pos = 1 + 8 * (r % 4)
+          s"CAST(conv(substr(h${r / 4}, $pos, 8), 16, 10) AS BIGINT) % 1073741824 AS u$r"
         }
         val weights = (0 until 16).map { r =>
           val chain = bootstrapThresholds.zipWithIndex
@@ -532,9 +537,9 @@ object Sampling {
            |  FROM orders),
            |uni AS (
            |  SELECT r, cents,
-           |    CAST(('0x' || substr(md5('bs:' || CAST(r // 2 AS VARCHAR) || ':' ||
-           |      CAST(o_orderkey AS VARCHAR)), CAST(1 + 16 * (r % 2) AS INT), 15))
-           |      AS BIGINT) AS u
+           |    CAST(('0x' || substr(md5('bs:' || CAST(r // 4 AS VARCHAR) || ':' ||
+           |      CAST(o_orderkey AS VARCHAR)), CAST(1 + 8 * (r % 4) AS INT), 8))
+           |      AS BIGINT) % 1073741824 AS u
            |  FROM ex),
            |wt AS (SELECT r, cents, CAST(CASE $chain ELSE 8 END AS BIGINT) AS w
            |  FROM uni)
