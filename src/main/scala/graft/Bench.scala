@@ -499,18 +499,21 @@ object Bench {
     val errs = failed.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","kind":"full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // Compact trailing line: the driver keeps only the LAST ~2000 chars
     // of stdout, so the full per-query line above (>>2000 chars at 170+
     // headline entries) arrives headless and unparseable (BENCH_r09/r10
     // both landed with parsed:null). This line carries the total, the
     // entry count, every error, and the slowest 40 entries at 3-decimal
-    // precision — sized to survive the tail capture whole. sweep.py
-    // keeps reading the full line (it picks the longest "metric" line).
+    // precision — sized to survive the tail capture whole. Both lines
+    // keep "metric":"total" (the driver's tail parser keys on it); the
+    // "kind" field is what distinguishes them — sweep.py selects
+    // kind=="full" by key instead of the old longest-line heuristic,
+    // which could mis-pick the compact line on small --only subsets.
     val top = ok.sortBy(-_._2).take(40)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${ok.size},"queries":$top,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","kind":"compact","value":${f"$total%.3f"},"unit":"sec","n_queries":${ok.size},"queries":$top,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       failed.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }

@@ -21,3 +21,19 @@ final case class QueryDef(
       * benches — [[Bench]] honors the tag instead of a list convention.
       * An explicit `SPARK_GRAFT_BENCH_ONLY` naming still runs one. */
     scaleExcluded: Boolean = false)
+
+/** Collision-proof tmpdir slice keys for write-path queries (compact /
+  * dynamic-overwrite / retention / DPP / binary-asset exports / format
+  * round-trips). `String.hashCode` alone can collide across dataset
+  * paths — two concurrent benches on colliding paths would silently
+  * cross-overwrite each other's slices mid-query — so the key embeds a
+  * sanitized form of the path itself alongside the hex hash: distinct
+  * datasets are structurally distinct, and the hash disambiguates any
+  * sanitization collisions. */
+object TmpSlices {
+  def key(d: String): String = {
+    val sane = d.replaceAll("[^A-Za-z0-9.]+", "_")
+      .replaceAll("^_+|_+$", "").takeRight(48)
+    s"${sane}_${java.lang.Integer.toHexString(d.hashCode)}"
+  }
+}

@@ -1654,7 +1654,11 @@ object Clustering {
           .localCheckpoint(true)
         val per = dims.groupBy("label").agg(
           countDistinct(col("vec_id")).as("n"),
-          sum(expr("CAST(qv * qv AS DECIMAL(28,0))")).as("qq"))
+          // operands cast BEFORE the multiply: qv*qv in BIGINT would
+          // wrap silently in Spark (non-ANSI) where DuckDB raises —
+          // DECIMAL(19,0) holds any BIGINT, so overflow is impossible
+          // rather than headroom-argued (r11 ADVICE)
+          sum(expr("CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0))")).as("qq"))
         val stats = cent.groupBy("label")
           .agg(sum(expr("CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))")).as("p"))
           .join(per, "label")
@@ -1670,7 +1674,10 @@ object Clustering {
           .join(nn.select(col("label").as("lb"), col("n").as("nb")),
             col("b.label") === col("lb"))
           .selectExpr("la", "lb", "na", "nb",
-            "CAST(a.sd * nb - b.sd * na AS DECIMAL(19,0)) AS diff")
+            // same discipline: sd·n in BIGINT wraps at ~2²⁰ vectors per
+            // label; DECIMAL operands make the cross-product exact
+            "CAST(CAST(a.sd AS DECIMAL(19,0)) * nb - " +
+              "CAST(b.sd AS DECIMAL(19,0)) * na AS DECIMAL(19,0)) AS diff")
           .groupBy("la", "lb", "na", "nb")
           .agg(sum(expr("diff * diff")).as("num"))
           .selectExpr("la AS label", "lb",
@@ -1695,7 +1702,7 @@ object Clustering {
              |  FROM dims GROUP BY 1, 2),
              |per AS (
              |  SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
-             |    SUM(CAST(qv * qv AS DECIMAL(28,0))) AS qq
+             |    SUM(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0))) AS qq
              |  FROM dims GROUP BY 1),
              |stats AS (
              |  SELECT cent.label, n,
@@ -1706,8 +1713,10 @@ object Clustering {
              |  GROUP BY cent.label, n, qq),
              |pairs AS (
              |  SELECT a.label AS la, b.label AS lb, pa.n AS na, pb.n AS nb,
-             |    SUM(CAST(a.sd * pb.n - b.sd * pa.n AS DECIMAL(19,0))
-             |      * CAST(a.sd * pb.n - b.sd * pa.n AS DECIMAL(19,0))) AS num
+             |    SUM(CAST(CAST(a.sd AS DECIMAL(19,0)) * pb.n
+             |          - CAST(b.sd AS DECIMAL(19,0)) * pa.n AS DECIMAL(19,0))
+             |      * CAST(CAST(a.sd AS DECIMAL(19,0)) * pb.n
+             |          - CAST(b.sd AS DECIMAL(19,0)) * pa.n AS DECIMAL(19,0))) AS num
              |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
              |  JOIN per pa ON pa.label = a.label
              |  JOIN per pb ON pb.label = b.label

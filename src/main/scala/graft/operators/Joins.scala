@@ -420,7 +420,7 @@ object Joins {
     QueryDef(
       "q_join_dpp",
       (s, d) => {
-        val key = java.lang.Integer.toHexString(d.hashCode)
+        val key = graft.TmpSlices.key(d)
         val dir = s"${sys.props("java.io.tmpdir")}/graft_dpp/$key"
         Tables.orders(s, d)
           .selectExpr("o_orderkey",

@@ -224,7 +224,7 @@ object Layout {
     QueryDef(
       "q_compact",
       (s, d) => {
-        val key = java.lang.Integer.toHexString(d.hashCode)
+        val key = graft.TmpSlices.key(d)
         val frag = s"${sys.props("java.io.tmpdir")}/graft_compact/frag_$key"
         val dst = s"${sys.props("java.io.tmpdir")}/graft_compact/dst_$key"
         Tables.documents(s, d).repartition(32)
@@ -261,7 +261,7 @@ object Layout {
     QueryDef(
       "q_write_dynamic",
       (s, d) => {
-        val key = java.lang.Integer.toHexString(d.hashCode)
+        val key = graft.TmpSlices.key(d)
         val dir = s"${sys.props("java.io.tmpdir")}/graft_dynpart/$key"
         val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -302,7 +302,7 @@ object Layout {
     QueryDef(
       "q_write_retention",
       (s, d) => {
-        val key = java.lang.Integer.toHexString(d.hashCode)
+        val key = graft.TmpSlices.key(d)
         val dir = s"${sys.props("java.io.tmpdir")}/graft_retention/$key"
         val ev = Tables.events(s, d)
         val deleteSet = ev.filter(col("event_type") === "error")

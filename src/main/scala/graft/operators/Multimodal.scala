@@ -597,7 +597,7 @@ object Multimodal {
         implicit val sp: SparkSession = s
         import sp.implicits._
         val dir = s"${sys.props("java.io.tmpdir")}/graft_binfiles/" +
-          java.lang.Integer.toHexString(d.hashCode)
+          graft.TmpSlices.key(d)
         val base = java.nio.file.Paths.get(dir)
         java.nio.file.Files.createDirectories(base)
         // driver-side idempotence: drop stale files before the export

@@ -30,7 +30,7 @@ object FileFormats {
   val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
 
   private def sliceDir(d: String, fmt: String): String = {
-    val key = java.lang.Integer.toHexString(d.hashCode)
+    val key = graft.TmpSlices.key(d)
     s"${sys.props("java.io.tmpdir")}/graft_roundtrip/${fmt}_$key"
   }
 

@@ -168,4 +168,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("peak_frame_energy") === energies.max)
     assert(row.getAs[Int]("peak_frame_idx") === energies.indexOf(energies.max) + 1)
   }
+
+  test("ASCII corpus invariant: the audio-energy oracle's char-indexed decode is only valid single-byte") {
+    // q_media_audio_energy's DuckDB oracle reads samples via
+    // character-indexed ascii(substr(text, i, 1)) treated as unsigned,
+    // while the Spark side decodes signed 16-bit LE *bytes*. The two
+    // agree iff every document is pure 7-bit ASCII (one byte per char,
+    // high bit clear). Pin that fixture contract explicitly, at every
+    // committed scale point present on this host, so a future corpus
+    // drop with multi-byte or >=0x80 text fails HERE and not as a
+    // silent oracle divergence. (r11 ADVICE, Multimodal.scala:693.)
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(d => new java.io.File(d).isDirectory)
+    dirs.foreach { d =>
+      val bad = Tables.documents(spark, d)
+        .selectExpr("doc_id", "octet_length(text) AS ol", "length(text) AS cl",
+          // any char above 0x7F has a multi-byte UTF-8 encoding, but
+          // also guard the (impossible in UTF-8, cheap to assert)
+          // one-byte >=0x80 case the sign-flip divergence needs
+          "length(regexp_replace(text, '[\\\\x00-\\\\x7F]', '')) AS n_nonascii")
+        .filter("ol <> cl OR n_nonascii > 0")
+        .count()
+      assert(bad === 0L,
+        s"$d/documents has non-ASCII text — the q_media_audio_energy " +
+          "oracle's char-indexed unsigned decode no longer matches the " +
+          "Spark byte decode; re-derive the oracle before trusting it")
+    }
+  }
 }

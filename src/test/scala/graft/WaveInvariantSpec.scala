@@ -1105,12 +1105,22 @@ class WaveInvariantSpec extends AnyFunSuite {
     }.get
     assert(all.getAs[Int]("p95_bin") === expectBin)
     assert(all.getAs[Long]("n") === tot)
-    // the sketch's error contract: exact p95 within one bin width
+    // the sketch's error contract is ONE-SIDED: the p95 bin's lower
+    // edge never exceeds the exact p95 (the cumulative count reaching
+    // 95% inside bin b means at least 5% of mass is at >= b·8), but
+    // the interpolated exact can cross the bin's UPPER edge when the
+    // next-ranked value lies in a higher bin — so assert the lower
+    // bound plus one interpolation step of slack above, not a
+    // symmetric ±bin_width bracket (r11 ADVICE, adversarial
+    // distributions can defeat the two-sided form)
     val h = 1 + 0.95 * (values.length - 1)
-    val exact = values(h.toInt - 1) +
-      (h - h.toInt) * (values(math.min(values.length, h.toInt + 1) - 1) - values(h.toInt - 1))
-    assert(math.abs(exact - (expectBin * 8.0 + 4.0)) <= 8.0 + 1e-9,
-      s"exact $exact vs bin $expectBin")
+    val lo = values(h.toInt - 1)
+    val hi = values(math.min(values.length, h.toInt + 1) - 1)
+    val exact = lo + (h - h.toInt) * (hi - lo)
+    assert(exact >= expectBin * 8.0 - 1e-9,
+      s"exact $exact below bin $expectBin lower edge")
+    assert(exact <= (expectBin + 1) * 8.0 + (hi - lo) + 1e-9,
+      s"exact $exact above bin $expectBin upper edge by more than one interpolation step")
     // per-day rows conserve the event count
     assert(rows.filter(_.getAs[String]("slice") != "ALL")
       .map(_.getAs[Long]("n")).sum === tot)

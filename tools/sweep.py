@@ -56,9 +56,15 @@ def run_bench(sf_dir, only=None):
     if not line:
         sys.exit(f"bench produced no JSON for {sf_dir} (only={only}):\n"
                  f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
-    # Bench prints the full per-query line first and a compact tail-safe
-    # summary (slowest-40) last — take the longest line = the full one.
-    d = json.loads(max(line, key=len))
+    # Bench prints the full per-query line (kind=full) first and a
+    # compact tail-safe summary (kind=compact, slowest-40, 3-decimal)
+    # last. Select the full line BY KEY — the old longest-line
+    # heuristic could mis-pick the compact line on small --only
+    # subsets (its extra n_queries key can outweigh a short map).
+    parsed = [json.loads(l) for l in line]
+    full = [d for d in parsed if d.get("kind") == "full"]
+    # pre-kind Bench builds: fall back to the longest line
+    d = full[0] if full else json.loads(max(line, key=len))
     if d.get("errors"):
         sys.exit(f"bench errors at {sf_dir}: {d['errors']}")
     return d["queries"]
