@@ -1249,6 +1249,50 @@ object Aggregates {
              |SELECT flag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
              |  CAST(MAX(tw) AS BIGINT) AS total_weight
              |FROM c WHERE cw * 2 >= tw
-             |GROUP BY flag ORDER BY flag""".stripMargin))
+             |GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    // PERSISTED mergeable sketches across sessions — the piece of the
+    // "incremental distinct at 100 TB" claim q_agg_hll_merge's single
+    // plan can't witness: the union must work from the STORED sketch
+    // BYTES alone, in a session that never saw the raw rows or the
+    // in-memory frames. Session A builds the per-day HLL sketches and
+    // writes them as a parquet store (binary sketch column + day);
+    // a FRESH isolated session (own SQLConf, catalog, temp views —
+    // `newSession()`; local[*] has one JVM/SparkContext by
+    // construction, so this is the strongest in-process isolation)
+    // re-reads the store cold and answers the global rollup from the
+    // bytes. Oracle contract follows q_agg_hll_merge: exact day and
+    // user counts from DuckDB, plus the 5%-accuracy boolean of the
+    // from-store union estimate. A sketch that doesn't round-trip
+    // through parquet serialization flips the boolean and fails the
+    // driver hash. IncrementalSpec additionally appends a second
+    // session's days to the store and pins union(all stored) ==
+    // within-tolerance-of one-shot global.
+    QueryDef(
+      "q_agg_hll_persist",
+      (s, d) => {
+        val dir = s"${sys.props("java.io.tmpdir")}/graft_hll_store/${graft.TmpSlices.key(d)}"
+        Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .write.mode("overwrite").parquet(dir)
+        val b = s.newSession()
+        val fromStore = b.read.parquet(dir)
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+            count(lit(1)).as("n_days"))
+        val exact = Tables.events(b, d)
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+            countDistinct(to_date(col("ts"))).as("n_days_exact"))
+        exact.crossJoin(broadcast(fromStore))
+          .selectExpr("n_days", "n_days_exact", "n_exact",
+            "n_days = n_days_exact AS store_complete",
+            "abs(est - n_exact) <= CAST(n_exact AS DOUBLE) * 0.05 AS est_within_5pct")
+      },
+      Some("""SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days_exact,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |  TRUE AS store_complete, TRUE AS est_within_5pct
+             |FROM events""".stripMargin))
   )
 }
