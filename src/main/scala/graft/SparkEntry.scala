@@ -26,6 +26,7 @@ object SparkEntry {
       operators.TimeSeries.defs ++
       operators.Cdc.defs ++
       operators.Layout.defs ++
+      operators.TxLog.defs ++
       operators.Incremental.defs ++
       operators.Profiling.defs ++
       operators.Quality.defs ++

@@ -1,0 +1,429 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Delta-style transactional commit protocol over a file manifest —
+  * the multi-writer lake-lifecycle capability the compaction /
+  * retention / dynamic-overwrite write paths don't model on their own:
+  * several writers, each holding a STALE snapshot, concurrently adding
+  * and removing files of a partitioned table, with optimistic
+  * concurrency deciding who commits and who must abort.
+  *
+  * The design follows the public Delta Lake / Iceberg commit model:
+  *
+  *  - A table is data files plus an ordered log of version manifests
+  *    (`_log/v%06d.tsv`, one line per action: add/remove, partition,
+  *    file). A snapshot is the log replayed in order: files added and
+  *    not later removed. Readers NEVER list the data directory — the
+  *    manifest is the source of truth, so concurrent writers can stage
+  *    data files freely (staged-but-uncommitted files are invisible).
+  *  - A writer reads a snapshot at version R, stages its data files,
+  *    then tries to commit at the lowest free slot v > R. Before every
+  *    attempt it re-reads the log tail (R, v): if any committed-later
+  *    version TOUCHES one of its partitions, the writer's snapshot was
+  *    stale in a way that matters — it aborts (real engines re-run the
+  *    transaction). Disjoint-partition writers rebase silently and
+  *    take the next slot — blind appends always win eventually.
+  *  - The slot claim is an ATOMIC CREATE-EXCLUSIVE of the manifest
+  *    file (POSIX O_CREAT|O_EXCL via `Files.createFile`; HDFS `create`
+  *    overwrite=false has the same semantics — the primitive public
+  *    log stores use there). Object stores without atomic create need
+  *    a coordinating log store in front; that substitution is config,
+  *    not protocol.
+  *
+  * At 100 TB the data writes are ordinary distributed parquet jobs;
+  * the log is metadata — bytes per commit, independent of data volume.
+  * Only the manifest lines pass through the driver.
+  *
+  * TxLogSpec races REAL threads over the create-exclusive slot claim
+  * (exactly one winner per slot) and runs a genuinely concurrent
+  * multi-writer append storm (all writers land, every file visible,
+  * zero aborts). The oracle entry `q_tx_commit` executes a
+  * deterministic three-writer script — append vs disjoint rewrite vs
+  * conflicting rewrite, all from the SAME stale snapshot — and proves
+  * the outcome by reading the final table THROUGH the manifest.
+  */
+object TxLog {
+
+  final case class Act(action: String, part: String, file: String)
+
+  /** Atomic slot claim with the manifest content ALREADY COMPLETE:
+    * stage the lines into a hidden temp file, then publish by hard
+    * link — POSIX link() fails with EEXIST if the slot is taken, and
+    * the linked name carries the fully-written content, so a
+    * concurrent reader can never observe a torn manifest (a bare
+    * create-then-write would expose an empty slot file mid-commit).
+    * HDFS substitutes its server-side atomic create(overwrite=false);
+    * object stores need a coordinating log store — config, not
+    * protocol. Returns false iff the slot was already taken. */
+  def tryCommit(logDir: String, version: Int, acts: Seq[Act]): Boolean = {
+    val dir = java.nio.file.Paths.get(logDir)
+    java.nio.file.Files.createDirectories(dir)
+    val path = dir.resolve(f"v$version%06d.tsv")
+    val stage = dir.resolve(
+      s".stage_${Thread.currentThread().getId}_${System.nanoTime()}")
+    java.nio.file.Files.write(stage,
+      acts.map(a => s"${a.action}\t${a.part}\t${a.file}")
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    try {
+      java.nio.file.Files.createLink(path, stage) // link() — atomic, EEXCL
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(stage)
+  }
+
+  /** Committed versions in order. */
+  def versions(logDir: String): Seq[Int] = {
+    val dir = java.nio.file.Paths.get(logDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val st = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".tsv"))
+        .map(n => n.stripPrefix("v").stripSuffix(".tsv").toInt)
+        .toSeq.sorted
+    } finally st.close()
+  }
+
+  def readActs(logDir: String, version: Int): Seq[Act] = {
+    val path = java.nio.file.Paths.get(logDir, f"v$version%06d.tsv")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(path).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val Array(a, p, f) = l.split("\t", 3); Act(a, p, f)
+      }
+  }
+
+  /** Snapshot at (up to and including) `asOf`: live files per
+    * partition after replaying the log in version order. */
+  def snapshotFiles(logDir: String, asOf: Int = Int.MaxValue): Map[String, Seq[String]] = {
+    val live = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    versions(logDir).filter(_ <= asOf).foreach { v =>
+      readActs(logDir, v).foreach {
+        case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
+        case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
+        case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
+      }
+    }
+    live.toMap.filter(_._2.nonEmpty)
+  }
+
+  /** Optimistic commit: stage was already written; claim the next free
+    * slot unless a version committed after `readVer` touched one of
+    * `touched` partitions. Returns the committed version, or None on
+    * logical conflict (caller must re-run its transaction). */
+  def commit(logDir: String, readVer: Int, acts: Seq[Act],
+             touched: Set[String]): Option[Int] = {
+    var attempt = math.max(readVer + 1, versions(logDir).lastOption.getOrElse(-1) + 1)
+    while (true) {
+      val committedSince = versions(logDir).filter(v => v > readVer && v < attempt)
+      val touchedSince = committedSince.flatMap(readActs(logDir, _)).map(_.part).toSet
+      if (touchedSince.intersect(touched).nonEmpty) return None
+      if (tryCommit(logDir, attempt, acts)) return Some(attempt)
+      attempt += 1 // slot raced away — rebase against the new tail
+    }
+    None // unreachable
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Three writers, one stale snapshot, deterministic outcome:
+    //   v0     base commit — one file per lang partition;
+    //   A(@v0) blind append of re-keyed duplicates into lang_max
+    //          → commits v1 (no one committed since v0);
+    //   B(@v0) rewrite of lang_min (remove base file, add evens-only)
+    //          → finds v1 taken, sees A touched only lang_max,
+    //            DISJOINT → rebases, commits v2;
+    //   C(@v0) rewrite of lang_max → sees A's v1 touched lang_max,
+    //            CONFLICT → aborts (n_aborted = 1).
+    // The result is read exclusively THROUGH the final manifest (the
+    // remove must actually hide the base lang_min file; the append
+    // must be visible) and pinned per-lang: count + key checksum, with
+    // the log shape (n_versions, n_aborted) on every row. DuckDB
+    // replays the same logical edits over `documents` directly.
+    QueryDef(
+      "q_tx_commit",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txlog/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        // idempotent re-run: the protocol twin starts from an empty table
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val langs = docs.select("lang").distinct()
+          .collect().map(_.getString(0)).sorted // bounded: #langs
+        val (lmin, lmax) = (langs.head, langs.last)
+
+        // v0: base commit, one staged file per partition
+        langs.foreach { l =>
+          docs.filter(col("lang") === l)
+            .write.mode("overwrite").parquet(s"$dataDir/base_$l")
+        }
+        val v0 = commit(logDir, -1,
+          langs.map(l => Act("add", l, s"base_$l")), langs.toSet)
+        require(v0.contains(0), s"base commit landed at $v0, expected 0")
+
+        // all three writers snapshot NOW — each holds readVer = 0
+        val snapVer = versions(logDir).last
+
+        // writer A: blind append into lmax (re-keyed duplicates)
+        docs.filter(col("lang") === lmax)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+          .write.mode("overwrite").parquet(s"$dataDir/appendA_$lmax")
+        val vA = commit(logDir, snapVer,
+          Seq(Act("add", lmax, s"appendA_$lmax")), Set(lmax))
+        require(vA.isDefined, "append A must never conflict")
+
+        // writer B: stale rewrite of lmin — disjoint from A, must rebase
+        docs.filter(col("lang") === lmin && col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$dataDir/rewriteB_$lmin")
+        val vB = commit(logDir, snapVer,
+          Seq(Act("remove", lmin, s"base_$lmin"),
+            Act("add", lmin, s"rewriteB_$lmin")), Set(lmin))
+        require(vB.isDefined, "disjoint rewrite B must rebase, not abort")
+
+        // writer C: stale rewrite of lmax — A got there first, must abort
+        docs.filter(col("lang") === lmax && col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$dataDir/rewriteC_$lmax")
+        val vC = commit(logDir, snapVer,
+          Seq(Act("remove", lmax, s"base_$lmax"),
+            Act("add", lmax, s"rewriteC_$lmax")), Set(lmax))
+        require(vC.isEmpty, s"conflicting rewrite C must abort, committed $vC")
+        val nAborted = 1L
+
+        // read the final table THROUGH the manifest
+        val liveFiles = snapshotFiles(logDir).values.flatten.toSeq.sorted
+          .map(f => s"$dataDir/$f")
+        val nVersions = versions(logDir).length.toLong
+        s.read.parquet(liveFiles: _*)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .withColumn("n_versions", lit(nVersions))
+          .withColumn("n_aborted", lit(nAborted))
+          .orderBy("lang")
+      },
+      Some("""WITH l AS (
+             |  SELECT MIN(lang) AS lmin, MAX(lang) AS lmax FROM documents),
+             |fin AS (
+             |  -- survivors of B's rewrite: evens only in lmin
+             |  SELECT lang, doc_id FROM documents, l
+             |  WHERE lang = lmin AND doc_id % 2 = 0
+             |  UNION ALL
+             |  -- untouched partitions
+             |  SELECT lang, doc_id FROM documents, l
+             |  WHERE lang <> lmin AND lang <> lmax
+             |  UNION ALL
+             |  -- lmax: base survives (C aborted) plus A's re-keyed appends
+             |  SELECT lang, doc_id FROM documents, l WHERE lang = lmax
+             |  UNION ALL
+             |  SELECT lang, doc_id + 1000000000 FROM documents, l
+             |  WHERE lang = lmax)
+             |SELECT lang, COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(3 AS BIGINT) AS n_versions,
+             |  CAST(1 AS BIGINT) AS n_aborted
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // TIME TRAVEL through the manifest — the read-side dividend of
+    // logging removes instead of deleting: an as-of read replays the
+    // log only up to the requested version, so every historical
+    // snapshot stays queryable for free until vacuum reclaims its
+    // files. Three versions of the lang_min partition (base → rewrite
+    // evens → append re-keyed odds), then ONE output row per version
+    // with that snapshot's count + checksum — each row read through
+    // `snapshotFiles(asOf = v)`. The oracle replays the same edit
+    // script over `documents` directly; a reader that leaks a future
+    // file into an old snapshot (or loses a past one) hash-mismatches
+    // on the exact checksum.
+    QueryDef(
+      "q_tx_timetravel",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txtt/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val lmin = docs.agg(min("lang")).head().getString(0)
+        val part = docs.filter(col("lang") === lmin)
+
+        part.write.mode("overwrite").parquet(s"$dataDir/f0")
+        require(commit(logDir, -1, Seq(Act("add", lmin, "f0")), Set(lmin)).contains(0))
+        part.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$dataDir/f1")
+        require(commit(logDir, 0,
+          Seq(Act("remove", lmin, "f0"), Act("add", lmin, "f1")), Set(lmin)).contains(1))
+        part.filter(col("doc_id") % 2 === 1)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+          .write.mode("overwrite").parquet(s"$dataDir/f2")
+        require(commit(logDir, 1, Seq(Act("add", lmin, "f2")), Set(lmin)).contains(2))
+
+        (0 to 2).map { v =>
+          val files = snapshotFiles(logDir, asOf = v).values.flatten.toSeq.sorted
+            .map(f => s"$dataDir/$f")
+          s.read.parquet(files: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+            .withColumn("version", lit(v))
+            .select("version", "n_rows", "key_checksum")
+        }.reduce(_ unionAll _).orderBy("version")
+      },
+      Some("""WITH l AS (SELECT MIN(lang) AS lmin FROM documents),
+             |p AS (SELECT doc_id FROM documents, l WHERE lang = lmin)
+             |SELECT 0 AS version, COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum FROM p
+             |UNION ALL
+             |SELECT 1, COUNT(*), CAST(SUM(doc_id * 7) AS BIGINT)
+             |FROM p WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT 2, COUNT(*), CAST(SUM(doc_id * 7) AS BIGINT) FROM (
+             |  SELECT doc_id FROM p WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000 FROM p WHERE doc_id % 2 = 1)
+             |ORDER BY version""".stripMargin)),
+
+    // CHECKPOINT + VACUUM — the two maintenance duties a manifest
+    // table owes its operators. Checkpoint: past N versions a reader
+    // replaying every manifest pays O(versions) metadata reads; a
+    // checkpoint file materializes the flattened snapshot so cold
+    // reads replay checkpoint + tail (O(1) + recent) — Delta's
+    // _last_checkpoint pattern. Vacuum: files no longer referenced by
+    // any retained snapshot (dead rewrites, crashed writers' staged-
+    // but-never-committed dirs) are physically reclaimed; the explicit
+    // trade-off — logged here as vacuumed counts the oracle pins — is
+    // that time travel beyond the retention horizon dies with them.
+    // The final read goes through the CHECKPOINT (require()d equal to
+    // the full log replay), so a wrong checkpoint fails the query, and
+    // the post-vacuum read proves the reclaim removed only dead bytes.
+    QueryDef(
+      "q_tx_vacuum",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txvac/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val langs = docs.select("lang").distinct()
+          .collect().map(_.getString(0)).sorted
+        val lmin = langs.head
+        langs.foreach { l =>
+          docs.filter(col("lang") === l)
+            .write.mode("overwrite").parquet(s"$dataDir/base_$l")
+        }
+        require(commit(logDir, -1,
+          langs.map(l => Act("add", l, s"base_$l")), langs.toSet).contains(0))
+        // v1 rewrite makes base_lmin DEAD (referenced only by v0)
+        docs.filter(col("lang") === lmin && col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$dataDir/live_$lmin")
+        require(commit(logDir, 0,
+          Seq(Act("remove", lmin, s"base_$lmin"), Act("add", lmin, s"live_$lmin")),
+          Set(lmin)).contains(1))
+        // a crashed writer: staged data, commit never attempted
+        docs.limit(1).write.mode("overwrite").parquet(s"$dataDir/staged_orphan")
+
+        // checkpoint the latest snapshot
+        val ckVer = versions(logDir).last
+        writeCheckpoint(logDir, ckVer)
+        val fromCk = readCheckpoint(logDir).get
+        require(fromCk == snapshotFiles(logDir, ckVer),
+          "checkpoint must equal the full log replay")
+
+        // vacuum with retention 0: live = latest snapshot only
+        val live = fromCk.values.flatten.toSet
+        val dataPath = java.nio.file.Paths.get(dataDir)
+        import scala.jdk.CollectionConverters._
+        val onDisk = {
+          val st = java.nio.file.Files.list(dataPath)
+          try st.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+          finally st.close()
+        }
+        val dead = onDisk.filterNot(live)
+        dead.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(s"$dataDir/$f")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        val files = fromCk.values.flatten.toSeq.sorted.map(f => s"$dataDir/$f")
+        s.read.parquet(files: _*)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .withColumn("n_live_files", lit(live.size.toLong))
+          .withColumn("n_vacuumed", lit(dead.size.toLong))
+          .orderBy("lang")
+      },
+      Some("""WITH l AS (SELECT MIN(lang) AS lmin FROM documents),
+             |nl AS (SELECT COUNT(DISTINCT lang) AS n FROM documents),
+             |fin AS (
+             |  SELECT lang, doc_id FROM documents, l
+             |  WHERE lang = lmin AND doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT lang, doc_id FROM documents, l WHERE lang <> lmin)
+             |SELECT lang, COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
+             |  (SELECT CAST(n AS BIGINT) FROM nl) AS n_live_files,
+             |  CAST(2 AS BIGINT) AS n_vacuumed
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+
+  /** Materialize the flattened snapshot at `version` as
+    * `_log/ckpt_v%06d.tsv` (add-lines only) — readers replay the
+    * newest checkpoint plus the log tail after it instead of the full
+    * history. The checkpoint is itself published atomically with the
+    * same staged-link discipline as commits. */
+  def writeCheckpoint(logDir: String, version: Int): Unit = {
+    val snap = snapshotFiles(logDir, version)
+    val dir = java.nio.file.Paths.get(logDir)
+    val stage = dir.resolve(s".stage_ck_${System.nanoTime()}")
+    val lines = snap.toSeq.sortBy(_._1).flatMap { case (p, fs) =>
+      fs.map(f => s"add\t$p\t$f")
+    }
+    java.nio.file.Files.write(stage,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val path = dir.resolve(f"ckpt_v$version%06d.tsv")
+    try java.nio.file.Files.createLink(path, stage)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally java.nio.file.Files.deleteIfExists(stage)
+  }
+
+  /** Snapshot from the newest checkpoint plus the tail of the log
+    * after it; None when no checkpoint exists yet. */
+  def readCheckpoint(logDir: String): Option[Map[String, Seq[String]]] = {
+    val dir = java.nio.file.Paths.get(logDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    import scala.jdk.CollectionConverters._
+    val cks = {
+      val st = java.nio.file.Files.list(dir)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("ckpt_v") && n.endsWith(".tsv"))
+        .map(n => n.stripPrefix("ckpt_v").stripSuffix(".tsv").toInt)
+        .toSeq.sorted
+      finally st.close()
+    }
+    cks.lastOption.map { ck =>
+      val live = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+      val ckPath = java.nio.file.Paths.get(logDir, f"ckpt_v$ck%06d.tsv")
+      val ckActs = java.nio.file.Files.readAllLines(ckPath).asScala.toSeq
+        .filter(_.nonEmpty).map { l =>
+          val Array(a, p, f) = l.split("\t", 3); Act(a, p, f)
+        }
+      (ckActs ++ versions(logDir).filter(_ > ck).flatMap(readActs(logDir, _)))
+        .foreach {
+          case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
+          case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
+          case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
+        }
+      live.toMap.filter(_._2.nonEmpty)
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import operators.TxLog
+import operators.TxLog.Act
+
+/** The transactional commit protocol under REAL concurrency: the
+  * oracle entry q_tx_commit scripts its interleaving for determinism;
+  * these tests race actual threads over the atomic slot claim and the
+  * full optimistic-commit loop.
+  */
+class TxLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshLog(tag: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_txlog/spec_$tag"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally st.close()
+    }
+    dir
+  }
+
+  test("slot claim is atomic: 16 threads race one version, exactly one wins") {
+    val log = freshLog("race_slot")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(16)
+    val threads = (0 until 16).map { i =>
+      new Thread(() => {
+        barrier.await()
+        if (TxLog.tryCommit(log, 0, Seq(Act("add", "p", s"f$i")))) wins.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() === 1, "create-exclusive must admit exactly one winner")
+    assert(TxLog.versions(log) === Seq(0))
+    // the winner's manifest is intact (no torn write from the losers)
+    assert(TxLog.readActs(log, 0).length === 1)
+  }
+
+  test("concurrent append storm: every blind-append writer lands, zero aborts, all files visible") {
+    val log = freshLog("race_storm")
+    assert(TxLog.tryCommit(log, 0, Seq(Act("add", "base", "f_base"))))
+    val n = 12
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        // every writer snapshots the SAME stale version 0 and appends
+        // its own partition — disjoint, so the rebase loop must carry
+        // all of them through whatever interleaving the race produces
+        TxLog.commit(log, 0, Seq(Act("add", s"part_$i", s"f_$i")), Set(s"part_$i")) match {
+          case Some(v) => committed.add(v)
+          case None    => aborted.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(aborted.get() === 0, "disjoint appends must never abort")
+    import scala.jdk.CollectionConverters._
+    val versions = committed.iterator().asScala.toSeq.sorted
+    assert(versions === (1 to n), s"expected dense version slots 1..$n, got $versions")
+    val snap = TxLog.snapshotFiles(log)
+    assert((0 until n).forall(i => snap.get(s"part_$i").exists(_.contains(s"f_$i"))),
+      s"snapshot missing appended files: $snap")
+  }
+
+  test("conflicting concurrent rewriters of ONE partition: exactly one commits, the rest abort") {
+    val log = freshLog("race_conflict")
+    assert(TxLog.tryCommit(log, 0, Seq(Act("add", "hot", "f0"))))
+    val n = 8
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        TxLog.commit(log, 0,
+          Seq(Act("remove", "hot", "f0"), Act("add", "hot", s"f_new_$i")),
+          Set("hot")) match {
+          case Some(_) => committed.incrementAndGet()
+          case None    => aborted.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(committed.get() === 1,
+      s"exactly one rewriter of the same partition may win, got ${committed.get()}")
+    assert(aborted.get() === n - 1)
+    // and the snapshot holds exactly the winner's file
+    val snap = TxLog.snapshotFiles(log)
+    assert(snap("hot").length === 1)
+    assert(snap("hot").head.startsWith("f_new_"))
+  }
+
+  test("snapshot isolation: an as-of read at an old version ignores later commits") {
+    val log = freshLog("asof")
+    assert(TxLog.tryCommit(log, 0, Seq(Act("add", "p", "f0"))))
+    assert(TxLog.commit(log, 0, Seq(Act("remove", "p", "f0"), Act("add", "p", "f1")),
+      Set("p")).contains(1))
+    assert(TxLog.snapshotFiles(log, asOf = 0)("p") === Seq("f0"))
+    assert(TxLog.snapshotFiles(log, asOf = 1)("p") === Seq("f1"))
+  }
+
+  test("checkpoint + tail replay equals the full log replay, including commits after the checkpoint") {
+    val log = freshLog("ckpt")
+    assert(TxLog.tryCommit(log, 0, Seq(Act("add", "a", "f0"), Act("add", "b", "g0"))))
+    assert(TxLog.commit(log, 0, Seq(Act("remove", "a", "f0"), Act("add", "a", "f1")),
+      Set("a")).contains(1))
+    TxLog.writeCheckpoint(log, 1)
+    // two commits AFTER the checkpoint — the tail the reader must replay
+    assert(TxLog.commit(log, 1, Seq(Act("add", "c", "h0")), Set("c")).contains(2))
+    assert(TxLog.commit(log, 2, Seq(Act("remove", "b", "g0")), Set("b")).contains(3))
+    val fromCk = TxLog.readCheckpoint(log).get
+    assert(fromCk === TxLog.snapshotFiles(log))
+    assert(fromCk === Map("a" -> Vector("f1"), "c" -> Vector("h0")))
+  }
+
+  test("q_tx_commit end-to-end: manifest read-back equals the logical edit replay") {
+    val out = SparkEntry.queries("q_tx_commit")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val langs = docs.map(_._2).distinct.sorted
+    val (lmin, lmax) = (langs.head, langs.last)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val expected: Seq[Long] = lang match {
+        case `lmin` => docs.collect { case (id, `lmin`) if id % 2 == 0 => id }.toSeq
+        case `lmax` => docs.collect { case (id, `lmax`) => id }.toSeq ++
+          docs.collect { case (id, `lmax`) => id + 1000000000L }.toSeq
+        case _ => docs.collect { case (id, l) if l == lang => id }.toSeq
+      }
+      assert(r.getAs[Long]("n_rows") === expected.length.toLong, s"lang=$lang")
+      assert(r.getAs[Long]("key_checksum") === expected.map(_ * 7).sum, s"lang=$lang")
+      assert(r.getAs[Long]("n_versions") === 3L)
+      assert(r.getAs[Long]("n_aborted") === 1L)
+    }
+    assert(out.map(_.getAs[String]("lang")).toSeq === langs)
+  }
+}
