@@ -99,17 +99,43 @@ object TxLog {
   }
 
   /** Snapshot at (up to and including) `asOf`: live files per
-    * partition after replaying the log in version order. */
+    * partition after replaying the log in version order. `txn` marker
+    * lines (writer-identity bookkeeping, see [[idempotentCommit]])
+    * carry no file state and are skipped. */
   def snapshotFiles(logDir: String, asOf: Int = Int.MaxValue): Map[String, Seq[String]] = {
     val live = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
     versions(logDir).filter(_ <= asOf).foreach { v =>
       readActs(logDir, v).foreach {
         case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
         case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
+        case Act("txn", _, _)    => ()
         case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
       }
     }
     live.toMap.filter(_._2.nonEmpty)
+  }
+
+  /** Highest transaction id committed by `appId`, from the `txn`
+    * marker lines — the Delta txnAppId/txnVersion pattern that makes a
+    * retried writer idempotent. */
+  def txnVersion(logDir: String, appId: String): Option[Long] =
+    versions(logDir).flatMap(readActs(logDir, _)).collect {
+      case Act("txn", `appId`, b) => b.toLong
+    }.sorted.lastOption
+
+  /** Exactly-once commit for replayable writers (a streaming
+    * foreachBatch sink retrying a failed microbatch, a restarted
+    * backfill job): the commit carries a (appId, batchId) marker line,
+    * and a commit whose batchId is <= the highest already-committed
+    * marker for the same appId is dropped as a duplicate delivery.
+    * Returns Right(version) on commit, Left("duplicate") on an
+    * idempotent skip, Left("conflict") on an OCC abort. */
+  def idempotentCommit(logDir: String, readVer: Int, acts: Seq[Act],
+                       touched: Set[String], appId: String,
+                       batchId: Long): Either[String, Int] = {
+    if (txnVersion(logDir, appId).exists(_ >= batchId)) return Left("duplicate")
+    commit(logDir, readVer, acts :+ Act("txn", appId, batchId.toString), touched)
+      .toRight("conflict")
   }
 
   /** Optimistic commit: stage was already written; claim the next free
@@ -373,6 +399,127 @@ object TxLog {
              |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
              |  (SELECT CAST(n AS BIGINT) FROM nl) AS n_live_files,
              |  CAST(2 AS BIGINT) AS n_vacuumed
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // EXACTLY-ONCE streaming sink through the transactional log — the
+    // production pattern for "stream into a lake table without
+    // duplicates on retry": a foreachBatch writer stages each
+    // microbatch's files and commits them with a (appId, batchId)
+    // marker (idempotentCommit — Delta's txnAppId/txnVersion
+    // discipline), so a REDELIVERED batch (failure between the data
+    // write and the engine recording the batch as done — the classic
+    // at-least-once window) is detected in the log and dropped instead
+    // of double-appended. A real AvailableNow file-source stream runs
+    // to completion inside the query (maxFilesPerTrigger=1 forces
+    // multiple batches when the source has multiple files), then the
+    // duplicate delivery is REPLAYED deliberately and must skip. The
+    // final table state, read through the manifest, is oracle-exact:
+    // any double-commit doubles a count and fails the driver hash —
+    // the exactly-once claim is the hash match itself, regardless of
+    // how the source files happened to batch.
+    QueryDef(
+      "q_tx_stream_sink",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txsink/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        // stage the source as a 4-file directory: the file-stream
+        // source needs a directory, and multiple files force multiple
+        // microbatches under maxFilesPerTrigger=1 — the retry window
+        // the marker protocol exists for
+        val srcDir = s"$base/src"
+        Tables.events(s, d).select(col("event_id"), col("event_type"))
+          .repartition(4).write.mode("overwrite").parquet(srcDir)
+        val sch = s.read.parquet(srcDir).schema
+        val appId = "graft_tx_sink"
+        val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream
+          .option("checkpointLocation", s"$base/_ckpt")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val file = f"batch_$batchId%06d"
+            df.write.mode("overwrite").parquet(s"$dataDir/$file")
+            val readVer = versions(logDir).lastOption.getOrElse(-1)
+            require(idempotentCommit(logDir, readVer,
+              Seq(Act("add", "all", file)), Set.empty, appId, batchId).isRight,
+              s"sink commit for batch $batchId must land")
+            lastBatch.updateAndGet(b => math.max(b, batchId))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
+        // deliberate duplicate delivery of the last batch — the
+        // at-least-once retry the marker must absorb
+        val retry = idempotentCommit(logDir,
+          versions(logDir).last, Seq(Act("add", "all", "batch_DUP")),
+          Set.empty, appId, lastBatch.get())
+        val retrySkipped = retry == Left("duplicate")
+
+        val files = snapshotFiles(logDir).values.flatten.toSeq.sorted
+          .map(f => s"$dataDir/$f")
+        s.read.parquet(files: _*)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id") * 7).cast("bigint").as("key_checksum"))
+          .withColumn("retry_skipped", lit(retrySkipped))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_rows,
+             |  CAST(SUM(event_id * 7) AS BIGINT) AS key_checksum,
+             |  TRUE AS retry_skipped
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // SCHEMA EVOLUTION on the manifest table: v1 appends files carrying
+    // a column v0's files don't have, and readers mergeSchema across
+    // the live set — old rows surface NULL for the new column, new
+    // rows carry it; nothing is rewritten (the 100 TB property: adding
+    // a column must be a metadata change, not a table rewrite). The
+    // oracle replays the same evolution logically: per-lang totals
+    // over old∪new rows, the non-null count isolating the new-schema
+    // rows, and the checksum covering both generations.
+    QueryDef(
+      "q_tx_schema_evolve",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txevo/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$dataDir/gen0")
+        require(commit(logDir, -1, Seq(Act("add", "all", "gen0")), Set("all")).contains(0))
+        docs.select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+          .write.mode("overwrite").parquet(s"$dataDir/gen1")
+        require(commit(logDir, 0, Seq(Act("add", "all", "gen1")), Set.empty).isDefined)
+
+        val files = snapshotFiles(logDir).values.flatten.toSeq.sorted
+          .map(f => s"$dataDir/$f")
+        s.read.option("mergeSchema", "true").parquet(files: _*)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("n_chars")).as("n_with_chars"),
+            sum(col("n_chars")).cast("bigint").as("chars_sum"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .orderBy("lang")
+      },
+      Some("""WITH fin AS (
+             |  SELECT lang, doc_id, CAST(NULL AS BIGINT) AS nc FROM documents
+             |  UNION ALL
+             |  SELECT lang, doc_id + 1000000000, CAST(n_chars AS BIGINT)
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS n_rows,
+             |  COUNT(nc) AS n_with_chars,
+             |  CAST(SUM(nc) AS BIGINT) AS chars_sum,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
              |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
@@ -421,6 +568,7 @@ object TxLog {
         .foreach {
           case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
           case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
+          case Act("txn", _, _)    => ()
           case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
         }
       live.toMap.filter(_._2.nonEmpty)

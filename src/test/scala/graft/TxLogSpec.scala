@@ -123,6 +123,29 @@ class TxLogSpec extends AnyFunSuite {
     assert(fromCk === Map("a" -> Vector("f1"), "c" -> Vector("h0")))
   }
 
+  test("idempotent commits: duplicate (appId, batchId) deliveries are dropped, progress still commits") {
+    val log = freshLog("txn")
+    assert(TxLog.idempotentCommit(log, -1, Seq(Act("add", "p", "b0")),
+      Set.empty, "app", 0L).isRight)
+    // exact redelivery of batch 0 — must skip
+    assert(TxLog.idempotentCommit(log, TxLog.versions(log).last,
+      Seq(Act("add", "p", "b0_dup")), Set.empty, "app", 0L) === Left("duplicate"))
+    // a LATE redelivery of an older batch after newer ones committed
+    assert(TxLog.idempotentCommit(log, TxLog.versions(log).last,
+      Seq(Act("add", "p", "b1")), Set.empty, "app", 1L).isRight)
+    assert(TxLog.idempotentCommit(log, TxLog.versions(log).last,
+      Seq(Act("add", "p", "b0_late")), Set.empty, "app", 0L) === Left("duplicate"))
+    // a DIFFERENT appId is its own sequence
+    assert(TxLog.idempotentCommit(log, TxLog.versions(log).last,
+      Seq(Act("add", "q", "other0")), Set.empty, "other", 0L).isRight)
+    // snapshot carries exactly the non-duplicate files; txn markers add no state
+    assert(TxLog.snapshotFiles(log) ===
+      Map("p" -> Vector("b0", "b1"), "q" -> Vector("other0")))
+    assert(TxLog.txnVersion(log, "app") === Some(1L))
+    assert(TxLog.txnVersion(log, "other") === Some(0L))
+    assert(TxLog.txnVersion(log, "absent") === None)
+  }
+
   test("q_tx_commit end-to-end: manifest read-back equals the logical edit replay") {
     val out = SparkEntry.queries("q_tx_commit")(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
