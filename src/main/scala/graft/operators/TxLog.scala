@@ -520,6 +520,95 @@ object TxLog {
              |  COUNT(nc) AS n_with_chars,
              |  CAST(SUM(nc) AS BIGINT) AS chars_sum,
              |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // COMPACTION AS A TRANSACTION — small-file maintenance running
+    // concurrently with writers, the everyday case a manifest table
+    // exists for: the compactor rewrites one partition's fragments as
+    // one file (remove×k + add×1) under the SAME OCC rules as any
+    // writer, so it conflicts with a concurrent rewrite of ITS
+    // partition but never blocks appends elsewhere. Script: v0 lands
+    // lang_min as FOUR fragment files (plus the other partitions);
+    // the compactor (stale @v0) commits the 4→1 rewrite at v1; an
+    // appender also @v0 rebases past it into v2 (disjoint partition);
+    // a SECOND compactor @v0 aborts on v1's overlap. Compaction must
+    // be a CONTENT no-op — the oracle pins per-lang counts/checksums
+    // that an off-by-one-fragment rewrite would break — while the
+    // file count drop (4→1) is asserted from the manifest itself.
+    QueryDef(
+      "q_tx_compact",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txcomp/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val langs = docs.select("lang").distinct()
+          .collect().map(_.getString(0)).sorted
+        val (lmin, lmax) = (langs.head, langs.last)
+        // v0: lang_min fragmented into 4 files, the rest one file each
+        (0 until 4).foreach { q =>
+          docs.filter(col("lang") === lmin && col("doc_id") % 4 === q)
+            .write.mode("overwrite").parquet(s"$dataDir/frag${q}_$lmin")
+        }
+        langs.filterNot(_ == lmin).foreach { l =>
+          docs.filter(col("lang") === l)
+            .write.mode("overwrite").parquet(s"$dataDir/base_$l")
+        }
+        require(commit(logDir, -1,
+          (0 until 4).map(q => Act("add", lmin, s"frag${q}_$lmin")) ++
+            langs.filterNot(_ == lmin).map(l => Act("add", l, s"base_$l")),
+          langs.toSet).contains(0))
+        val nFragsBefore = snapshotFiles(logDir)(lmin).length.toLong
+
+        // compactor @v0: rewrite the snapshot's lmin fragments as ONE file
+        val fragPaths = snapshotFiles(logDir, 0)(lmin).map(f => s"$dataDir/$f")
+        s.read.parquet(fragPaths: _*).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dataDir/compacted_$lmin")
+        val vComp = commit(logDir, 0,
+          (0 until 4).map(q => Act("remove", lmin, s"frag${q}_$lmin")) :+
+            Act("add", lmin, s"compacted_$lmin"), Set(lmin))
+        require(vComp.contains(1), s"compactor must commit at v1, got $vComp")
+
+        // appender @v0 (stale): disjoint partition — rebases past v1
+        docs.filter(col("lang") === lmax)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+          .write.mode("overwrite").parquet(s"$dataDir/append_$lmax")
+        require(commit(logDir, 0,
+          Seq(Act("add", lmax, s"append_$lmax")), Set(lmax)).contains(2))
+
+        // second compactor @v0 (stale): lmin changed under it — abort
+        val vComp2 = commit(logDir, 0,
+          Seq(Act("remove", lmin, s"frag0_$lmin"), Act("add", lmin, "recompact")),
+          Set(lmin))
+        require(vComp2.isEmpty, s"stale second compactor must abort, got $vComp2")
+
+        val snap = snapshotFiles(logDir)
+        val nFragsAfter = snap(lmin).length.toLong
+        val files = snap.values.flatten.toSeq.sorted.map(f => s"$dataDir/$f")
+        s.read.parquet(files: _*)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .withColumn("files_before", lit(nFragsBefore))
+          .withColumn("files_after", lit(nFragsAfter))
+          .withColumn("n_aborted", lit(1L))
+          .orderBy("lang")
+      },
+      Some("""WITH l AS (
+             |  SELECT MIN(lang) AS lmin, MAX(lang) AS lmax FROM documents),
+             |fin AS (
+             |  SELECT lang, doc_id FROM documents
+             |  UNION ALL
+             |  SELECT lang, doc_id + 1000000000 FROM documents, l
+             |  WHERE lang = lmax)
+             |SELECT lang, COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(4 AS BIGINT) AS files_before,
+             |  CAST(1 AS BIGINT) AS files_after,
+             |  CAST(1 AS BIGINT) AS n_aborted
              |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
   )
 

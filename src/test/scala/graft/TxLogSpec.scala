@@ -123,6 +123,84 @@ class TxLogSpec extends AnyFunSuite {
     assert(fromCk === Map("a" -> Vector("f1"), "c" -> Vector("h0")))
   }
 
+  test("compactor races appenders: maintenance commits without losing any concurrent append") {
+    val log = freshLog("race_mixed")
+    assert(TxLog.tryCommit(log, 0, (0 until 4).map(q => Act("add", "hot", s"frag$q"))))
+    val appenderAborts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val compactorResult = new java.util.concurrent.atomic.AtomicReference[Option[Int]](None)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val compactor = new Thread(() => {
+      barrier.await()
+      compactorResult.set(TxLog.commit(log, 0,
+        (0 until 4).map(q => Act("remove", "hot", s"frag$q")) :+
+          Act("add", "hot", "compacted"), Set("hot")))
+    })
+    val appenders = (0 until 7).map { i =>
+      new Thread(() => {
+        barrier.await()
+        if (TxLog.commit(log, 0, Seq(Act("add", s"p$i", s"f$i")), Set(s"p$i")).isEmpty)
+          appenderAborts.incrementAndGet()
+      })
+    }
+    (appenders :+ compactor).foreach(_.start())
+    (appenders :+ compactor).foreach(_.join())
+    // nothing else touched 'hot', so the compactor must have landed,
+    // and no disjoint appender may have been starved into an abort
+    assert(compactorResult.get().isDefined, "compactor must commit")
+    assert(appenderAborts.get() === 0)
+    val snap = TxLog.snapshotFiles(log)
+    assert(snap("hot") === Vector("compacted"))
+    assert((0 until 7).forall(i => snap(s"p$i") === Vector(s"f$i")), s"snap: $snap")
+  }
+
+  test("sink restart: same checkpoint re-run commits nothing; fresh source data commits exactly once") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_txsink/spec_${TmpSlices.key(sf)}"
+    val p = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally st.close()
+    }
+    val srcDir = s"$base/src"
+    val dataDir = s"$base/data"
+    val logDir = s"$base/_log"
+    val docs = Tables.documents(spark, sf).select("doc_id").limit(100)
+    docs.repartition(2).write.mode("overwrite").parquet(srcDir)
+    val sch = spark.read.parquet(srcDir).schema
+    def runSink(): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", s"$base/_ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val file = f"batch_$batchId%06d"
+          df.write.mode("overwrite").parquet(s"$dataDir/$file")
+          TxLog.idempotentCommit(logDir,
+            TxLog.versions(logDir).lastOption.getOrElse(-1),
+            Seq(Act("add", "all", file)), Set.empty, "spec_sink", batchId)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runSink()
+    val committedAfterFirst = TxLog.versions(logDir).length
+    assert(committedAfterFirst >= 2, "two source files must yield at least two batches")
+    // restart against the SAME checkpoint: source exhausted, no commits
+    runSink()
+    assert(TxLog.versions(logDir).length === committedAfterFirst,
+      "a checkpoint-resumed sink over an exhausted source must commit nothing")
+    // one fresh source file: exactly one new commit, rows visible once
+    Tables.documents(spark, sf).selectExpr("doc_id + 5000000 AS doc_id").limit(10)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runSink()
+    assert(TxLog.versions(logDir).length === committedAfterFirst + 1)
+    val files = TxLog.snapshotFiles(logDir).values.flatten.toSeq.map(f => s"$dataDir/$f")
+    assert(spark.read.parquet(files: _*).count() === 110L)
+  }
+
   test("idempotent commits: duplicate (appId, batchId) deliveries are dropped, progress still commits") {
     val log = freshLog("txn")
     assert(TxLog.idempotentCommit(log, -1, Seq(Act("add", "p", "b0")),
