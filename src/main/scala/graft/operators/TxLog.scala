@@ -109,6 +109,7 @@ object TxLog {
         case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
         case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
         case Act("txn", _, _)    => ()
+        case Act("stats", _, _)  => ()
         case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
       }
     }
@@ -609,7 +610,133 @@ object TxLog {
              |  CAST(4 AS BIGINT) AS files_before,
              |  CAST(1 AS BIGINT) AS files_after,
              |  CAST(1 AS BIGINT) AS n_aborted
-             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // EXPECTATIONS GATE with quarantine — enforcement, where
+    // q_dq_audit only reports: rows failing the declared contract
+    // (value > 0 here) are ROUTED to a quarantine partition instead of
+    // the table, and both destinations commit in ONE transaction so
+    // no reader can observe the table without its quarantine (the
+    // half-committed gate is the production incident this prevents).
+    // The 100 TB cost shape is the point: ONE scan — the validity
+    // flag is a partition column of a single partitionBy write, never
+    // two filtered passes over the source — and the commit is
+    // metadata. Read back through the manifest: per-destination
+    // counts + checksums, with conservation (main + quarantine =
+    // source) enforced by the oracle hash.
+    QueryDef(
+      "q_tx_quarantine",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txq/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        // ONE pass: validity is a partition column, not a second filter scan
+        Tables.events(s, d)
+          .selectExpr("event_id", "event_type", "value",
+            "CASE WHEN value > 0 THEN 'main' ELSE 'quarantine' END AS dest")
+          .write.partitionBy("dest").mode("overwrite").parquet(s"$dataDir/gate")
+        // both destinations in ONE atomic version (a dest with zero
+        // rows writes no partition dir — commit only what exists, and
+        // report the empty destination as a 0/NULL row like the oracle)
+        val hfs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val present = Seq("main", "quarantine").filter(dest =>
+          hfs.exists(new org.apache.hadoop.fs.Path(s"$dataDir/gate/dest=$dest")))
+        require(commit(logDir, -1,
+          present.map(dest => Act("add", dest, s"gate/dest=$dest")),
+          Set("main", "quarantine")).contains(0))
+
+        val snap = snapshotFiles(logDir)
+        Seq("main", "quarantine").map { dest =>
+          snap.get(dest) match {
+            case Some(files) =>
+              s.read.parquet(files.map(f => s"$dataDir/$f"): _*)
+                .agg(count(lit(1)).as("n_rows"),
+                  sum(col("event_id") * 7).cast("bigint").as("key_checksum"))
+                .withColumn("dest", lit(dest))
+                .select("dest", "n_rows", "key_checksum")
+            case None =>
+              s.range(1).select(lit(dest).as("dest"), lit(0L).as("n_rows"),
+                lit(null).cast("long").as("key_checksum"))
+          }
+        }.reduce(_ unionAll _).orderBy("dest")
+      },
+      Some("""SELECT 'main' AS dest, COUNT(*) AS n_rows,
+             |  CAST(SUM(event_id * 7) AS BIGINT) AS key_checksum
+             |FROM events WHERE value > 0
+             |UNION ALL
+             |SELECT 'quarantine', COUNT(*),
+             |  CAST(SUM(event_id * 7) AS BIGINT)
+             |FROM events WHERE NOT (value > 0)
+             |ORDER BY dest""".stripMargin)),
+
+    // DATA SKIPPING FROM MANIFEST STATS — Iceberg/Delta-style file
+    // pruning one level ABOVE parquet footers: each commit records a
+    // per-file zone map (min/max doc_id) as `stats` manifest lines, and
+    // a range-predicate reader intersects its predicate with the
+    // stats to decide WHICH FILES TO OPEN before any scan is planned.
+    // At 100 TB this is the difference between listing-then-opening
+    // every file (footer pruning still opens them) and never touching
+    // the irrelevant 95% — the manifest is metadata-sized and lives on
+    // the driver. Eight range-bucketed files; the query band overlaps
+    // exactly two of them; the output pins the answer AND the pruning
+    // arithmetic (files scanned / skipped), so opening too many or —
+    // worse — too few files fails the hash.
+    QueryDef(
+      "q_tx_dataskip",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txskip/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val width = maxId / 8 + 1
+        val acts = (0 until 8).flatMap { b =>
+          val (lo, hi) = (b * width, (b + 1) * width - 1)
+          docs.filter(col("doc_id").between(lo, hi))
+            .write.mode("overwrite").parquet(s"$dataDir/bucket_$b")
+          Seq(Act("add", "all", s"bucket_$b"),
+            Act("stats", s"bucket_$b", s"$lo,$hi"))
+        }
+        require(commit(logDir, -1, acts, Set("all")).contains(0))
+
+        // predicate band: the middle quarter [2.5w, 4.5w) — overlaps
+        // exactly buckets 2..4 at the edges: [2w..3w),[3w..4w),[4w..5w)
+        val (qLo, qHi) = (width * 5 / 2, width * 9 / 2 - 1)
+        val stats = versions(logDir).flatMap(readActs(logDir, _)).collect {
+          case Act("stats", f, mm) =>
+            val Array(lo, hi) = mm.split(",", 2); (f, lo.toLong, hi.toLong)
+        }
+        val live = snapshotFiles(logDir).values.flatten.toSet
+        val scanned = stats.filter { case (f, lo, hi) =>
+          live(f) && hi >= qLo && lo <= qHi
+        }.map(_._1).sorted
+        val skipped = live.size.toLong - scanned.length
+        s.read.parquet(scanned.map(f => s"$dataDir/$f"): _*)
+          .filter(col("doc_id").between(qLo, qHi))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"),
+            sum(col("n_chars").cast("long")).as("chars_sum"))
+          .withColumn("files_scanned", lit(scanned.length.toLong))
+          .withColumn("files_skipped", lit(skipped))
+      },
+      Some("""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |w AS (SELECT mx // 8 + 1 AS width FROM m),
+             |band AS (
+             |  SELECT width * 5 // 2 AS lo, width * 9 // 2 - 1 AS hi FROM w)
+             |SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+             |  CAST(3 AS BIGINT) AS files_scanned,
+             |  CAST(5 AS BIGINT) AS files_skipped
+             |FROM documents, band
+             |WHERE doc_id BETWEEN lo AND hi""".stripMargin))
   )
 
   /** Materialize the flattened snapshot at `version` as
@@ -658,6 +785,7 @@ object TxLog {
           case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
           case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
           case Act("txn", _, _)    => ()
+          case Act("stats", _, _)  => ()
           case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
         }
       live.toMap.filter(_._2.nonEmpty)

@@ -224,6 +224,37 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.txnVersion(log, "absent") === None)
   }
 
+  test("manifest data skipping never loses rows: pruned read equals the unpruned read") {
+    val r = SparkEntry.queries("q_tx_dataskip")(spark, sf).collect().head
+    // unpruned truth over the same band
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS n_chars").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val width = docs.map(_._1).max / 8 + 1
+    val (lo, hi) = (width * 5 / 2, width * 9 / 2 - 1)
+    val band = docs.filter { case (id, _) => id >= lo && id <= hi }
+    assert(r.getAs[Long]("n_rows") === band.length.toLong)
+    assert(r.getAs[Long]("key_checksum") === band.map(_._1 * 7).sum)
+    assert(r.getAs[Long]("chars_sum") === band.map(_._2).sum)
+    // and it actually skipped: 3 of 8 bucket files opened
+    assert(r.getAs[Long]("files_scanned") === 3L)
+    assert(r.getAs[Long]("files_skipped") === 5L)
+  }
+
+  test("quarantine gate conserves the source: main + quarantine = every event, disjointly") {
+    val rows = SparkEntry.queries("q_tx_quarantine")(spark, sf).collect()
+      .map(r => r.getAs[String]("dest") ->
+        (r.getAs[Long]("n_rows"), Option(r.getAs[java.lang.Long]("key_checksum")).map(_.toLong)))
+      .toMap
+    val ev = Tables.events(spark, sf).selectExpr("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val (good, bad) = ev.partition(_._2 > 0)
+    assert(rows("main")._1 === good.length.toLong)
+    assert(rows("quarantine")._1 === bad.length.toLong)
+    assert(rows("main")._2 === (if (good.isEmpty) None else Some(good.map(_._1 * 7).sum)))
+    assert(rows("quarantine")._2 === (if (bad.isEmpty) None else Some(bad.map(_._1 * 7).sum)))
+  }
+
   test("q_tx_commit end-to-end: manifest read-back equals the logical edit replay") {
     val out = SparkEntry.queries("q_tx_commit")(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
