@@ -697,12 +697,18 @@ object TxLog {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
         val maxId = docs.agg(max("doc_id")).head().getLong(0)
         val width = maxId / 8 + 1
+        // ONE pass writes all eight range buckets (bucket = partition
+        // column), not eight filtered scans — the write cost of
+        // stats-keyed layout must itself scale; the per-file min/max
+        // are the band edges by construction, so the stats lines need
+        // no second look at the data
+        docs.withColumn("bucket", (col("doc_id") / lit(width)).cast("int"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$dataDir/buckets")
         val acts = (0 until 8).flatMap { b =>
           val (lo, hi) = (b * width, (b + 1) * width - 1)
-          docs.filter(col("doc_id").between(lo, hi))
-            .write.mode("overwrite").parquet(s"$dataDir/bucket_$b")
-          Seq(Act("add", "all", s"bucket_$b"),
-            Act("stats", s"bucket_$b", s"$lo,$hi"))
+          Seq(Act("add", "all", s"buckets/bucket=$b"),
+            Act("stats", s"buckets/bucket=$b", s"$lo,$hi"))
         }
         require(commit(logDir, -1, acts, Set("all")).contains(0))
 
@@ -718,7 +724,14 @@ object TxLog {
           live(f) && hi >= qLo && lo <= qHi
         }.map(_._1).sorted
         val skipped = live.size.toLong - scanned.length
-        s.read.parquet(scanned.map(f => s"$dataDir/$f"): _*)
+        // counts stay STATS-based (the pruning decision); the physical
+        // read tolerates a range bucket that happened to be row-empty
+        // (partitionBy writes no dir for it — sparse id spaces)
+        val hfs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val readable = scanned.map(f => s"$dataDir/$f")
+          .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+        s.read.parquet(readable: _*)
           .filter(col("doc_id").between(qLo, qHi))
           .agg(count(lit(1)).as("n_rows"),
             sum(col("doc_id") * 7).cast("bigint").as("key_checksum"),
