@@ -749,7 +749,191 @@ object TxLog {
              |  CAST(3 AS BIGINT) AS files_scanned,
              |  CAST(5 AS BIGINT) AS files_skipped
              |FROM documents, band
-             |WHERE doc_id BETWEEN lo AND hi""".stripMargin))
+             |WHERE doc_id BETWEEN lo AND hi""".stripMargin)),
+
+    // PARTITION-SCOPED MERGE (upsert) — the most-used lake write op:
+    // given an updates relation (changed rows + brand-new rows), only
+    // the partitions that CONTAIN touched keys rewrite; everything
+    // else keeps its committed files untouched (require()d in-query by
+    // file identity, not just content). The merge itself is the
+    // standard shape — target left-anti updates ∪ updated ∪ inserts —
+    // executed per touched partition against the SNAPSHOT read, and
+    // all rewrites land in ONE atomic version (readers never see a
+    // half-merged table). At 100 TB partition-scoping is the whole
+    // game: a 0.1%-of-keys update touching 2 of 2000 partitions
+    // rewrites 0.1% of the table, not all of it.
+    QueryDef(
+      "q_tx_merge",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txmerge/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        val langs = docs.select("lang").distinct()
+          .collect().map(_.getString(0)).sorted
+        val (lmin, lmax) = (langs.head, langs.last)
+        // v0: one pass, one partition dir per lang
+        docs.write.partitionBy("lang").mode("overwrite").parquet(s"$dataDir/base")
+        require(commit(logDir, -1,
+          langs.map(l => Act("add", l, s"base/lang=$l")), langs.toSet).contains(0))
+
+        // updates: every 10th doc of lang_max gets n_chars += 1000;
+        // inserts: re-keyed new rows landing in lang_min
+        val updates = docs
+          .filter(col("lang") === lmax && col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+        val inserts = docs.filter(col("lang") === lmin)
+          .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+        val touched = Seq(lmin, lmax)
+
+        // per touched partition: snapshot read ⊳ anti-join updates ∪
+        // updates ∪ inserts, rewritten as the partition's new file
+        val snap0 = snapshotFiles(logDir)
+        val acts = touched.flatMap { l =>
+          val cur = s.read.parquet(snap0(l).map(f => s"$dataDir/$f"): _*)
+            .withColumn("lang", lit(l))
+          val up = updates.filter(col("lang") === l)
+          val ins = inserts.filter(col("lang") === l)
+          val merged = cur.join(up.select(col("doc_id").as("uid")),
+              col("doc_id") === col("uid"), "left_anti")
+            .unionByName(up).unionByName(ins)
+          merged.drop("lang")
+            .write.mode("overwrite").parquet(s"$dataDir/merged_$l")
+          Seq(Act("remove", l, s"base/lang=$l"), Act("add", l, s"merged_$l"))
+        }
+        require(commit(logDir, 0, acts, touched.toSet).contains(1))
+
+        // untouched partitions must keep their v0 FILES, not just content
+        val snap1 = snapshotFiles(logDir)
+        langs.filterNot(touched.contains).foreach { l =>
+          require(snap1(l) == snap0(l), s"untouched partition $l was rewritten")
+        }
+        val nRewritten = touched.size.toLong
+
+        val rows = langs.map { l =>
+          s.read.parquet(snap1(l).map(f => s"$dataDir/$f"): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars")).as("chars_sum"),
+              sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+            .withColumn("lang", lit(l))
+        }.reduce(_ unionAll _)
+        rows
+          .withColumn("n_partitions_rewritten", lit(nRewritten))
+          .withColumn("n_partitions_total", lit(langs.length.toLong))
+          .select("lang", "n_rows", "chars_sum", "key_checksum",
+            "n_partitions_rewritten", "n_partitions_total")
+          .orderBy("lang")
+      },
+      Some("""WITH l AS (
+             |  SELECT MIN(lang) AS lmin, MAX(lang) AS lmax FROM documents),
+             |nl AS (SELECT COUNT(DISTINCT lang) AS n FROM documents),
+             |fin AS (
+             |  SELECT lang, doc_id,
+             |    CAST(n_chars AS BIGINT)
+             |      + CASE WHEN lang = (SELECT lmax FROM l) AND doc_id % 10 = 0
+             |             THEN 1000 ELSE 0 END AS n_chars
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT lang, doc_id + 2000000000, CAST(n_chars AS BIGINT)
+             |  FROM documents WHERE lang = (SELECT lmin FROM l))
+             |SELECT lang, COUNT(*) AS n_rows,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(2 AS BIGINT) AS n_partitions_rewritten,
+             |  (SELECT CAST(n AS BIGINT) FROM nl) AS n_partitions_total
+             |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ROW-LEVEL DELETES VIA DELETION VECTORS — the modern lake delete
+    // path: instead of rewriting a partition to drop 1% of its rows,
+    // commit a metadata-sized sidecar of deleted keys under the
+    // reserved `_dv` partition; readers anti-join the union of live
+    // DVs. Deletes become O(deleted) writes, reads pay one broadcast
+    // anti-join — until PURGE materializes the deletions (rewrite
+    // files minus deleted keys, drop the DVs in the same version) and
+    // reads are clean again. Two stacked deletes prove DV union; the
+    // in-query require() proves purge changed no row content, and the
+    // oracle pins the post-delete state both before and after purge
+    // via the dv-count columns.
+    QueryDef(
+      "q_tx_delete_vectors",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txdv/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val langs = docs.select("lang").distinct()
+          .collect().map(_.getString(0)).sorted
+        docs.write.partitionBy("lang").mode("overwrite").parquet(s"$dataDir/base")
+        require(commit(logDir, -1,
+          langs.map(l => Act("add", l, s"base/lang=$l")), langs.toSet).contains(0))
+
+        // delete #1 and #2: each writes ONLY its deleted keys + a log line
+        def deleteWhere(cond: org.apache.spark.sql.Column, tag: String, readVer: Int): Int = {
+          docs.filter(cond).select("doc_id")
+            .write.mode("overwrite").parquet(s"$dataDir/dv_$tag")
+          commit(logDir, readVer, Seq(Act("add", "_dv", s"dv_$tag")), Set("_dv")).get
+        }
+        deleteWhere(col("doc_id") % 7 === 0, "a", 0)
+        deleteWhere(col("doc_id") % 11 === 3, "b", 1)
+
+        // manifest-resolved read: per-partition (the data files don't
+        // carry the partition column), DV union anti-joined when live
+        def readTable(): org.apache.spark.sql.DataFrame = {
+          val snap = snapshotFiles(logDir)
+          val deleted = snap.get("_dv").map { dvs =>
+            s.read.parquet(dvs.map(f => s"$dataDir/$f"): _*)
+              .select(col("doc_id").as("del_id")).distinct()
+          }
+          (snap - "_dv").toSeq.sortBy(_._1).map { case (l, fs) =>
+            val t = s.read.parquet(fs.map(f => s"$dataDir/$f"): _*)
+              .withColumn("lang", lit(l))
+            deleted.fold(t)(del => t.join(broadcast(del),
+              col("doc_id") === col("del_id"), "left_anti"))
+          }.reduce(_ unionAll _)
+        }
+        val preDvs = snapshotFiles(logDir).getOrElse("_dv", Seq.empty).length.toLong
+        val pre = readTable().agg(count(lit(1)), sum(col("doc_id") * 7))
+          .head()
+        // PURGE: materialize the anti-join per partition, drop DVs —
+        // one atomic version
+        val snap = snapshotFiles(logDir)
+        val purgeActs = langs.flatMap { l =>
+          val cur = s.read.parquet(snap(l).map(f => s"$dataDir/$f"): _*)
+          val deleted = s.read.parquet(
+            snap("_dv").map(f => s"$dataDir/$f"): _*)
+            .select(col("doc_id").as("del_id")).distinct()
+          cur.join(broadcast(deleted), col("doc_id") === col("del_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$dataDir/purged_$l")
+          Seq(Act("remove", l, s"base/lang=$l"), Act("add", l, s"purged_$l"))
+        } ++ snap("_dv").map(f => Act("remove", "_dv", f))
+        require(commit(logDir, versions(logDir).last, purgeActs,
+          langs.toSet + "_dv").isDefined)
+        val postDvs = snapshotFiles(logDir).getOrElse("_dv", Seq.empty).length.toLong
+        val post = readTable().agg(count(lit(1)), sum(col("doc_id") * 7)).head()
+        require(pre == post, s"purge changed content: $pre vs $post")
+
+        readTable()
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .withColumn("dvs_before_purge", lit(preDvs))
+          .withColumn("dvs_after_purge", lit(postDvs))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(2 AS BIGINT) AS dvs_before_purge,
+             |  CAST(0 AS BIGINT) AS dvs_after_purge
+             |FROM documents
+             |WHERE NOT (doc_id % 7 = 0 OR doc_id % 11 = 3)
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** Materialize the flattened snapshot at `version` as

@@ -255,6 +255,42 @@ class TxLogSpec extends AnyFunSuite {
     assert(rows("quarantine")._2 === (if (bad.isEmpty) None else Some(bad.map(_._1 * 7).sum)))
   }
 
+  test("merge updates exactly the targeted rows and inserts land; nothing else moves") {
+    val rows = SparkEntry.queries("q_tx_merge")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val langs = docs.map(_._2).distinct.sorted
+    val (lmin, lmax) = (langs.head, langs.last)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val base = docs.filter(_._2 == lang)
+      val expChars = base.map { case (id, _, nc) =>
+        nc + (if (lang == lmax && id % 10 == 0) 1000L else 0L)
+      }.sum + (if (lang == lmin) base.map(_._3).sum else 0L)
+      val expRows = base.length.toLong * (if (lang == lmin) 2 else 1)
+      assert(r.getAs[Long]("n_rows") === expRows, s"lang=$lang")
+      assert(r.getAs[Long]("chars_sum") === expChars, s"lang=$lang")
+      assert(r.getAs[Long]("n_partitions_rewritten") === 2L)
+    }
+  }
+
+  test("deletion vectors hide deleted keys from reads before any rewrite happens") {
+    val rows = SparkEntry.queries("q_tx_delete_vectors")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val survivors = docs.filterNot { case (id, _) => id % 7 == 0 || id % 11 == 3 }
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val exp = survivors.filter(_._2 == lang)
+      assert(r.getAs[Long]("n_rows") === exp.length.toLong, s"lang=$lang")
+      assert(r.getAs[Long]("key_checksum") === exp.map(_._1 * 7).sum, s"lang=$lang")
+      assert(r.getAs[Long]("dvs_before_purge") === 2L)
+      assert(r.getAs[Long]("dvs_after_purge") === 0L)
+    }
+    assert(survivors.length < docs.length, "fixture deleted nothing — vacuous")
+  }
+
   test("q_tx_commit end-to-end: manifest read-back equals the logical edit replay") {
     val out = SparkEntry.queries("q_tx_commit")(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
