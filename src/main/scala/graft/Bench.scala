@@ -436,7 +436,23 @@ object Bench {
     "q_join_pit",
     "q_corpus_dedup_report",
     // mergeable histogram sketches (quantile analog of q_agg_hll_merge)
-    "q_agg_hist_merge")
+    "q_agg_hist_merge",
+    // round 12 (driver numbering): the cross-session sketch store, the
+    // transactional-manifest family, and the CART stump — all carry
+    // committed 4-point mini-sweep medians from the day they landed
+    // (tools/sweep_report_round12.md)
+    "q_agg_hll_persist",
+    "q_tx_commit",
+    "q_tx_timetravel",
+    "q_tx_vacuum",
+    "q_tx_stream_sink",
+    "q_tx_schema_evolve",
+    "q_tx_compact",
+    "q_tx_quarantine",
+    "q_tx_dataskip",
+    "q_tx_merge",
+    "q_tx_delete_vectors",
+    "q_ml_stump")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

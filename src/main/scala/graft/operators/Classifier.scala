@@ -307,5 +307,97 @@ object Classifier {
               |  CAST(n_pos AS DOUBLE) / n AS frac_pos,
               |  CAST(n_pos AS DOUBLE) / n - CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS gap,
               |  CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0) AS brier
-              |FROM g ORDER BY bin""".stripMargin)))
+              |FROM g ORDER BY bin""".stripMargin)),
+
+    // Exact distributed CART stump — the tree-family member of the
+    // trained-model surface (GD logistic / Naive Bayes / Markov / kNN
+    // already ship): predict returnflag='R' from three integer-domain
+    // features (quantity, discount-cents, ship month). Every candidate
+    // split (feature, v ≤ t) is scored in ONE pass: stack the features
+    // (3 rows/row, map-side combined immediately), group to per-(feat,
+    // value) class counts, cumulate per feature with a window over the
+    // ≤102-point value domain, and maximize the purity functional
+    // Σside (pos²+neg²)/n_side — algebraically equivalent to minimizing
+    // weighted Gini, but every term is a ratio of EXACT integers
+    // (squares in DECIMAL(38,0) for the 100 TB row counts), cast to
+    // DOUBLE through identical expressions in both engines, and
+    // milli-quantized before the argmax; ties break on (feat, v). The
+    // stump's training accuracy is pure counting: majority class per
+    // side. No iteration, no learning rate — a split search IS an
+    // aggregation, which is why trees scale on Spark.
+    QueryDef(
+      "q_ml_stump",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stacked = Tables.lineitem(s, d).selectExpr(
+            "CAST(l_returnflag = 'R' AS INT) AS y",
+            "CAST(l_quantity AS INT) AS qty",
+            "CAST(round(l_discount * 100) AS INT) AS disc",
+            "CAST(month(l_shipdate) AS INT) AS mth")
+          .selectExpr("y", "stack(3, 'disc', disc, 'mth', mth, 'qty', qty) AS (feat, v)")
+        val grp = stacked.groupBy("feat", "v")
+          .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+        val cum = Window.partitionBy("feat").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = Window.partitionBy("feat")
+        grp
+          .withColumn("nl", sum("n").over(cum))
+          .withColumn("posl", sum("pos").over(cum))
+          .withColumn("nt", sum("n").over(tot))
+          .withColumn("post", sum("pos").over(tot))
+          .filter(col("nl") < col("nt"))
+          .selectExpr("feat", "v", "nl", "posl", "nl - posl AS negl",
+            "nt - nl AS nr", "post - posl AS posr",
+            "(nt - nl) - (post - posl) AS negr", "nt", "post")
+          .selectExpr("feat", "v", "nl", "posl", "negl", "nr", "posr", "negr", "nt",
+            "CAST(floor((" +
+              "CAST(CAST(posl AS DECIMAL(19,0)) * posl + CAST(negl AS DECIMAL(19,0)) * negl AS DOUBLE) / nl + " +
+              "CAST(CAST(posr AS DECIMAL(19,0)) * posr + CAST(negr AS DECIMAL(19,0)) * negr AS DOUBLE) / nr" +
+              ") / nt * 1000.0) AS BIGINT) AS purity_milli")
+          .orderBy(col("purity_milli").desc, col("feat"), col("v"))
+          .limit(1)
+          .selectExpr("feat AS split_feature", "v AS split_threshold",
+            "purity_milli", "nl AS n_left", "posl AS pos_left",
+            "nr AS n_right", "posr AS pos_right",
+            "greatest(posl, negl) + greatest(posr, negr) AS n_correct", "nt AS n_rows")
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(l_returnflag = 'R' AS INT) AS y,
+             |    CAST(l_quantity AS INT) AS qty,
+             |    CAST(round(l_discount * 100) AS INT) AS disc,
+             |    CAST(month(l_shipdate) AS INT) AS mth
+             |  FROM lineitem),
+             |st AS (
+             |  SELECT y, 'disc' AS feat, disc AS v FROM f
+             |  UNION ALL SELECT y, 'mth', mth FROM f
+             |  UNION ALL SELECT y, 'qty', qty FROM f),
+             |g AS (SELECT feat, v, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+             |      FROM st GROUP BY 1, 2),
+             |c AS (SELECT feat, v,
+             |    SUM(n) OVER (PARTITION BY feat ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             |    SUM(pos) OVER (PARTITION BY feat ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+             |    SUM(n) OVER (PARTITION BY feat) AS nt,
+             |    SUM(pos) OVER (PARTITION BY feat) AS post
+             |  FROM g),
+             |cand AS (
+             |  SELECT feat, v, nl, posl, nl - posl AS negl,
+             |    nt - nl AS nr, post - posl AS posr,
+             |    (nt - nl) - (post - posl) AS negr, nt
+             |  FROM c WHERE nl < nt),
+             |sc AS (
+             |  SELECT feat, v, nl, posl, negl, nr, posr, negr, nt,
+             |    CAST(floor((
+             |      CAST(CAST(posl AS DECIMAL(19,0)) * posl + CAST(negl AS DECIMAL(19,0)) * negl AS DOUBLE) / nl +
+             |      CAST(CAST(posr AS DECIMAL(19,0)) * posr + CAST(negr AS DECIMAL(19,0)) * negr AS DOUBLE) / nr
+             |    ) / nt * 1000.0) AS BIGINT) AS purity_milli
+             |  FROM cand)
+             |SELECT feat AS split_feature, CAST(v AS INT) AS split_threshold,
+             |  purity_milli, CAST(nl AS BIGINT) AS n_left,
+             |  CAST(posl AS BIGINT) AS pos_left, CAST(nr AS BIGINT) AS n_right,
+             |  CAST(posr AS BIGINT) AS pos_right,
+             |  CAST(GREATEST(posl, negl) + GREATEST(posr, negr) AS BIGINT) AS n_correct,
+             |  CAST(nt AS BIGINT) AS n_rows
+             |FROM sc ORDER BY purity_milli DESC, feat, v LIMIT 1""".stripMargin)))
 }
