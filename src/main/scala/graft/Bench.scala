@@ -452,7 +452,9 @@ object Bench {
     "q_tx_dataskip",
     "q_tx_merge",
     "q_tx_delete_vectors",
-    "q_ml_stump")
+    "q_ml_stump",
+    // round 13: manifest stats pruning a JOIN (metadata-join pattern)
+    "q_tx_join_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -124,6 +124,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hilbert_d"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_d"),
       (children: Seq[Expression]) => HilbertIndex(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rp_project"),
+      new ExpressionInfo(classOf[RpProject].getName, "rp_project"),
+      (children: Seq[Expression]) => RpProject(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
     // whole-operator extension: the broadcast range join's planner
     // strategy (custom LogicalPlan → custom SparkPlan; graft.plans)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastRangeJoinStrategy)
@@ -156,6 +161,29 @@ object GraftFunctions {
           java.lang.Double.valueOf(d / 1.0e14)
         }
       }: java.lang.Double)
+    }
+  }
+
+  /** [[RpProject]] fallback for extension-less sessions: the same
+    * sign-loop over a boxed Seq (Spark widens array<float> to
+    * Seq[Double] for the UDF — exact, identical accumulation order). */
+  def ensureRpProject(spark: SparkSession): Unit = {
+    if (!spark.catalog.functionExists("rp_project")) {
+      spark.udf.register("rp_project", (x: Seq[Double], projDim: Int) => {
+        if (x == null || x.length < RpProject.inDim ||
+            projDim < 1 || projDim > RpProject.maxDim) null
+        else {
+          val out = new Array[Double](projDim)
+          var i = 0
+          while (i < RpProject.inDim) {
+            val row = RpProject.signs(i)
+            var j = 0
+            while (j < projDim) { out(j) += row(j) * x(i); j += 1 }
+            i += 1
+          }
+          out.toSeq
+        }
+      }: Seq[Double])
     }
   }
 

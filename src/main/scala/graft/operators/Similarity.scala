@@ -500,13 +500,10 @@ object Similarity {
     * runs agree. A ±1 (Achlioptas) matrix satisfies the JL guarantee
     * like a Gaussian one, and keeps every arithmetic op exact-sign
     * double addition — no transcendental anywhere. */
-  private val rpMaxDim = 32
-  private lazy val rpSigns: Array[Array[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(64, rpMaxDim) { (i, j) =>
-      if ((md.digest(s"rp:$i:$j".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
-    }
-  }
+  private val rpMaxDim = graft.functions.RpProject.maxDim
+  // single-sourced from the native expression so the oracle's chain
+  // text and the Spark-side loop can never drift
+  private def rpSigns: Array[Array[Double]] = graft.functions.RpProject.signs
 
   /** The projected vector as engine-neutral expression text: each output
     * coordinate is a left-associative chain `(0.0 ± e1 ± e2 …)` — same
@@ -549,12 +546,15 @@ object Similarity {
         .filter(col("rnk") <= k)
         .select("q_id", "c_id")
     }
-    // cache the projected vectors: the 2048-term projection expression
-    // would otherwise be re-planned and re-evaluated on BOTH sides of
-    // the self-join (and its codegen cost dominates the tiny data)
+    // cache the projected vectors — computed by the NATIVE rp_project
+    // expression ([[graft.functions.RpProject]]): the expanded
+    // 2048-term array() chain this replaces blew janino's 64 KB method
+    // limit at projDim=32, silently dropping the stage to interpreted
+    // execution; the native loop is bit-identical to the oracle's
+    // chain text and codegen-compact at any width
+    graft.functions.GraftFunctions.ensureRpProject(s)
     val proj = graft.FrameCache.memo(s, s"rp-proj:$d:$projDim") {
-      n.selectExpr("vec_id",
-        s"array(${rpProjTerms(projDim, i => s"element_at(embedding, $i)").mkString(", ")}) AS p")
+      n.selectExpr("vec_id", s"rp_project(embedding, $projDim) AS p")
         .selectExpr("vec_id", "p", s"sqrt(${sparkDot("p", "p")}) AS pnrm")
     }
     val qp = proj.filter(col("vec_id") < queryLimit).select(

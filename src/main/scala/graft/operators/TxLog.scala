@@ -67,13 +67,33 @@ object TxLog {
     java.nio.file.Files.write(stage,
       acts.map(a => s"${a.action}\t${a.part}\t${a.file}")
         .mkString("", "\n", "\n").getBytes("UTF-8"))
+    try publishAtomically(stage, path)
+    finally java.nio.file.Files.deleteIfExists(stage)
+  }
+
+  /** Publish a fully-written staged file at `path`, failing (false) iff
+    * the name is already taken. Primary: POSIX link() — atomic and
+    * create-exclusive. Filesystems without hard links degrade to
+    * ATOMIC_MOVE behind an existence check: still no torn reads (the
+    * move is atomic), but create-exclusivity is only best-effort there —
+    * single-writer use keeps full semantics; true multi-writer logs on
+    * such filesystems need a coordinating log store, same as object
+    * stores. */
+  private def publishAtomically(stage: java.nio.file.Path,
+                                path: java.nio.file.Path): Boolean =
     try {
       java.nio.file.Files.createLink(path, stage) // link() — atomic, EEXCL
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
-    } finally java.nio.file.Files.deleteIfExists(stage)
-  }
+      case _: UnsupportedOperationException =>
+        if (java.nio.file.Files.exists(path)) false
+        else try {
+          java.nio.file.Files.move(stage, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
 
   /** Committed versions in order. */
   def versions(logDir: String): Seq[Int] = {
@@ -89,30 +109,60 @@ object TxLog {
     } finally st.close()
   }
 
+  /** Manifest files are immutable once committed, so acts cache by
+    * (logDir, version) — validated with one cheap stat (size + mtime)
+    * so a log directory wiped and re-created at the same path (specs,
+    * re-run queries in one JVM) never serves stale lines. This is what
+    * makes the OCC loop and snapshot replay O(new manifests read),
+    * not O(full log re-parsed per call). */
+  private val actCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Long, Seq[Act])]()
+
   def readActs(logDir: String, version: Int): Seq[Act] = {
     val path = java.nio.file.Paths.get(logDir, f"v$version%06d.tsv")
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(path).asScala.toSeq
-      .filter(_.nonEmpty).map { l =>
-        val Array(a, p, f) = l.split("\t", 3); Act(a, p, f)
-      }
+    val attrs = java.nio.file.Files.readAttributes(
+      path, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = (logDir, version)
+    val stamp = (attrs.size(), attrs.lastModifiedTime().toMillis)
+    Option(actCache.get(key)) match {
+      case Some((sz, mt, acts)) if (sz, mt) == stamp => acts
+      case _ =>
+        import scala.jdk.CollectionConverters._
+        val acts = java.nio.file.Files.readAllLines(path).asScala.toSeq
+          .filter(_.nonEmpty).map { l =>
+            val Array(a, p, f) = l.split("\t", 3); Act(a, p, f)
+          }
+        actCache.put(key, (stamp._1, stamp._2, acts))
+        acts
+    }
   }
+
+  private def replayInto(live: scala.collection.mutable.LinkedHashMap[String, Vector[String]],
+                         acts: Seq[Act]): Unit =
+    acts.foreach {
+      case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
+      case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
+      case Act("txn", _, _)    => ()
+      case Act("stats", _, _)  => ()
+      case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
+    }
 
   /** Snapshot at (up to and including) `asOf`: live files per
     * partition after replaying the log in version order. `txn` marker
     * lines (writer-identity bookkeeping, see [[idempotentCommit]])
-    * carry no file state and are skipped. */
-  def snapshotFiles(logDir: String, asOf: Int = Int.MaxValue): Map[String, Seq[String]] = {
+    * carry no file state and are skipped. When a checkpoint at or
+    * before `asOf` exists, the read replays checkpoint + tail —
+    * O(1) + recent instead of O(versions) — unless `useCheckpoint`
+    * is disabled (how q_tx_vacuum proves checkpoint == full replay
+    * without circularity). */
+  def snapshotFiles(logDir: String, asOf: Int = Int.MaxValue,
+                    useCheckpoint: Boolean = true): Map[String, Seq[String]] = {
     val live = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
-    versions(logDir).filter(_ <= asOf).foreach { v =>
-      readActs(logDir, v).foreach {
-        case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
-        case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
-        case Act("txn", _, _)    => ()
-        case Act("stats", _, _)  => ()
-        case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
-      }
-    }
+    val ck = if (useCheckpoint) checkpointVersions(logDir).filter(_ <= asOf).lastOption
+             else None
+    ck.foreach(c => replayInto(live, readCheckpointActs(logDir, c)))
+    versions(logDir).filter(v => v <= asOf && ck.forall(v > _))
+      .foreach(v => replayInto(live, readActs(logDir, v)))
     live.toMap.filter(_._2.nonEmpty)
   }
 
@@ -135,8 +185,47 @@ object TxLog {
                        touched: Set[String], appId: String,
                        batchId: Long): Either[String, Int] = {
     if (txnVersion(logDir, appId).exists(_ >= batchId)) return Left("duplicate")
-    commit(logDir, readVer, acts :+ Act("txn", appId, batchId.toString), touched)
-      .toRight("conflict")
+    // Fencing: the txn marker's part field IS the appId, and appId
+    // joins the touched set — so a concurrent same-appId commit landing
+    // between the duplicate check and the slot claim surfaces as an OCC
+    // conflict instead of slipping past (the zombie-writer double-append
+    // the check-then-act alone would allow). On conflict, re-read the
+    // marker: if the rival delivery carried our batch, this is a
+    // duplicate after all.
+    commit(logDir, readVer, acts :+ Act("txn", appId, batchId.toString),
+      touched + appId) match {
+      case Some(v) => Right(v)
+      case None =>
+        if (txnVersion(logDir, appId).exists(_ >= batchId)) Left("duplicate")
+        else Left("conflict")
+    }
+  }
+
+  /** Packaged abort-then-re-run: the documented OCC contract is that a
+    * conflicted writer re-executes its transaction against a FRESH
+    * snapshot (stale inputs are why it aborted). `txn` receives the
+    * current snapshot version, re-derives (and re-stages) its acts
+    * from that snapshot, and returns the acts plus touched partitions;
+    * returning None abandons the transaction (nothing left to do).
+    * Gives up after `maxAttempts` conflicts. Returns the committed
+    * version and the number of aborts absorbed on the way. */
+  def retryingCommit(logDir: String, readVer0: Int, maxAttempts: Int = 3)
+      (txn: Int => Option[(Seq[Act], Set[String])]): Option[(Int, Int)] = {
+    var aborts = 0
+    var readVer = readVer0
+    while (aborts < maxAttempts) {
+      txn(readVer) match {
+        case None => return None
+        case Some((acts, touched)) =>
+          commit(logDir, readVer, acts, touched) match {
+            case Some(v) => return Some((v, aborts))
+            case None =>
+              aborts += 1
+              readVer = versions(logDir).lastOption.getOrElse(-1)
+          }
+      }
+    }
+    None
   }
 
   /** Optimistic commit: stage was already written; claim the next free
@@ -156,22 +245,72 @@ object TxLog {
     None // unreachable
   }
 
+  /** Act lines derived from the directory layout a `partitionBy` write
+    * job actually produced — ONE distributed write per transaction
+    * instead of a driver-serialized loop of per-partition jobs, with
+    * the manifest reflecting reality (a row-empty partition writes no
+    * dir and commits no act). Returns (partitionValue, relativeFile). */
+  def partitionedActs(s: SparkSession, dataDir: String,
+                      rel: String): Seq[(String, String)] = {
+    val hfs = new org.apache.hadoop.fs.Path(dataDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.listStatus(new org.apache.hadoop.fs.Path(s"$dataDir/$rel"))
+      .map(_.getPath.getName)
+      .filter(_.contains("="))
+      .sorted
+      .map(n => (n.substring(n.indexOf('=') + 1), s"$rel/$n"))
+      .toSeq
+  }
+
+  /** Read a snapshot's table partitions through the manifest, attaching
+    * the partition value as a column (the partition is manifest
+    * metadata — the data files written by `partitionBy` don't carry
+    * the column). Reserved partitions (e.g. `_dv`) are excluded. */
+  def readPartitioned(s: SparkSession, dataDir: String,
+                      snap: Map[String, Seq[String]], partCol: String,
+                      except: Set[String] = Set.empty): org.apache.spark.sql.DataFrame =
+    (snap -- except).toSeq.sortBy(_._1).map { case (p, fs) =>
+      s.read.parquet(fs.map(f => s"$dataDir/$f"): _*)
+        .withColumn(partCol, lit(p))
+    }.reduce(_ unionAll _)
+
+  /** Size-gated deletion-vector anti-join — the two-regime discipline:
+    * metadata-sized DVs broadcast (zero shuffle of the table side);
+    * past `graft.tx.dvBroadcastMaxBytes` (default 64 MB of DV parquet —
+    * ~10⁷ keys) the probe switches to a SHUFFLE_HASH anti-join, because
+    * no broadcast survives the ~10¹⁰ keys a 1% delete on a 100 TB
+    * table produces. The gate reads FILE SIZES from the manifest
+    * listing — a metadata decision, not an extra count() job. */
+  def antiJoinDv(s: SparkSession, t: org.apache.spark.sql.DataFrame,
+                 del: org.apache.spark.sql.DataFrame,
+                 dvBytes: Long): org.apache.spark.sql.DataFrame = {
+    val maxBytes = s.conf.get("graft.tx.dvBroadcastMaxBytes",
+      (64L << 20).toString).toLong
+    val cond = col("doc_id") === col("del_id")
+    if (dvBytes <= maxBytes) t.join(broadcast(del), cond, "left_anti")
+    else t.join(del.hint("SHUFFLE_HASH"), cond, "left_anti")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Three writers, one stale snapshot, deterministic outcome:
-    //   v0     base commit — one file per lang partition;
+    //   v0     base commit — ONE partitionBy write job, acts derived
+    //          from the directory layout it produced (the driver never
+    //          loops per-partition writes);
     //   A(@v0) blind append of re-keyed duplicates into lang_max
     //          → commits v1 (no one committed since v0);
     //   B(@v0) rewrite of lang_min (remove base file, add evens-only)
     //          → finds v1 taken, sees A touched only lang_max,
     //            DISJOINT → rebases, commits v2;
-    //   C(@v0) rewrite of lang_max → sees A's v1 touched lang_max,
-    //            CONFLICT → aborts (n_aborted = 1).
-    // The result is read exclusively THROUGH the final manifest (the
-    // remove must actually hide the base lang_min file; the append
-    // must be visible) and pinned per-lang: count + key checksum, with
-    // the log shape (n_versions, n_aborted) on every row. DuckDB
-    // replays the same logical edits over `documents` directly.
+    //   C(@v0) rewrite of lang_max to evens-only → sees A's v1 touched
+    //            lang_max, CONFLICT → aborts — then RE-RUNS the
+    //            transaction against the fresh snapshot
+    //            (retryingCommit), so the retry's evens include A's
+    //            appends, and commits v3 (n_aborted = 1 absorbed).
+    // The result is read exclusively THROUGH the final manifest and
+    // pinned per-lang: count + key checksum, with the log shape
+    // (n_versions, n_aborted) on every row. DuckDB replays the same
+    // logical edits over `documents` directly.
     QueryDef(
       "q_tx_commit",
       (s, d) => {
@@ -184,17 +323,15 @@ object TxLog {
         fs.delete(new org.apache.hadoop.fs.Path(base), true)
 
         val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        val langs = docs.select("lang").distinct()
-          .collect().map(_.getString(0)).sorted // bounded: #langs
-        val (lmin, lmax) = (langs.head, langs.last)
 
-        // v0: base commit, one staged file per partition
-        langs.foreach { l =>
-          docs.filter(col("lang") === l)
-            .write.mode("overwrite").parquet(s"$dataDir/base_$l")
-        }
+        // v0: base commit — one distributed write, acts from the layout
+        docs.write.partitionBy("lang").mode("overwrite")
+          .parquet(s"$dataDir/base")
+        val baseActs = partitionedActs(s, dataDir, "base")
+        val langs = baseActs.map(_._1)
+        val (lmin, lmax) = (langs.head, langs.last)
         val v0 = commit(logDir, -1,
-          langs.map(l => Act("add", l, s"base_$l")), langs.toSet)
+          baseActs.map { case (l, f) => Act("add", l, f) }, langs.toSet)
         require(v0.contains(0), s"base commit landed at $v0, expected 0")
 
         // all three writers snapshot NOW — each holds readVer = 0
@@ -202,7 +339,7 @@ object TxLog {
 
         // writer A: blind append into lmax (re-keyed duplicates)
         docs.filter(col("lang") === lmax)
-          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"))
           .write.mode("overwrite").parquet(s"$dataDir/appendA_$lmax")
         val vA = commit(logDir, snapVer,
           Seq(Act("add", lmax, s"appendA_$lmax")), Set(lmax))
@@ -210,26 +347,33 @@ object TxLog {
 
         // writer B: stale rewrite of lmin — disjoint from A, must rebase
         docs.filter(col("lang") === lmin && col("doc_id") % 2 === 0)
+          .select("doc_id")
           .write.mode("overwrite").parquet(s"$dataDir/rewriteB_$lmin")
         val vB = commit(logDir, snapVer,
-          Seq(Act("remove", lmin, s"base_$lmin"),
+          Seq(Act("remove", lmin, s"base/lang=$lmin"),
             Act("add", lmin, s"rewriteB_$lmin")), Set(lmin))
         require(vB.isDefined, "disjoint rewrite B must rebase, not abort")
 
-        // writer C: stale rewrite of lmax — A got there first, must abort
-        docs.filter(col("lang") === lmax && col("doc_id") % 2 === 0)
-          .write.mode("overwrite").parquet(s"$dataDir/rewriteC_$lmax")
-        val vC = commit(logDir, snapVer,
-          Seq(Act("remove", lmax, s"base_$lmax"),
-            Act("add", lmax, s"rewriteC_$lmax")), Set(lmax))
-        require(vC.isEmpty, s"conflicting rewrite C must abort, committed $vC")
-        val nAborted = 1L
+        // writer C: stale rewrite of lmax — A got there first, so the
+        // first attempt ABORTS; the packaged retry re-runs the
+        // transaction body against the fresh snapshot (whose lmax now
+        // includes A's appends) and lands
+        val retried = retryingCommit(logDir, snapVer) { rv =>
+          val cur = snapshotFiles(logDir, rv)(lmax)
+          s.read.parquet(cur.map(f => s"$dataDir/$f"): _*)
+            .filter(col("doc_id") % 2 === 0)
+            .write.mode("overwrite").parquet(s"$dataDir/rewriteC_v$rv")
+          Some((cur.map(f => Act("remove", lmax, f)) :+
+            Act("add", lmax, s"rewriteC_v$rv"), Set(lmax)))
+        }
+        require(retried.exists(_._2 == 1),
+          s"C must abort once then land on retry, got $retried")
+        val nAborted = retried.get._2.toLong
 
-        // read the final table THROUGH the manifest
-        val liveFiles = snapshotFiles(logDir).values.flatten.toSeq.sorted
-          .map(f => s"$dataDir/$f")
+        // read the final table THROUGH the manifest (partition value
+        // attached from manifest metadata, not from the data files)
         val nVersions = versions(logDir).length.toLong
-        s.read.parquet(liveFiles: _*)
+        readPartitioned(s, dataDir, snapshotFiles(logDir), "lang")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_rows"),
             sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
@@ -248,14 +392,16 @@ object TxLog {
              |  SELECT lang, doc_id FROM documents, l
              |  WHERE lang <> lmin AND lang <> lmax
              |  UNION ALL
-             |  -- lmax: base survives (C aborted) plus A's re-keyed appends
-             |  SELECT lang, doc_id FROM documents, l WHERE lang = lmax
+             |  -- lmax after C's retried rewrite: evens of (base ∪ A's
+             |  -- re-keyed appends); the 1e9 offset preserves parity
+             |  SELECT lang, doc_id FROM documents, l
+             |  WHERE lang = lmax AND doc_id % 2 = 0
              |  UNION ALL
              |  SELECT lang, doc_id + 1000000000 FROM documents, l
-             |  WHERE lang = lmax)
+             |  WHERE lang = lmax AND doc_id % 2 = 0)
              |SELECT lang, COUNT(*) AS n_rows,
              |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
-             |  CAST(3 AS BIGINT) AS n_versions,
+             |  CAST(4 AS BIGINT) AS n_versions,
              |  CAST(1 AS BIGINT) AS n_aborted
              |FROM fin GROUP BY lang ORDER BY lang""".stripMargin)),
 
@@ -341,47 +487,54 @@ object TxLog {
         fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
 
         val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        val langs = docs.select("lang").distinct()
-          .collect().map(_.getString(0)).sorted
+        // v0: ONE partitionBy write job, acts from the produced layout
+        docs.write.partitionBy("lang").mode("overwrite")
+          .parquet(s"$dataDir/base")
+        val baseActs = partitionedActs(s, dataDir, "base")
+        val langs = baseActs.map(_._1)
         val lmin = langs.head
-        langs.foreach { l =>
-          docs.filter(col("lang") === l)
-            .write.mode("overwrite").parquet(s"$dataDir/base_$l")
-        }
         require(commit(logDir, -1,
-          langs.map(l => Act("add", l, s"base_$l")), langs.toSet).contains(0))
-        // v1 rewrite makes base_lmin DEAD (referenced only by v0)
+          baseActs.map { case (l, f) => Act("add", l, f) }, langs.toSet).contains(0))
+        // v1 rewrite makes base/lang=lmin DEAD (referenced only by v0)
         docs.filter(col("lang") === lmin && col("doc_id") % 2 === 0)
+          .select("doc_id")
           .write.mode("overwrite").parquet(s"$dataDir/live_$lmin")
         require(commit(logDir, 0,
-          Seq(Act("remove", lmin, s"base_$lmin"), Act("add", lmin, s"live_$lmin")),
+          Seq(Act("remove", lmin, s"base/lang=$lmin"), Act("add", lmin, s"live_$lmin")),
           Set(lmin)).contains(1))
         // a crashed writer: staged data, commit never attempted
         docs.limit(1).write.mode("overwrite").parquet(s"$dataDir/staged_orphan")
 
-        // checkpoint the latest snapshot
+        // checkpoint the latest snapshot; prove it equals the FULL log
+        // replay (useCheckpoint=false — the default read path now
+        // consults the checkpoint, which would make this circular)
         val ckVer = versions(logDir).last
         writeCheckpoint(logDir, ckVer)
         val fromCk = readCheckpoint(logDir).get
-        require(fromCk == snapshotFiles(logDir, ckVer),
+        require(fromCk == snapshotFiles(logDir, ckVer, useCheckpoint = false),
           "checkpoint must equal the full log replay")
 
-        // vacuum with retention 0: live = latest snapshot only
+        // vacuum with retention 0: live = latest snapshot only. The
+        // on-disk inventory expands partitionBy layouts one level so a
+        // dead PARTITION DIR (base/lang=lmin) is reclaimed without
+        // touching its live siblings; _SUCCESS markers are ignored.
         val live = fromCk.values.flatten.toSet
-        val dataPath = java.nio.file.Paths.get(dataDir)
-        import scala.jdk.CollectionConverters._
-        val onDisk = {
-          val st = java.nio.file.Files.list(dataPath)
-          try st.iterator().asScala.map(_.getFileName.toString).toVector.sorted
-          finally st.close()
-        }
+        val hfs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val onDisk = hfs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+          .flatMap { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory) {
+              val kids = hfs.listStatus(st.getPath)
+                .map(_.getPath.getName).filter(_.contains("="))
+              if (kids.nonEmpty) kids.map(k => s"$n/$k").toSeq else Seq(n)
+            } else Seq(n)
+          }.filterNot(_.startsWith("_")).sorted.toVector
         val dead = onDisk.filterNot(live)
         dead.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(s"$dataDir/$f")
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$dataDir/$f"), true)
         }
-        val files = fromCk.values.flatten.toSeq.sorted.map(f => s"$dataDir/$f")
-        s.read.parquet(files: _*)
+        readPartitioned(s, dataDir, fromCk, "lang")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_rows"),
             sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
@@ -547,49 +700,51 @@ object TxLog {
 
         val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
         val langs = docs.select("lang").distinct()
-          .collect().map(_.getString(0)).sorted
+          .collect().map(_.getString(0)).sorted // bounded: #langs
         val (lmin, lmax) = (langs.head, langs.last)
-        // v0: lang_min fragmented into 4 files, the rest one file each
-        (0 until 4).foreach { q =>
-          docs.filter(col("lang") === lmin && col("doc_id") % 4 === q)
-            .write.mode("overwrite").parquet(s"$dataDir/frag${q}_$lmin")
+        // v0: ONE write job produces the whole fragmented layout —
+        // lang_min split into 4 slice dirs, the rest one slice each —
+        // via a two-level partitionBy; acts derive from the layout
+        docs.withColumn("slice",
+            when(col("lang") === lmin,
+              concat(lit("frag"), (col("doc_id") % 4).cast("int")))
+              .otherwise(lit("base")))
+          .write.partitionBy("lang", "slice").mode("overwrite")
+          .parquet(s"$dataDir/base")
+        val baseActs = partitionedActs(s, dataDir, "base").flatMap {
+          case (l, rel) => partitionedActs(s, dataDir, rel).map {
+            case (_, sliceRel) => Act("add", l, sliceRel)
+          }
         }
-        langs.filterNot(_ == lmin).foreach { l =>
-          docs.filter(col("lang") === l)
-            .write.mode("overwrite").parquet(s"$dataDir/base_$l")
-        }
-        require(commit(logDir, -1,
-          (0 until 4).map(q => Act("add", lmin, s"frag${q}_$lmin")) ++
-            langs.filterNot(_ == lmin).map(l => Act("add", l, s"base_$l")),
-          langs.toSet).contains(0))
+        require(commit(logDir, -1, baseActs, langs.toSet).contains(0))
         val nFragsBefore = snapshotFiles(logDir)(lmin).length.toLong
+        require(nFragsBefore == 4L, s"expected 4 fragments, got $nFragsBefore")
 
         // compactor @v0: rewrite the snapshot's lmin fragments as ONE file
-        val fragPaths = snapshotFiles(logDir, 0)(lmin).map(f => s"$dataDir/$f")
-        s.read.parquet(fragPaths: _*).coalesce(1)
+        val frags = snapshotFiles(logDir, 0)(lmin)
+        s.read.parquet(frags.map(f => s"$dataDir/$f"): _*).coalesce(1)
           .write.mode("overwrite").parquet(s"$dataDir/compacted_$lmin")
         val vComp = commit(logDir, 0,
-          (0 until 4).map(q => Act("remove", lmin, s"frag${q}_$lmin")) :+
+          frags.map(f => Act("remove", lmin, f)) :+
             Act("add", lmin, s"compacted_$lmin"), Set(lmin))
         require(vComp.contains(1), s"compactor must commit at v1, got $vComp")
 
         // appender @v0 (stale): disjoint partition — rebases past v1
         docs.filter(col("lang") === lmax)
-          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"))
           .write.mode("overwrite").parquet(s"$dataDir/append_$lmax")
         require(commit(logDir, 0,
           Seq(Act("add", lmax, s"append_$lmax")), Set(lmax)).contains(2))
 
         // second compactor @v0 (stale): lmin changed under it — abort
         val vComp2 = commit(logDir, 0,
-          Seq(Act("remove", lmin, s"frag0_$lmin"), Act("add", lmin, "recompact")),
+          Seq(Act("remove", lmin, frags.head), Act("add", lmin, "recompact")),
           Set(lmin))
         require(vComp2.isEmpty, s"stale second compactor must abort, got $vComp2")
 
         val snap = snapshotFiles(logDir)
         val nFragsAfter = snap(lmin).length.toLong
-        val files = snap.values.flatten.toSeq.sorted.map(f => s"$dataDir/$f")
-        s.read.parquet(files: _*)
+        readPartitioned(s, dataDir, snap, "lang")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_rows"),
             sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
@@ -664,13 +819,18 @@ object TxLog {
           }
         }.reduce(_ unionAll _).orderBy("dest")
       },
+      // NULL contract is explicit on both sides: a NULL value fails the
+      // expectation and lands in quarantine (Spark's CASE ELSE), so the
+      // oracle's quarantine predicate is `value <= 0 OR value IS NULL` —
+      // not `NOT (value > 0)`, whose NULL evaluates to NULL and silently
+      // DROPS the row from both destinations, breaking conservation.
       Some("""SELECT 'main' AS dest, COUNT(*) AS n_rows,
              |  CAST(SUM(event_id * 7) AS BIGINT) AS key_checksum
              |FROM events WHERE value > 0
              |UNION ALL
              |SELECT 'quarantine', COUNT(*),
              |  CAST(SUM(event_id * 7) AS BIGINT)
-             |FROM events WHERE NOT (value > 0)
+             |FROM events WHERE value <= 0 OR value IS NULL
              |ORDER BY dest""".stripMargin)),
 
     // DATA SKIPPING FROM MANIFEST STATS — Iceberg/Delta-style file
@@ -697,12 +857,17 @@ object TxLog {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
         val maxId = docs.agg(max("doc_id")).head().getLong(0)
         val width = maxId / 8 + 1
+        // the pinned 3-scanned/5-skipped arithmetic needs width >= 2
+        // (with width 1 the band [2,3] straddles two buckets); fail
+        // loud instead of hash-mismatching on a degenerate fixture
+        require(maxId >= 8, s"dataskip needs max doc_id >= 8, got $maxId")
         // ONE pass writes all eight range buckets (bucket = partition
         // column), not eight filtered scans — the write cost of
         // stats-keyed layout must itself scale; the per-file min/max
         // are the band edges by construction, so the stats lines need
-        // no second look at the data
-        docs.withColumn("bucket", (col("doc_id") / lit(width)).cast("int"))
+        // no second look at the data. Integer DIV, not double division:
+        // exact for all longs, where /-then-cast drifts past 2^53.
+        docs.withColumn("bucket", expr(s"CAST(doc_id DIV $width AS INT)"))
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(s"$dataDir/buckets")
         val acts = (0 until 8).flatMap { b =>
@@ -790,21 +955,28 @@ object TxLog {
           .withColumn("doc_id", col("doc_id") + lit(2000000000L))
         val touched = Seq(lmin, lmax)
 
-        // per touched partition: snapshot read ⊳ anti-join updates ∪
-        // updates ∪ inserts, rewritten as the partition's new file
+        // ONE merge job for all touched partitions: union the touched
+        // snapshot partitions (lang attached from manifest metadata),
+        // anti-join the update keys, re-add updated + inserted rows,
+        // and land every rewritten partition with a single partitionBy
+        // write — one Spark job per transaction, not one per partition
+        // serialized on the driver. Acts derive from the layout the
+        // job produced.
         val snap0 = snapshotFiles(logDir)
-        val acts = touched.flatMap { l =>
-          val cur = s.read.parquet(snap0(l).map(f => s"$dataDir/$f"): _*)
-            .withColumn("lang", lit(l))
-          val up = updates.filter(col("lang") === l)
-          val ins = inserts.filter(col("lang") === l)
-          val merged = cur.join(up.select(col("doc_id").as("uid")),
-              col("doc_id") === col("uid"), "left_anti")
-            .unionByName(up).unionByName(ins)
-          merged.drop("lang")
-            .write.mode("overwrite").parquet(s"$dataDir/merged_$l")
-          Seq(Act("remove", l, s"base/lang=$l"), Act("add", l, s"merged_$l"))
+        val cur = readPartitioned(s, dataDir,
+          touched.map(l => l -> snap0(l)).toMap, "lang")
+        val merged = cur.join(
+            updates.select(col("doc_id").as("uid"), col("lang").as("ulang")),
+            col("doc_id") === col("uid") && col("lang") === col("ulang"),
+            "left_anti")
+          .unionByName(updates).unionByName(inserts)
+        merged.write.partitionBy("lang").mode("overwrite")
+          .parquet(s"$dataDir/merged")
+        val acts = partitionedActs(s, dataDir, "merged").flatMap {
+          case (l, rel) => Seq(Act("remove", l, s"base/lang=$l"), Act("add", l, rel))
         }
+        require(acts.map(_.part).distinct.sorted == touched.sorted,
+          "merge must rewrite exactly the touched partitions")
         require(commit(logDir, 0, acts, touched.toSet).contains(1))
 
         // untouched partitions must keep their v0 FILES, not just content
@@ -814,14 +986,11 @@ object TxLog {
         }
         val nRewritten = touched.size.toLong
 
-        val rows = langs.map { l =>
-          s.read.parquet(snap1(l).map(f => s"$dataDir/$f"): _*)
-            .agg(count(lit(1)).as("n_rows"),
-              sum(col("n_chars")).as("chars_sum"),
-              sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
-            .withColumn("lang", lit(l))
-        }.reduce(_ unionAll _)
-        rows
+        readPartitioned(s, dataDir, snap1, "lang")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).as("chars_sum"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
           .withColumn("n_partitions_rewritten", lit(nRewritten))
           .withColumn("n_partitions_total", lit(langs.length.toLong))
           .select("lang", "n_rows", "chars_sum", "key_checksum",
@@ -884,35 +1053,42 @@ object TxLog {
         deleteWhere(col("doc_id") % 11 === 3, "b", 1)
 
         // manifest-resolved read: per-partition (the data files don't
-        // carry the partition column), DV union anti-joined when live
+        // carry the partition column), DV union anti-joined when live —
+        // size-gated on the DV files' TOTAL BYTES from the listing
+        val hfs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def dvBytes(dvs: Seq[String]): Long = dvs.map(f =>
+          hfs.getContentSummary(new org.apache.hadoop.fs.Path(s"$dataDir/$f"))
+            .getLength).sum
         def readTable(): org.apache.spark.sql.DataFrame = {
           val snap = snapshotFiles(logDir)
-          val deleted = snap.get("_dv").map { dvs =>
-            s.read.parquet(dvs.map(f => s"$dataDir/$f"): _*)
+          val t = readPartitioned(s, dataDir, snap, "lang", except = Set("_dv"))
+          snap.get("_dv").fold(t) { dvs =>
+            val del = s.read.parquet(dvs.map(f => s"$dataDir/$f"): _*)
               .select(col("doc_id").as("del_id")).distinct()
+            antiJoinDv(s, t, del, dvBytes(dvs))
           }
-          (snap - "_dv").toSeq.sortBy(_._1).map { case (l, fs) =>
-            val t = s.read.parquet(fs.map(f => s"$dataDir/$f"): _*)
-              .withColumn("lang", lit(l))
-            deleted.fold(t)(del => t.join(broadcast(del),
-              col("doc_id") === col("del_id"), "left_anti"))
-          }.reduce(_ unionAll _)
         }
         val preDvs = snapshotFiles(logDir).getOrElse("_dv", Seq.empty).length.toLong
         val pre = readTable().agg(count(lit(1)), sum(col("doc_id") * 7))
           .head()
-        // PURGE: materialize the anti-join per partition, drop DVs —
-        // one atomic version
+        // PURGE: ONE job materializes the anti-join for every partition
+        // (partitionBy write), drop DVs in the same atomic version;
+        // removes cover every rewritten partition's old files, adds
+        // derive from the layout the job produced (a fully-deleted
+        // partition writes no dir and simply disappears)
         val snap = snapshotFiles(logDir)
-        val purgeActs = langs.flatMap { l =>
-          val cur = s.read.parquet(snap(l).map(f => s"$dataDir/$f"): _*)
-          val deleted = s.read.parquet(
-            snap("_dv").map(f => s"$dataDir/$f"): _*)
-            .select(col("doc_id").as("del_id")).distinct()
-          cur.join(broadcast(deleted), col("doc_id") === col("del_id"), "left_anti")
-            .write.mode("overwrite").parquet(s"$dataDir/purged_$l")
-          Seq(Act("remove", l, s"base/lang=$l"), Act("add", l, s"purged_$l"))
-        } ++ snap("_dv").map(f => Act("remove", "_dv", f))
+        val cur = readPartitioned(s, dataDir, snap, "lang", except = Set("_dv"))
+        val deleted = s.read.parquet(snap("_dv").map(f => s"$dataDir/$f"): _*)
+          .select(col("doc_id").as("del_id")).distinct()
+        antiJoinDv(s, cur, deleted, dvBytes(snap("_dv")))
+          .write.partitionBy("lang").mode("overwrite")
+          .parquet(s"$dataDir/purged")
+        val purgeActs =
+          langs.flatMap(l => snap(l).map(f => Act("remove", l, f))) ++
+          partitionedActs(s, dataDir, "purged").map {
+            case (l, rel) => Act("add", l, rel)
+          } ++ snap("_dv").map(f => Act("remove", "_dv", f))
         require(commit(logDir, versions(logDir).last, purgeActs,
           langs.toSet + "_dv").isDefined)
         val postDvs = snapshotFiles(logDir).getOrElse("_dv", Seq.empty).length.toLong
@@ -933,7 +1109,92 @@ object TxLog {
              |  CAST(0 AS BIGINT) AS dvs_after_purge
              |FROM documents
              |WHERE NOT (doc_id % 7 = 0 OR doc_id % 11 = 3)
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // MANIFEST STATS PRUNING A JOIN — the Iceberg metadata-join
+    // pattern, one step past q_tx_dataskip's static range predicate:
+    // the pruning bounds come from the OTHER RELATION. The dim side's
+    // key min/max (one metadata-sized aggregate — two longs reach the
+    // driver) intersects the fact table's per-file zone maps, so the
+    // join plan never opens the fact files whose key range can't
+    // match. At 100 TB this is the difference between scanning the
+    // 95% of a fact table a narrow dim can never join and never
+    // listing it: footer pruning still opens every file; dynamic
+    // partition pruning still plans the full scan. The output pins
+    // BOTH the join result and the pruning arithmetic — and the
+    // oracle recomputes files_scanned from the dim bounds
+    // (dmax//w - dmin//w + 1), so opening too many or too few files
+    // fails the hash regardless of where the dim keys happen to land.
+    QueryDef(
+      "q_tx_join_prune",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txjp/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val width = maxId / 8 + 1
+        require(maxId >= 8, s"join-prune needs max doc_id >= 8, got $maxId")
+        // fact table: eight range buckets + zone-map stats, ONE write
+        docs.withColumn("bucket", expr(s"CAST(doc_id DIV $width AS INT)"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$dataDir/buckets")
+        val acts = (0 until 8).flatMap { b =>
+          val (lo, hi) = (b * width, (b + 1) * width - 1)
+          Seq(Act("add", "all", s"buckets/bucket=$b"),
+            Act("stats", s"buckets/bucket=$b", s"$lo,$hi"))
+        }
+        require(commit(logDir, -1, acts, Set("all")).contains(0))
+
+        // dim relation: a narrow key subset (band ∩ every-5th) standing
+        // in for a small dimension table — its bounds drive the prune
+        val (bandLo, bandHi) = (width * 7 / 2, width * 9 / 2 - 1)
+        val dim = docs.filter(col("doc_id").between(bandLo, bandHi) &&
+            col("doc_id") % 5 === 2)
+          .select(col("doc_id").as("dim_id"))
+        val bounds = dim.agg(min("dim_id"), max("dim_id")).head()
+        require(!bounds.isNullAt(0), "dim relation is empty — prune is vacuous")
+        val (dmin, dmax) = (bounds.getLong(0), bounds.getLong(1))
+
+        // metadata join: dim bounds × manifest zone maps → files to open
+        val stats = versions(logDir).flatMap(readActs(logDir, _)).collect {
+          case Act("stats", f, mm) =>
+            val Array(lo, hi) = mm.split(",", 2); (f, lo.toLong, hi.toLong)
+        }
+        val live = snapshotFiles(logDir).values.flatten.toSet
+        val scanned = stats.filter { case (f, lo, hi) =>
+          live(f) && hi >= dmin && lo <= dmax
+        }.map(_._1).sorted
+        val skipped = live.size.toLong - scanned.length
+        val hfs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val readable = scanned.map(f => s"$dataDir/$f")
+          .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+        s.read.parquet(readable: _*)
+          .join(broadcast(dim), col("doc_id") === col("dim_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"),
+            sum(col("n_chars").cast("long")).as("chars_sum"))
+          .withColumn("files_scanned", lit(scanned.length.toLong))
+          .withColumn("files_skipped", lit(skipped))
+      },
+      Some("""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |w AS (SELECT mx // 8 + 1 AS width FROM m),
+             |dim AS (
+             |  SELECT doc_id FROM documents, w
+             |  WHERE doc_id BETWEEN width * 7 // 2 AND width * 9 // 2 - 1
+             |    AND doc_id % 5 = 2),
+             |dm AS (SELECT MIN(doc_id) AS dmin, MAX(doc_id) AS dmax FROM dim),
+             |ns AS (SELECT dmax // width - dmin // width + 1 AS n FROM dm, w)
+             |SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(d.doc_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_sum,
+             |  (SELECT CAST(n AS BIGINT) FROM ns) AS files_scanned,
+             |  (SELECT CAST(8 - n AS BIGINT) FROM ns) AS files_skipped
+             |FROM documents d JOIN dim USING (doc_id)""".stripMargin))
   )
 
   /** Materialize the flattened snapshot at `version` as
@@ -951,41 +1212,37 @@ object TxLog {
     java.nio.file.Files.write(stage,
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     val path = dir.resolve(f"ckpt_v$version%06d.tsv")
-    try java.nio.file.Files.createLink(path, stage)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    try { publishAtomically(stage, path); () }
     finally java.nio.file.Files.deleteIfExists(stage)
   }
 
-  /** Snapshot from the newest checkpoint plus the tail of the log
-    * after it; None when no checkpoint exists yet. */
-  def readCheckpoint(logDir: String): Option[Map[String, Seq[String]]] = {
+  /** Committed checkpoint versions in order. */
+  def checkpointVersions(logDir: String): Seq[Int] = {
     val dir = java.nio.file.Paths.get(logDir)
-    if (!java.nio.file.Files.isDirectory(dir)) return None
-    import scala.jdk.CollectionConverters._
-    val cks = {
-      val st = java.nio.file.Files.list(dir)
-      try st.iterator().asScala.map(_.getFileName.toString)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val st = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
         .filter(n => n.startsWith("ckpt_v") && n.endsWith(".tsv"))
         .map(n => n.stripPrefix("ckpt_v").stripSuffix(".tsv").toInt)
         .toSeq.sorted
-      finally st.close()
-    }
-    cks.lastOption.map { ck =>
-      val live = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
-      val ckPath = java.nio.file.Paths.get(logDir, f"ckpt_v$ck%06d.tsv")
-      val ckActs = java.nio.file.Files.readAllLines(ckPath).asScala.toSeq
-        .filter(_.nonEmpty).map { l =>
-          val Array(a, p, f) = l.split("\t", 3); Act(a, p, f)
-        }
-      (ckActs ++ versions(logDir).filter(_ > ck).flatMap(readActs(logDir, _)))
-        .foreach {
-          case Act("add", p, f)    => live(p) = live.getOrElse(p, Vector.empty) :+ f
-          case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
-          case Act("txn", _, _)    => ()
-          case Act("stats", _, _)  => ()
-          case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
-        }
-      live.toMap.filter(_._2.nonEmpty)
-    }
+    } finally st.close()
   }
+
+  private def readCheckpointActs(logDir: String, ck: Int): Seq[Act] = {
+    val ckPath = java.nio.file.Paths.get(logDir, f"ckpt_v$ck%06d.tsv")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(ckPath).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val Array(a, p, f) = l.split("\t", 3); Act(a, p, f)
+      }
+  }
+
+  /** Snapshot from the newest checkpoint plus the tail of the log
+    * after it; None when no checkpoint exists yet. (The same path
+    * [[snapshotFiles]] takes by default once a checkpoint exists.) */
+  def readCheckpoint(logDir: String): Option[Map[String, Seq[String]]] =
+    checkpointVersions(logDir).lastOption
+      .map(_ => snapshotFiles(logDir, useCheckpoint = true))
 }

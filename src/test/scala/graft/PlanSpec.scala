@@ -545,4 +545,72 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"verification join must hash, not sort the array payloads:\n$p")
   }
+
+  test("deletion-vector anti-join is size-gated: metadata-sized DVs broadcast, huge DVs shuffle-hash") {
+    import org.apache.spark.sql.functions._
+    val t = spark.range(1000).select(col("id").as("doc_id"), (col("id") % 5).as("v"))
+    val del = spark.range(100).select((col("id") * 7).as("del_id"))
+    // small regime: DV bytes under the gate → broadcast anti-join
+    val small = graft.operators.TxLog.antiJoinDv(spark, t, del, dvBytes = 1024L)
+    small.collect()
+    val sp = small.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin") && sp.contains("LeftAnti"),
+      s"small-DV probe must broadcast:\n$sp")
+    // large regime: DV bytes over the gate → SHUFFLE_HASH anti-join
+    // (forced via a synthetic size — no broadcast survives 10^10 keys)
+    val large = graft.operators.TxLog.antiJoinDv(spark, t, del, dvBytes = 1L << 40)
+    large.collect()
+    val lp = large.queryExecution.executedPlan.toString
+    assert(lp.contains("ShuffledHashJoin") && lp.contains("LeftAnti"),
+      s"large-DV probe must shuffle-hash, not broadcast:\n$lp")
+    assert(!lp.contains("BroadcastHashJoin"), s"plan:\n$lp")
+    // both regimes produce identical survivors
+    assert(small.collect().map(_.getLong(0)).sorted.toSeq ===
+      large.collect().map(_.getLong(0)).sorted.toSeq)
+    // and the conf gate is honored: a zeroed budget forces the large
+    // regime even for a tiny DV
+    spark.conf.set("graft.tx.dvBroadcastMaxBytes", "0")
+    try {
+      val forced = graft.operators.TxLog.antiJoinDv(spark, t, del, dvBytes = 1024L)
+      forced.collect()
+      val fp = forced.queryExecution.executedPlan.toString
+      assert(fp.contains("ShuffledHashJoin"), s"conf gate ignored:\n$fp")
+    } finally spark.conf.unset("graft.tx.dvBroadcastMaxBytes")
+  }
+
+  test("rp_project is a native codegen expression equal to the expanded sign chain") {
+    import org.apache.spark.sql.functions._
+    // the 2048-term chain this expression replaced overflowed janino's
+    // 64 KB method limit at projDim=32 and silently ran interpreted;
+    // pin (1) bit-equality with the chain's arithmetic, (2) codegen
+    // participation. The chain is replayed DRIVER-SIDE (same IEEE op
+    // order: coordinate j accumulates x_i over i ascending) — running
+    // the expanded SQL chain here would itself re-emit the codegen
+    // ERROR this expression exists to eliminate.
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val rows = emb.selectExpr("vec_id", "rp_project(embedding, 32) AS native",
+        "embedding").collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Float](2)
+      val native = r.getSeq[Double](1)
+      val expected = (0 until 32).map { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) {
+          acc += graft.functions.RpProject.signs(i)(j) * x(i).toDouble
+          i += 1
+        }
+        acc
+      }
+      // exact comparison via raw bits — bit-identity, not tolerance
+      assert(native.map(java.lang.Double.doubleToRawLongBits) ===
+        expected.map(java.lang.Double.doubleToRawLongBits),
+        s"vec_id=${r.getLong(0)}")
+    }
+    val p = emb.selectExpr("rp_project(embedding, 32) AS p")
+      .queryExecution.executedPlan.toString
+    // the `*(n)` star on the Project marks whole-stage-codegen inclusion
+    assert("""\*\(\d+\) Project \[rp_project""".r.findFirstIn(p).isDefined,
+      s"rp_project fell out of codegen:\n$p")
+  }
 }

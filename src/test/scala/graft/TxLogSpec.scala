@@ -119,8 +119,69 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.commit(log, 1, Seq(Act("add", "c", "h0")), Set("c")).contains(2))
     assert(TxLog.commit(log, 2, Seq(Act("remove", "b", "g0")), Set("b")).contains(3))
     val fromCk = TxLog.readCheckpoint(log).get
-    assert(fromCk === TxLog.snapshotFiles(log))
+    // compare against the FULL replay — snapshotFiles consults the
+    // checkpoint by default now, which would make this vacuous
+    assert(fromCk === TxLog.snapshotFiles(log, useCheckpoint = false))
     assert(fromCk === Map("a" -> Vector("f1"), "c" -> Vector("h0")))
+  }
+
+  test("zombie-writer fencing: concurrent duplicate (appId, batchId) deliveries commit exactly once") {
+    // the check-then-act window idempotentCommit's fencing closes: two
+    // deliveries of the SAME batch race the duplicate check — without
+    // the appId in the touched set both pass it and double-append
+    (0 until 20).foreach { round =>
+      val log = freshLog(s"zombie_$round")
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[String, Int]]()
+      val barrier = new java.util.concurrent.CyclicBarrier(4)
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          barrier.await()
+          results.add(TxLog.idempotentCommit(log,
+            TxLog.versions(log).lastOption.getOrElse(-1),
+            Seq(Act("add", "all", s"delivery_$i")), Set.empty, "zombie", 7L))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val rs = results.iterator().asScala.toSeq
+      assert(rs.count(_.isRight) === 1,
+        s"round $round: exactly one delivery of batch 7 may land, got $rs")
+      // the table carries exactly one delivery's file
+      assert(TxLog.snapshotFiles(log)("all").length === 1)
+    }
+  }
+
+  test("retryingCommit: conflicted rewriters re-run against fresh snapshots and ALL land") {
+    val log = freshLog("retry_race")
+    assert(TxLog.tryCommit(log, 0, Seq(Act("add", "hot", "f_v0"))))
+    val n = 8
+    val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val absorbed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        // each writer's transaction: replace whatever file currently
+        // lives in 'hot' with its own — re-derived from the snapshot
+        // it re-reads on every attempt, exactly the re-run contract
+        TxLog.retryingCommit(log, 0, maxAttempts = 4 * n) { rv =>
+          val cur = TxLog.snapshotFiles(log, rv)("hot")
+          Some((cur.map(f => Act("remove", "hot", f)) :+
+            Act("add", "hot", s"f_w$i"), Set("hot")))
+        } match {
+          case Some((_, aborts)) => landed.incrementAndGet(); absorbed.addAndGet(aborts)
+          case None              => ()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(landed.get() === n, s"every retrying rewriter must eventually land")
+    assert(absorbed.get() >= n - 1,
+      "conflicting rewrites of one partition must have absorbed aborts on the way")
+    // the final state is exactly ONE file: the last committed rewrite
+    val snap = TxLog.snapshotFiles(log)
+    assert(snap("hot").length === 1, s"snap: $snap")
+    assert(snap("hot").head.startsWith("f_w"))
   }
 
   test("compactor races appenders: maintenance commits without losing any concurrent append") {
@@ -241,6 +302,27 @@ class TxLogSpec extends AnyFunSuite {
     assert(r.getAs[Long]("files_skipped") === 5L)
   }
 
+  test("join pruning opens fewer files and loses no matches: pruned join equals the full join") {
+    val r = SparkEntry.queries("q_tx_join_prune")(spark, sf).collect().head
+    // unpruned truth: the same join over the raw table
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS n_chars").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val width = docs.map(_._1).max / 8 + 1
+    val (lo, hi) = (width * 7 / 2, width * 9 / 2 - 1)
+    val dim = docs.map(_._1).filter(id => id >= lo && id <= hi && id % 5 == 2).toSet
+    val joined = docs.filter { case (id, _) => dim(id) }
+    assert(r.getAs[Long]("n_rows") === joined.length.toLong)
+    assert(r.getAs[Long]("key_checksum") === joined.map(_._1 * 7).sum)
+    assert(r.getAs[Long]("chars_sum") === joined.map(_._2).sum)
+    // and the metadata join actually pruned: strictly fewer than all 8
+    // files opened, with the scanned set sized by the dim bounds
+    val expScanned = dim.max / width - dim.min / width + 1
+    assert(r.getAs[Long]("files_scanned") === expScanned)
+    assert(r.getAs[Long]("files_skipped") === 8L - expScanned)
+    assert(r.getAs[Long]("files_scanned") < 8L, "prune was vacuous")
+  }
+
   test("quarantine gate conserves the source: main + quarantine = every event, disjointly") {
     val rows = SparkEntry.queries("q_tx_quarantine")(spark, sf).collect()
       .map(r => r.getAs[String]("dest") ->
@@ -273,6 +355,20 @@ class TxLogSpec extends AnyFunSuite {
       assert(r.getAs[Long]("chars_sum") === expChars, s"lang=$lang")
       assert(r.getAs[Long]("n_partitions_rewritten") === 2L)
     }
+    // ONE write job per transaction: a single partitionBy pass leaves
+    // exactly one _SUCCESS at the merged ROOT with lang= dirs beside it
+    // — a per-partition write loop would leave one marker per dir
+    val mergedRoot = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_txmerge/${TmpSlices.key(sf)}/data/merged")
+    assert(java.nio.file.Files.exists(mergedRoot.resolve("_SUCCESS")),
+      "merged/ must be the output of ONE partitionBy job")
+    val st = java.nio.file.Files.list(mergedRoot)
+    val entries = try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString).toVector
+    } finally st.close()
+    assert(entries.count(_.startsWith("lang=")) === 2, s"entries: $entries")
+    assert(entries.count(_ == "_SUCCESS") === 1)
   }
 
   test("deletion vectors hide deleted keys from reads before any rewrite happens") {
@@ -289,6 +385,11 @@ class TxLogSpec extends AnyFunSuite {
       assert(r.getAs[Long]("dvs_after_purge") === 0L)
     }
     assert(survivors.length < docs.length, "fixture deleted nothing — vacuous")
+    // purge is ONE partitionBy job, not a per-partition write loop
+    val purgedRoot = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_txdv/${TmpSlices.key(sf)}/data/purged")
+    assert(java.nio.file.Files.exists(purgedRoot.resolve("_SUCCESS")),
+      "purged/ must be the output of ONE partitionBy job")
   }
 
   test("q_tx_commit end-to-end: manifest read-back equals the logical edit replay") {
@@ -301,13 +402,15 @@ class TxLogSpec extends AnyFunSuite {
       val lang = r.getAs[String]("lang")
       val expected: Seq[Long] = lang match {
         case `lmin` => docs.collect { case (id, `lmin`) if id % 2 == 0 => id }.toSeq
-        case `lmax` => docs.collect { case (id, `lmax`) => id }.toSeq ++
-          docs.collect { case (id, `lmax`) => id + 1000000000L }.toSeq
+        // C's RETRIED rewrite keeps evens of (base ∪ A's re-keyed
+        // appends) — the 1e9 offset preserves parity
+        case `lmax` => docs.collect { case (id, `lmax`) if id % 2 == 0 => id }.toSeq ++
+          docs.collect { case (id, `lmax`) if id % 2 == 0 => id + 1000000000L }.toSeq
         case _ => docs.collect { case (id, l) if l == lang => id }.toSeq
       }
       assert(r.getAs[Long]("n_rows") === expected.length.toLong, s"lang=$lang")
       assert(r.getAs[Long]("key_checksum") === expected.map(_ * 7).sum, s"lang=$lang")
-      assert(r.getAs[Long]("n_versions") === 3L)
+      assert(r.getAs[Long]("n_versions") === 4L)
       assert(r.getAs[Long]("n_aborted") === 1L)
     }
     assert(out.map(_.getAs[String]("lang")).toSeq === langs)
