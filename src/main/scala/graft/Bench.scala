@@ -453,8 +453,11 @@ object Bench {
     "q_tx_merge",
     "q_tx_delete_vectors",
     "q_ml_stump",
-    // round 13: manifest stats pruning a JOIN (metadata-join pattern)
-    "q_tx_join_prune")
+    // round 13: manifest stats pruning a JOIN (metadata-join pattern),
+    // metadata-only RESTORE, and the file-diff change data feed
+    "q_tx_join_prune",
+    "q_tx_restore",
+    "q_tx_cdf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1194,8 +1194,198 @@ object TxLog {
              |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_sum,
              |  (SELECT CAST(n AS BIGINT) FROM ns) AS files_scanned,
              |  (SELECT CAST(8 - n AS BIGINT) FROM ns) AS files_skipped
-             |FROM documents d JOIN dim USING (doc_id)""".stripMargin))
+             |FROM documents d JOIN dim USING (doc_id)""".stripMargin)),
+
+    // RESTORE TO VERSION — time travel made writable: a bad deploy
+    // rewrote and appended; RESTORE commits a NEW version whose acts
+    // are the file-level DIFF back to the target snapshot (re-add what
+    // was removed, remove what was added — legal because removed files
+    // stay on disk until vacuum reclaims them; Delta's RESTORE TABLE
+    // works exactly this way). History is preserved — the bad versions
+    // remain queryable via as-of reads — and the restore itself is
+    // METADATA-ONLY: zero data files move, the commit is the diff's
+    // act lines, so restoring a 100 TB table costs bytes. The oracle
+    // pins the restored state (== the original table) and the log
+    // shape; the in-query require proves the restored snapshot equals
+    // the as-of snapshot file-for-file.
+    QueryDef(
+      "q_tx_restore",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txrst/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        docs.write.partitionBy("lang").mode("overwrite")
+          .parquet(s"$dataDir/base")
+        val baseActs = partitionedActs(s, dataDir, "base")
+        val langs = baseActs.map(_._1)
+        val (lmin, lmax) = (langs.head, langs.last)
+        require(commit(logDir, -1,
+          baseActs.map { case (l, f) => Act("add", l, f) }, langs.toSet).contains(0))
+
+        // the "bad deploy": v1 rewrites lmin to evens, v2 appends
+        // re-keyed duplicates into lmax
+        docs.filter(col("lang") === lmin && col("doc_id") % 2 === 0)
+          .select("doc_id")
+          .write.mode("overwrite").parquet(s"$dataDir/bad_rewrite")
+        require(commit(logDir, 0,
+          Seq(Act("remove", lmin, s"base/lang=$lmin"),
+            Act("add", lmin, "bad_rewrite")), Set(lmin)).contains(1))
+        docs.filter(col("lang") === lmax)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"))
+          .write.mode("overwrite").parquet(s"$dataDir/bad_append")
+        require(commit(logDir, 1,
+          Seq(Act("add", lmax, "bad_append")), Set(lmax)).contains(2))
+
+        // RESTORE to v0: metadata-only diff commit
+        val restored = restore(logDir, toVersion = 0)
+        require(restored.contains(3), s"restore must commit at v3, got $restored")
+
+        // the restored snapshot must equal the as-of-v0 snapshot exactly
+        require(snapshotFiles(logDir) == snapshotFiles(logDir, asOf = 0),
+          "restored snapshot must equal the as-of target")
+        val nVersions = versions(logDir).length.toLong
+        readPartitioned(s, dataDir, snapshotFiles(logDir), "lang")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .withColumn("n_versions", lit(nVersions))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(4 AS BIGINT) AS n_versions
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // CHANGE DATA FEED between two versions — what downstream
+    // consumers (incremental ETL, cache invalidation, replication)
+    // read instead of re-scanning the table: the row-level net diff,
+    // computed from ONLY the files the window's commits touched. The
+    // file-level diff (added vs removed between the snapshots) prunes
+    // the read — untouched partitions are never opened, so CDF cost
+    // scales with the CHANGE, not the table (the 100 TB property; a
+    // carried-over unchanged row inside a rewritten file is filtered
+    // by the full-outer compare, exactly the file-diff CDF semantics
+    // lake engines fall back to without per-row lineage). Three change
+    // types from one edit script: v1 rewrites lang_max (drop %9==4,
+    // bump n_chars for %10==0), v2 inserts re-keyed rows into
+    // lang_min; the oracle replays the script logically.
+    QueryDef(
+      "q_tx_cdf",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txcdf/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        docs.write.partitionBy("lang").mode("overwrite")
+          .parquet(s"$dataDir/base")
+        val baseActs = partitionedActs(s, dataDir, "base")
+        val langs = baseActs.map(_._1)
+        val (lmin, lmax) = (langs.head, langs.last)
+        require(commit(logDir, -1,
+          baseActs.map { case (l, f) => Act("add", l, f) }, langs.toSet).contains(0))
+
+        // v1: rewrite lang_max — deletes (%9==4) and updates (%10==0)
+        docs.filter(col("lang") === lmax && col("doc_id") % 9 =!= 4)
+          .withColumn("n_chars",
+            when(col("doc_id") % 10 === 0, col("n_chars") + lit(1000L))
+              .otherwise(col("n_chars")))
+          .select("doc_id", "n_chars")
+          .write.mode("overwrite").parquet(s"$dataDir/rewrite_$lmax")
+        require(commit(logDir, 0,
+          Seq(Act("remove", lmax, s"base/lang=$lmax"),
+            Act("add", lmax, s"rewrite_$lmax")), Set(lmax)).contains(1))
+        // v2: inserts into lang_min
+        docs.filter(col("lang") === lmin)
+          .select((col("doc_id") + lit(2000000000L)).as("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dataDir/inserts_$lmin")
+        require(commit(logDir, 1,
+          Seq(Act("add", lmin, s"inserts_$lmin")), Set(lmin)).contains(2))
+
+        changeFeed(s, dataDir, logDir, fromVersion = 0, toVersion = 2)
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+          .orderBy("change_type")
+      },
+      Some("""WITH l AS (
+             |  SELECT MIN(lang) AS lmin, MAX(lang) AS lmax FROM documents),
+             |changes AS (
+             |  SELECT 'delete' AS change_type, doc_id FROM documents, l
+             |  WHERE lang = lmax AND doc_id % 9 = 4
+             |  UNION ALL
+             |  SELECT 'update', doc_id FROM documents, l
+             |  WHERE lang = lmax AND doc_id % 10 = 0 AND doc_id % 9 <> 4
+             |  UNION ALL
+             |  SELECT 'insert', doc_id + 2000000000 FROM documents, l
+             |  WHERE lang = lmin)
+             |SELECT change_type, COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+             |FROM changes GROUP BY change_type ORDER BY change_type""".stripMargin))
   )
+
+  /** RESTORE to `toVersion` as a new commit: the file-level diff
+    * between the current snapshot and the target — re-add files the
+    * window removed, remove files it added. Metadata-only (no data
+    * moves); conflicts with any concurrent writer of a diffed
+    * partition under the usual OCC rules. None = nothing to restore
+    * (snapshots already equal) or conflict. */
+  def restore(logDir: String, toVersion: Int): Option[Int] = {
+    val vs = versions(logDir)
+    if (vs.isEmpty) return None
+    val readVer = vs.last
+    val cur = snapshotFiles(logDir)
+    val target = snapshotFiles(logDir, asOf = toVersion)
+    val parts = (cur.keySet ++ target.keySet).toSeq.sorted
+    val acts = parts.flatMap { p =>
+      val (c, t) = (cur.getOrElse(p, Seq.empty), target.getOrElse(p, Seq.empty))
+      c.filterNot(t.contains).map(f => Act("remove", p, f)) ++
+        t.filterNot(c.contains).map(f => Act("add", p, f))
+    }
+    if (acts.isEmpty) None
+    else commit(logDir, readVer, acts, acts.map(_.part).toSet)
+  }
+
+  /** Row-level change feed between two snapshot versions, from ONLY
+    * the files their file-level diff touches: full-outer-join the
+    * removed-files read against the added-files read on the key and
+    * classify — before-only = delete, after-only = insert, both with
+    * a changed payload = update; carried-over identical rows fall out.
+    * Returns (change_type, doc_id, n_chars). */
+  def changeFeed(s: SparkSession, dataDir: String, logDir: String,
+                 fromVersion: Int, toVersion: Int): org.apache.spark.sql.DataFrame = {
+    val from = snapshotFiles(logDir, asOf = fromVersion)
+    val to = snapshotFiles(logDir, asOf = toVersion)
+    val parts = (from.keySet ++ to.keySet).toSeq.sorted
+    val removed = parts.flatMap(p => from.getOrElse(p, Seq.empty)
+      .filterNot(to.getOrElse(p, Seq.empty).contains))
+    val added = parts.flatMap(p => to.getOrElse(p, Seq.empty)
+      .filterNot(from.getOrElse(p, Seq.empty).contains))
+    def readFiles(fs: Seq[String], idCol: String, vCol: String) =
+      if (fs.isEmpty)
+        s.range(0).selectExpr(s"id AS $idCol", s"CAST(NULL AS BIGINT) AS $vCol")
+      else s.read.parquet(fs.map(f => s"$dataDir/$f"): _*)
+        .select(col("doc_id").as(idCol), col("n_chars").cast("long").as(vCol))
+    val before = readFiles(removed, "b_id", "b_chars")
+    val after = readFiles(added, "a_id", "a_chars")
+    before.join(after, col("b_id") === col("a_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("b_id").isNull, lit("insert"))
+          .when(col("a_id").isNull, lit("delete"))
+          .when(col("b_chars") =!= col("a_chars"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("change_type"),
+        coalesce(col("a_id"), col("b_id")).as("doc_id"),
+        coalesce(col("a_chars"), col("b_chars")).as("n_chars"))
+  }
 
   /** Materialize the flattened snapshot at `version` as
     * `_log/ckpt_v%06d.tsv` (add-lines only) — readers replay the

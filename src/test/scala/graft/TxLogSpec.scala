@@ -302,6 +302,50 @@ class TxLogSpec extends AnyFunSuite {
     assert(r.getAs[Long]("files_skipped") === 5L)
   }
 
+  test("restore is a metadata-only diff commit: state rewinds, history stays queryable") {
+    val log = freshLog("restore")
+    assert(TxLog.tryCommit(log, 0, Seq(Act("add", "a", "f0"), Act("add", "b", "g0"))))
+    assert(TxLog.commit(log, 0,
+      Seq(Act("remove", "a", "f0"), Act("add", "a", "f1")), Set("a")).contains(1))
+    assert(TxLog.commit(log, 1, Seq(Act("add", "b", "g1")), Set("b")).contains(2))
+    // restore to v0 — a new commit, not a log truncation
+    assert(TxLog.restore(log, toVersion = 0).contains(3))
+    assert(TxLog.snapshotFiles(log) === TxLog.snapshotFiles(log, asOf = 0))
+    assert(TxLog.snapshotFiles(log) === Map("a" -> Vector("f0"), "b" -> Vector("g0")))
+    // the bad window is STILL visible as-of its versions
+    assert(TxLog.snapshotFiles(log, asOf = 2) ===
+      Map("a" -> Vector("f1"), "b" -> Vector("g0", "g1")))
+    // restoring to the current state is a no-op, not an empty commit
+    assert(TxLog.restore(log, toVersion = 3).isEmpty)
+    assert(TxLog.versions(log) === Seq(0, 1, 2, 3))
+  }
+
+  test("change data feed classifies the edit script exactly and skips untouched partitions") {
+    val rows = SparkEntry.queries("q_tx_cdf")(spark, sf).collect()
+      .map(r => r.getAs[String]("change_type") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("key_checksum"))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val langs = docs.map(_._2).distinct.sorted
+    val (lmin, lmax) = (langs.head, langs.last)
+    val del = docs.filter(x => x._2 == lmax && x._1 % 9 == 4).map(_._1)
+    val upd = docs.filter(x => x._2 == lmax && x._1 % 10 == 0 && x._1 % 9 != 4).map(_._1)
+    val ins = docs.filter(_._2 == lmin).map(_._1 + 2000000000L)
+    assert(rows("delete") === ((del.length.toLong, del.map(_ * 7).sum)))
+    assert(rows("update") === ((upd.length.toLong, upd.map(_ * 7).sum)))
+    assert(rows("insert") === ((ins.length.toLong, ins.map(_ * 7).sum)))
+    assert(rows.size === 3)
+    // the feed's file diff never touches unchanged partitions: only
+    // the rewritten lang_max file and the insert file differ
+    val base = s"${sys.props("java.io.tmpdir")}/graft_txcdf/${TmpSlices.key(sf)}"
+    val from = TxLog.snapshotFiles(s"$base/_log", asOf = 0)
+    val to = TxLog.snapshotFiles(s"$base/_log", asOf = 2)
+    val changed = (from.keySet ++ to.keySet).filter(p =>
+      from.getOrElse(p, Seq.empty) != to.getOrElse(p, Seq.empty))
+    assert(changed === Set(lmin, lmax),
+      s"only the edited partitions may appear in the diff: $changed")
+  }
+
   test("join pruning opens fewer files and loses no matches: pruned join equals the full join") {
     val r = SparkEntry.queries("q_tx_join_prune")(spark, sf).collect().head
     // unpruned truth: the same join over the raw table
