@@ -1,23 +1,27 @@
 package graft.tools
 
 import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.LogEvent
+import org.apache.logging.log4j.core.LoggerContext
 import org.apache.logging.log4j.core.appender.AbstractAppender
 import org.apache.logging.log4j.core.config.Property
-import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
 
-/** Hunts whole-stage-codegen failures across the declared query
-  * surface: attaches a log4j2 appender to the root logger, runs every
-  * `SparkEntry.queries` entry at the given sf dir, and attributes any
-  * "Code grows beyond 64 KB" / "codegen disabled" / "Failed to
-  * compile" event to the query running when it fired. A silent
-  * interpreted fallback is invisible to the correctness gate — this is
-  * the instrument that makes it loud. */
-object CodegenHunt {
-  @volatile private var current: String = "<startup>"
+/** Codegen-failure watcher: a log4j2 appender on the root logger that
+  * records Spark's silent whole-stage-codegen fallbacks ("Code grows
+  * beyond 64 KB" / "Whole-stage codegen disabled" / "Failed to
+  * compile") and attributes each to whatever `current` names at the
+  * time. A fallback is invisible to the correctness gate — the query
+  * still answers, interpreted — so this is the instrument that makes
+  * it loud; QuerySurfaceSpec runs the whole declared surface under it
+  * as a standing regression gate, and [[CodegenHunt]] is the
+  * standalone attribution main. */
+object CodegenWatch {
+  @volatile var current: String = "<none>"
   private val hits = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  @volatile private var installed = false
 
   private final class CatchAppender extends AbstractAppender(
-      "graft-codegen-hunt", null, null, false, Property.EMPTY_ARRAY) {
+      "graft-codegen-watch", null, null, false, Property.EMPTY_ARRAY) {
     override def append(event: LogEvent): Unit = {
       val msg = event.getMessage.getFormattedMessage
       val interesting =
@@ -29,23 +33,43 @@ object CodegenHunt {
     }
   }
 
+  /** Attach the appender to the root logger (idempotent). */
+  def install(): Unit = synchronized {
+    if (!installed) {
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val app = new CatchAppender
+      app.start()
+      ctx.getConfiguration.getRootLogger.addAppender(app, Level.WARN, null)
+      ctx.updateLoggers()
+      installed = true
+    }
+  }
+
+  /** Return and clear everything recorded so far. */
+  def drain(): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val out = hits.iterator().asScala.toVector
+    hits.clear()
+    out
+  }
+}
+
+/** Standalone attribution main: runs every `SparkEntry.queries` entry
+  * (or a comma-separated subset) at the given sf dir under
+  * [[CodegenWatch]] and prints which queries tripped codegen
+  * fallbacks. Found round 13's q_rp_recall 2048-term overflow. */
+object CodegenHunt {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val only = if (args.length > 1) args(1).split(",").toSet else Set.empty[String]
     val s = graft.GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     s.sparkContext.setLogLevel("WARN")
-
-    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-    val app = new CatchAppender
-    app.start()
-    val rootCfg = ctx.getConfiguration.getRootLogger
-    rootCfg.addAppender(app, Level.WARN, null)
-    ctx.updateLoggers()
+    CodegenWatch.install()
 
     val defs = graft.SparkEntry.allDefs
       .filter(q => only.isEmpty || only.contains(q.name))
     defs.foreach { q =>
-      current = q.name
+      CodegenWatch.current = q.name
       try {
         val n = q.fn(s, d).collect().length
         println(s"[hunt] ${q.name}: $n rows")
@@ -53,15 +77,15 @@ object CodegenHunt {
         case e: Throwable => println(s"[hunt] ${q.name}: ERROR ${e.getMessage.take(120)}")
       }
     }
-    current = "<done>"
-    import scala.jdk.CollectionConverters._
-    val byQuery = hits.iterator().asScala.toSeq.groupBy(_._1)
-    println(s"\n[hunt] ==== codegen events: ${hits.size()} across ${byQuery.size} queries ====")
+    CodegenWatch.current = "<done>"
+    val byQuery = CodegenWatch.drain().groupBy(_._1)
+    val total = byQuery.values.map(_.length).sum
+    println(s"\n[hunt] ==== codegen events: $total across ${byQuery.size} queries ====")
     byQuery.toSeq.sortBy(_._1).foreach { case (q, ms) =>
       println(s"[hunt] $q: ${ms.length} events")
       ms.take(2).foreach { case (_, m) => println(s"[hunt]    ${m.replace('\n', ' ')}") }
     }
-    if (hits.isEmpty) println("[hunt] clean: no codegen failures observed")
+    if (total == 0) println("[hunt] clean: no codegen failures observed")
     s.stop()
   }
 }

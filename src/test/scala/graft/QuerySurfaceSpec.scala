@@ -147,10 +147,21 @@ class QuerySurfaceSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0L)
   }
 
-  test("every declared query runs at sf0.001") {
+  test("every declared query runs at sf0.001 with ZERO codegen fallbacks") {
+    // the codegen gate: a 64 KB janino overflow doesn't fail a query —
+    // the stage silently runs interpreted — so the surface sweep runs
+    // under CodegenWatch and any fallback fails HERE, attributed
+    graft.tools.CodegenWatch.install()
+    graft.tools.CodegenWatch.drain() // discard anything from earlier suites
     SparkEntry.queries.foreach { case (name, fn) =>
+      graft.tools.CodegenWatch.current = name
       withClue(s"query $name: ") { assert(fn(spark, sf).count() >= 0L) }
     }
+    graft.tools.CodegenWatch.current = "<done>"
+    val events = graft.tools.CodegenWatch.drain()
+    assert(events.isEmpty,
+      s"codegen fallbacks detected:\n${events.map { case (q, m) =>
+        s"  $q: ${m.replace('\n', ' ')}" }.mkString("\n")}")
   }
 
   test("skyline matches the brute-force dominance filter") {
