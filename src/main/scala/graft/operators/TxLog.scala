@@ -1359,8 +1359,11 @@ object TxLog {
     * classify — before-only = delete, after-only = insert, both with
     * a changed payload = update; carried-over identical rows fall out.
     * Returns (change_type, doc_id, n_chars). */
-  def changeFeed(s: SparkSession, dataDir: String, logDir: String,
-                 fromVersion: Int, toVersion: Int): org.apache.spark.sql.DataFrame = {
+  /** File-level diff between two snapshot versions: (removed, added),
+    * each in sorted-partition order — the pruned read set a change
+    * feed or restore works from. */
+  def fileDiff(logDir: String, fromVersion: Int,
+               toVersion: Int): (Seq[String], Seq[String]) = {
     val from = snapshotFiles(logDir, asOf = fromVersion)
     val to = snapshotFiles(logDir, asOf = toVersion)
     val parts = (from.keySet ++ to.keySet).toSeq.sorted
@@ -1368,6 +1371,12 @@ object TxLog {
       .filterNot(to.getOrElse(p, Seq.empty).contains))
     val added = parts.flatMap(p => to.getOrElse(p, Seq.empty)
       .filterNot(from.getOrElse(p, Seq.empty).contains))
+    (removed, added)
+  }
+
+  def changeFeed(s: SparkSession, dataDir: String, logDir: String,
+                 fromVersion: Int, toVersion: Int): org.apache.spark.sql.DataFrame = {
+    val (removed, added) = fileDiff(logDir, fromVersion, toVersion)
     def readFiles(fs: Seq[String], idCol: String, vCol: String) =
       if (fs.isEmpty)
         s.range(0).selectExpr(s"id AS $idCol", s"CAST(NULL AS BIGINT) AS $vCol")

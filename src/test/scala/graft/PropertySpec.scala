@@ -165,4 +165,117 @@ class PropertySpec extends AnyFunSuite {
     assert(keys(li) === keys(li.repartition(13)))
     assert(keys(li).nonEmpty)
   }
+
+  // ---- pure JVM: transactional-manifest protocol algebra ----
+  // Random edit scripts over a real on-disk log (no Spark): every
+  // prefix snapshot equals a driver-side replay; checkpoints never
+  // change any read; restore rewinds exactly and composes; the
+  // file-level diff is consistent and composes across windows.
+
+  /** One random manifest edit: add a fresh file to a partition, or
+    * remove a live one (falls back to add when the partition is
+    * empty). Applies to both the real log and the model. */
+  private case class TxScript(steps: Seq[(Int, Boolean)])
+  private val txScriptGen: Gen[TxScript] = for {
+    n <- Gen.chooseNum(3, 18)
+    steps <- Gen.listOfN(n, for {
+      part <- Gen.chooseNum(0, 3)
+      isAdd <- Gen.prob(0.65)
+    } yield (part, isAdd))
+  } yield TxScript(steps)
+
+  private def runScript(tag: String, script: TxScript):
+      (String, Vector[Map[String, Vector[String]]]) = {
+    import operators.TxLog, operators.TxLog.Act
+    val log = s"${sys.props("java.io.tmpdir")}/graft_txprop/$tag"
+    val p = java.nio.file.Paths.get(log)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally st.close()
+    }
+    var model = Map.empty[String, Vector[String]]
+    val states = Vector.newBuilder[Map[String, Vector[String]]]
+    var nextFile = 0
+    script.steps.zipWithIndex.foreach { case ((partIdx, isAdd), i) =>
+      val part = s"p$partIdx"
+      val live = model.getOrElse(part, Vector.empty)
+      val acts = if (isAdd || live.isEmpty) {
+        nextFile += 1
+        Seq(Act("add", part, s"f$nextFile"))
+      } else Seq(Act("remove", part, live.last))
+      val v = TxLog.commit(log, i - 1, acts, Set(part))
+      assert(v.contains(i), s"sequential commit must land at $i, got $v")
+      acts.foreach {
+        case Act("add", pt, f) =>
+          model = model.updated(pt, model.getOrElse(pt, Vector.empty) :+ f)
+        case Act("remove", pt, f) =>
+          model = model.updated(pt, model.getOrElse(pt, Vector.empty).filterNot(_ == f))
+        case _ => ()
+      }
+      states += model.filter(_._2.nonEmpty)
+    }
+    (log, states.result())
+  }
+
+  test("manifest replay: every prefix snapshot equals the model, with and without checkpoints") {
+    import operators.TxLog
+    samples(txScriptGen, 25).zipWithIndex.foreach { case (script, k) =>
+      val (log, states) = runScript(s"replay_$k", script)
+      states.indices.foreach { v =>
+        assert(TxLog.snapshotFiles(log, asOf = v, useCheckpoint = false) === states(v),
+          s"case $k, asOf=$v")
+      }
+      // a checkpoint mid-log must not change ANY read at or after it,
+      // and reads before it fall back to pure replay
+      val ck = states.length / 2
+      TxLog.writeCheckpoint(log, ck)
+      states.indices.foreach { v =>
+        assert(TxLog.snapshotFiles(log, asOf = v) === states(v),
+          s"case $k, asOf=$v with checkpoint at $ck")
+      }
+    }
+  }
+
+  test("restore rewinds exactly and composes: restore(v) then restore(head) round-trips") {
+    import operators.TxLog
+    samples(txScriptGen, 25).zipWithIndex.foreach { case (script, k) =>
+      val (log, states) = runScript(s"restore_$k", script)
+      val head = states.length - 1
+      val target = head / 2
+      TxLog.restore(log, toVersion = target) match {
+        case Some(v) =>
+          assert(v === head + 1, s"case $k")
+          assert(TxLog.snapshotFiles(log) === states(target), s"case $k rewind")
+          // history is intact
+          assert(TxLog.snapshotFiles(log, asOf = head) === states(head), s"case $k history")
+          // compose: restore back to the pre-restore head
+          assert(TxLog.restore(log, toVersion = head).contains(head + 2), s"case $k forward")
+          assert(TxLog.snapshotFiles(log) === states(head), s"case $k round-trip")
+        case None =>
+          // legal only when the target state already equals the head state
+          assert(states(target) === states(head), s"case $k no-op restore")
+      }
+    }
+  }
+
+  test("file diff: irreflexive, exact vs model, and composes across windows") {
+    import operators.TxLog
+    samples(txScriptGen, 25).zipWithIndex.foreach { case (script, k) =>
+      val (log, states) = runScript(s"diff_$k", script)
+      val head = states.length - 1
+      val mid = head / 2
+      assert(TxLog.fileDiff(log, head, head) === ((Seq.empty, Seq.empty)), s"case $k")
+      def flat(m: Map[String, Vector[String]]): Set[String] = m.values.flatten.toSet
+      val (rem, add) = TxLog.fileDiff(log, 0, head)
+      assert(rem.toSet === (flat(states(0)) -- flat(states(head))), s"case $k removed")
+      assert(add.toSet === (flat(states(head)) -- flat(states(0))), s"case $k added")
+      // composition: applying (0→mid) then (mid→head) equals (0→head)
+      val (r1, a1) = TxLog.fileDiff(log, 0, mid)
+      val (r2, a2) = TxLog.fileDiff(log, mid, head)
+      val net = (flat(states(0)) -- r1.toSet ++ a1.toSet -- r2.toSet ++ a2.toSet)
+      assert(net === flat(states(head)), s"case $k composition")
+    }
+  }
 }
