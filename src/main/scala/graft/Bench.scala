@@ -457,7 +457,8 @@ object Bench {
     // metadata-only RESTORE, and the file-diff change data feed
     "q_tx_join_prune",
     "q_tx_restore",
-    "q_tx_cdf")
+    "q_tx_cdf",
+    "q_tx_dataskip_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

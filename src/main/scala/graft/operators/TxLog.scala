@@ -1196,6 +1196,96 @@ object TxLog {
              |  (SELECT CAST(8 - n AS BIGINT) FROM ns) AS files_skipped
              |FROM documents d JOIN dim USING (doc_id)""".stripMargin)),
 
+    // STATS MAINTENANCE THROUGH COMPACTION — the production bug class
+    // this pins: a compactor that rewrites files but DROPS their zone
+    // maps silently degrades every future pruned read back to a full
+    // scan (correct answers, 100 TB cost). Here the maintenance commit
+    // carries the new file's stats line derived from the UNION of the
+    // removed files' manifest ranges — metadata-only, no second look
+    // at the data — and the same band query as q_tx_dataskip shows the
+    // pruning arithmetic adapting to the new layout (2 of 7 files
+    // opened where the pre-compaction layout opened 3 of 8). Stale
+    // stats lines for dead files are inert by construction: the read
+    // path intersects stats with the LIVE file set.
+    QueryDef(
+      "q_tx_dataskip_compact",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txskc/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val width = maxId / 8 + 1
+        require(maxId >= 8, s"dataskip needs max doc_id >= 8, got $maxId")
+        docs.withColumn("bucket", expr(s"CAST(doc_id DIV $width AS INT)"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$dataDir/buckets")
+        val acts = (0 until 8).flatMap { b =>
+          val (lo, hi) = (b * width, (b + 1) * width - 1)
+          Seq(Act("add", "all", s"buckets/bucket=$b"),
+            Act("stats", s"buckets/bucket=$b", s"$lo,$hi"))
+        }
+        require(commit(logDir, -1, acts, Set("all")).contains(0))
+
+        def liveStats(): Seq[(String, Long, Long)] = {
+          val live = snapshotFiles(logDir).values.flatten.toSet
+          versions(logDir).flatMap(readActs(logDir, _)).collect {
+            case Act("stats", f, mm) if live(f) =>
+              val Array(lo, hi) = mm.split(",", 2); (f, lo.toLong, hi.toLong)
+          }
+        }
+
+        // maintenance: compact buckets 3+4 into ONE file; the new
+        // stats line is the union of the removed ranges, read from the
+        // manifest — stats upkeep costs metadata, never a data scan
+        val hfs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val victims = Seq(3, 4).map(b => s"buckets/bucket=$b")
+        val vStats = liveStats().filter { case (f, _, _) => victims.contains(f) }
+        require(vStats.length == 2, s"expected 2 victim stats, got $vStats")
+        val (ulo, uhi) = (vStats.map(_._2).min, vStats.map(_._3).max)
+        val vReadable = victims.map(f => s"$dataDir/$f")
+          .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+        s.read.parquet(vReadable: _*).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dataDir/compact34")
+        require(commit(logDir, 0,
+          victims.map(f => Act("remove", "all", f)) ++
+            Seq(Act("add", "all", "compact34"),
+              Act("stats", "compact34", s"$ulo,$uhi")), Set("all")).contains(1))
+
+        // the q_tx_dataskip band over the POST-maintenance layout
+        val (qLo, qHi) = (width * 5 / 2, width * 9 / 2 - 1)
+        val stats = liveStats()
+        val live = snapshotFiles(logDir).values.flatten.toSet
+        val scanned = stats.filter { case (_, lo, hi) =>
+          hi >= qLo && lo <= qHi
+        }.map(_._1).sorted
+        val skipped = live.size.toLong - scanned.length
+        val readable = scanned.map(f => s"$dataDir/$f")
+          .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+        s.read.parquet(readable: _*)
+          .filter(col("doc_id").between(qLo, qHi))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"),
+            sum(col("n_chars").cast("long")).as("chars_sum"))
+          .withColumn("files_scanned", lit(scanned.length.toLong))
+          .withColumn("files_skipped", lit(skipped))
+      },
+      Some("""WITH m AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |w AS (SELECT mx // 8 + 1 AS width FROM m),
+             |band AS (
+             |  SELECT width * 5 // 2 AS lo, width * 9 // 2 - 1 AS hi FROM w)
+             |SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+             |  CAST(2 AS BIGINT) AS files_scanned,
+             |  CAST(5 AS BIGINT) AS files_skipped
+             |FROM documents, band
+             |WHERE doc_id BETWEEN lo AND hi""".stripMargin)),
+
     // RESTORE TO VERSION — time travel made writable: a bad deploy
     // rewrote and appended; RESTORE commits a NEW version whose acts
     // are the file-level DIFF back to the target snapshot (re-add what

@@ -302,6 +302,24 @@ class TxLogSpec extends AnyFunSuite {
     assert(r.getAs[Long]("files_skipped") === 5L)
   }
 
+  test("compaction carries zone-map stats: the pruned read stays exact over the new layout") {
+    val r = SparkEntry.queries("q_tx_dataskip_compact")(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS n_chars").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val width = docs.map(_._1).max / 8 + 1
+    val (lo, hi) = (width * 5 / 2, width * 9 / 2 - 1)
+    val band = docs.filter { case (id, _) => id >= lo && id <= hi }
+    assert(r.getAs[Long]("n_rows") === band.length.toLong)
+    assert(r.getAs[Long]("key_checksum") === band.map(_._1 * 7).sum)
+    assert(r.getAs[Long]("chars_sum") === band.map(_._2).sum)
+    // post-compaction layout: 7 live files, band overlaps bucket2 +
+    // the compacted [3w,5w) file — 2 scanned where pre-maintenance
+    // pruning opened 3
+    assert(r.getAs[Long]("files_scanned") === 2L)
+    assert(r.getAs[Long]("files_skipped") === 5L)
+  }
+
   test("restore is a metadata-only diff commit: state rewinds, history stays queryable") {
     val log = freshLog("restore")
     assert(TxLog.tryCommit(log, 0, Seq(Act("add", "a", "f0"), Act("add", "b", "g0"))))
