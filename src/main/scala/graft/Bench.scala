@@ -458,7 +458,8 @@ object Bench {
     "q_tx_join_prune",
     "q_tx_restore",
     "q_tx_cdf",
-    "q_tx_dataskip_compact")
+    "q_tx_dataskip_compact",
+    "q_tx_bloom_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

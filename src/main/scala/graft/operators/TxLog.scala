@@ -144,6 +144,7 @@ object TxLog {
       case Act("remove", p, f) => live(p) = live.getOrElse(p, Vector.empty).filterNot(_ == f)
       case Act("txn", _, _)    => ()
       case Act("stats", _, _)  => ()
+      case Act("bloom", _, _)  => ()
       case Act(other, _, _)    => sys.error(s"unknown manifest action: $other")
     }
 
@@ -1195,6 +1196,73 @@ object TxLog {
              |  (SELECT CAST(n AS BIGINT) FROM ns) AS files_scanned,
              |  (SELECT CAST(8 - n AS BIGINT) FROM ns) AS files_skipped
              |FROM documents d JOIN dim USING (doc_id)""".stripMargin)),
+
+    // PER-FILE BLOOM INDEX IN THE MANIFEST — the pruning axis zone
+    // maps can't cover: min/max lines prune RANGE predicates on the
+    // layout key; a point lookup on any OTHER column sails through
+    // every zone map. Each commit carries a per-file bloom over the
+    // lookup column as `bloom` manifest lines (the Delta bloom-index /
+    // Iceberg puffin-blob pattern), built by ONE grouped aggregation
+    // (8 bloom rows reach the driver — metadata); the reader probes
+    // the blooms with its point key and opens only candidate files.
+    // No false negatives by construction (the key's own file always
+    // probes positive — the oracle equality IS that proof); false
+    // positives cost an extra file open, never a wrong answer. The
+    // spec asserts the prune actually bit (candidates < total files).
+    QueryDef(
+      "q_tx_bloom_index",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_txbli/${graft.TmpSlices.key(d)}"
+        val dataDir = s"$base/data"
+        val logDir = s"$base/_log"
+        val fsp = new org.apache.hadoop.fs.Path(base)
+        fsp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsp, true)
+
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val width = maxId / 8 + 1
+        require(maxId >= 8, s"bloom index needs max doc_id >= 8, got $maxId")
+        val n = docs.count()
+        docs.withColumn("bucket", expr(s"CAST(doc_id DIV $width AS INT)"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$dataDir/buckets")
+        // per-file blooms over the NON-layout column, one grouped pass
+        val bloomAgg = graft.functions.BloomFilterAgg.sized(n / 8 + 1)
+        val blooms = docs
+          .withColumn("bucket", expr(s"CAST(doc_id DIV $width AS INT)"))
+          .groupBy("bucket").agg(bloomAgg(col("n_chars")).as("bits"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+        val acts = (0 until 8).map(b => Act("add", "all", s"buckets/bucket=$b")) ++
+          blooms.map { case (b, bits) =>
+            Act("bloom", s"buckets/bucket=$b", bits.mkString(","))
+          }
+        require(commit(logDir, -1, acts, Set("all")).contains(0))
+
+        // point lookup on n_chars = MIN(n_chars): probe the manifest
+        // blooms, open only candidate files
+        val k = docs.agg(min("n_chars")).head().getLong(0)
+        val bloomLines = versions(logDir).flatMap(readActs(logDir, _)).collect {
+          case Act("bloom", f, bs) => (f, bs.split(",").map(_.toLong).toSeq)
+        }
+        val live = snapshotFiles(logDir).values.flatten.toSet
+        val candidates = bloomLines.filter { case (f, bits) =>
+          live(f) && graft.functions.BloomHash.mightContainBoxed(bits, k)
+        }.map(_._1).sorted
+        require(candidates.nonEmpty, "the key's own file must probe positive")
+        val hfs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val readable = candidates.map(f => s"$dataDir/$f")
+          .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+        s.read.parquet(readable: _*)
+          .filter(col("n_chars") === k)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id") * 7).cast("bigint").as("key_checksum"))
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  CAST(SUM(doc_id * 7) AS BIGINT) AS key_checksum
+             |FROM documents
+             |WHERE n_chars = (SELECT MIN(n_chars) FROM documents)""".stripMargin)),
 
     // STATS MAINTENANCE THROUGH COMPACTION — the production bug class
     // this pins: a compactor that rewrites files but DROPS their zone

@@ -302,6 +302,32 @@ class TxLogSpec extends AnyFunSuite {
     assert(r.getAs[Long]("files_skipped") === 5L)
   }
 
+  test("manifest bloom index prunes point lookups on a non-layout key without false negatives") {
+    val r = SparkEntry.queries("q_tx_bloom_index")(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS n_chars").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val k = docs.map(_._2).min
+    val hits = docs.filter(_._2 == k)
+    assert(r.getAs[Long]("n_rows") === hits.length.toLong)
+    assert(r.getAs[Long]("key_checksum") === hits.map(_._1 * 7).sum)
+    // the prune actually bit: probe the committed manifest blooms the
+    // same way the reader does — candidates must be a strict subset of
+    // the live files AND must cover every file truly containing k
+    import operators.TxLog
+    val log = s"${sys.props("java.io.tmpdir")}/graft_txbli/${TmpSlices.key(sf)}/_log"
+    val blooms = TxLog.versions(log).flatMap(TxLog.readActs(log, _)).collect {
+      case TxLog.Act("bloom", f, bs) => (f, bs.split(",").map(_.toLong).toSeq)
+    }
+    assert(blooms.length === 8)
+    val candidates = blooms.filter { case (_, bits) =>
+      functions.BloomHash.mightContainBoxed(bits, k) }.map(_._1).toSet
+    val width = docs.map(_._1).max / 8 + 1
+    val truly = hits.map(h => s"buckets/bucket=${h._1 / width}").toSet
+    assert(truly.subsetOf(candidates), "bloom produced a false negative")
+    assert(candidates.size < 8, s"prune was vacuous: $candidates")
+  }
+
   test("compaction carries zone-map stats: the pruned read stays exact over the new layout") {
     val r = SparkEntry.queries("q_tx_dataskip_compact")(spark, sf).collect().head
     val docs = Tables.documents(spark, sf)
