@@ -1014,7 +1014,7 @@ class WaveInvariantSpec extends AnyFunSuite {
   test("retention rewrite: erased users are gone from the read-back files") {
     val r = SparkEntry.queries("q_write_retention")(spark, sf).head()
     assert(r.getAs[Long]("n_rows_erased") >= r.getAs[Long]("n_users_erased"))
-    val key = java.lang.Integer.toHexString(sf.hashCode)
+    val key = graft.TmpSlices.key(sf)
     val dir = s"${sys.props("java.io.tmpdir")}/graft_retention/$key"
     val kept = spark.read.parquet(dir)
     val errUsers = Tables.events(spark, sf)
