@@ -1390,22 +1390,36 @@ object Analytics {
     QueryDef(
       "q_rec_itemcf",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val ui0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-          .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select("o_custkey", "l_partkey").distinct()
-        val wCap = Window.partitionBy("o_custkey").orderBy("l_partkey")
-        // NOT FrameCache'd: all three consumers share the identical
-        // subplan up to the o_custkey exchange, so ReusedExchange
-        // already runs the heavy chain once — an explicit cache was
-        // measured SLOWER (columnar write cost, no recompute saved).
-        val ui = ui0.withColumn("rn", row_number().over(wCap))
-          .filter(col("rn") <= 64).drop("rn")
-        val na = ui.groupBy("l_partkey").agg(count(lit(1)).as("n"))
-        ui.select(col("o_custkey"), col("l_partkey").as("a"))
-          .join(ui.select(col("o_custkey").as("ck2"), col("l_partkey").as("b")),
-            col("o_custkey") === col("ck2") && col("a") < col("b"))
+        // r13: the former window-capped self-join planned the heavy
+        // distinct→window chain once PER CONSUMER (4× in the formatted
+        // plan; AQE stage reuse recovered only half — the profile
+        // showed the lineitem scan + distinct partial/final stages
+        // each running twice). Restructured to ONE per-customer capped
+        // sorted ARRAY (≤64 smallest part keys — identical to the old
+        // rn<=64 cut over distinct keys), memoized, from which both
+        // the pair relation (i<j positions of a sorted array ⇔ a<b)
+        // and the per-part supports explode — the chain runs once and
+        // the self-join disappears (guide §2.4; §3.3 "explode instead
+        // of join" in reverse: the explode IS the join here, with no
+        // exchange under it).
+        val arr = graft.FrameCache.memo(s, s"itemcf-parts:$d") {
+          Tables.orders(s, d).select("o_orderkey", "o_custkey")
+            .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+              col("o_orderkey") === col("l_orderkey"))
+            .select("o_custkey", "l_partkey").distinct()
+            .groupBy("o_custkey")
+            .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, 64).as("parts"))
+        }
+        // na feeds BOTH support joins; un-memoized its explode+agg
+        // chain executed twice (profiled: two identical 1.7 s stages)
+        val na = graft.FrameCache.memo(s, s"itemcf-na:$d") {
+          arr.selectExpr("explode(parts) AS l_partkey")
+            .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        }
+        arr.selectExpr("explode(flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), " +
+            "y -> named_struct('a', x, 'b', y))))) AS p")
+          .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("co"))
           .join(na.select(col("l_partkey").as("a"), col("n").as("na")), "a")
           .join(na.select(col("l_partkey").as("b"), col("n").as("nb")), "b")

@@ -921,15 +921,26 @@ object Dedup {
     QueryDef(
       "q_dedup_prefix_filter",
       (s, d) => {
-        val sh = shingleFrame(s, d).selectExpr("doc_id", "explode(hs) AS h")
-        val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
-        val pref = sh.join(df.hint("shuffle_hash"), "h")
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
-          .selectExpr("doc_id", "size(arr) AS sz",
-            "slice(arr, 1, CAST(size(arr) - ((3 * size(arr) + 4) div 5) + 1 AS INT)) AS pre")
-          .selectExpr("doc_id", "sz", "posexplode(pre) AS (p0, pr)")
-          .selectExpr("doc_id", "sz", "p0 + 1 AS p", "pr.h AS h")
+        // The prefix relation feeds BOTH sides of the candidate
+        // self-join; left as a plain DataFrame the whole chain below
+        // (shingle explode → df agg → shuffle-hash join → per-doc
+        // sort+slice) executes TWICE — AQE stage reuse dedupes
+        // identical exchanges, not identical generate/agg chains
+        // (measured: six 32-task shingle-scan stages, 2× each, ~7
+        // stage-seconds of straight duplication at sf0.1). Memoizing
+        // the small prefix-token relation (O(Σ prefix lengths) rows,
+        // ~2 MB at sf0.1) runs the chain once; guide §2.4.
+        val pref = graft.FrameCache.memo(s, s"preftoks:$d") {
+          val sh = shingleFrame(s, d).selectExpr("doc_id", "explode(hs) AS h")
+          val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          sh.join(df.hint("shuffle_hash"), "h")
+            .groupBy("doc_id")
+            .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
+            .selectExpr("doc_id", "size(arr) AS sz",
+              "slice(arr, 1, CAST(size(arr) - ((3 * size(arr) + 4) div 5) + 1 AS INT)) AS pre")
+            .selectExpr("doc_id", "sz", "posexplode(pre) AS (p0, pr)")
+            .selectExpr("doc_id", "sz", "p0 + 1 AS p", "pr.h AS h")
+        }
         val cand = pref.select(col("doc_id").as("a"), col("sz").as("sza"),
             col("p").as("pa"), col("h"))
           .join(pref.select(col("doc_id").as("b"), col("sz").as("szb"),
