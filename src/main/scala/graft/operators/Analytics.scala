@@ -1213,7 +1213,18 @@ object Analytics {
             .select(col("l_orderkey"), col("l_partkey")).distinct()
         }
         val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
-        val itemSupp = items.groupBy("l_partkey").agg(count(lit(1)).as("supp"))
+        // memoized: supp_a and supp_b both consume it, and un-memoized
+        // its scan+agg chain executed once per consumer (profiled 2×)
+        val itemSupp = graft.FrameCache.memo(s, s"basket-supp:$d") {
+          items.groupBy("l_partkey").agg(count(lit(1)).as("supp"))
+        }
+        // Pair enumeration stays the ordered self-join: the array
+        // (collect_list + halved pairs + mirror) formulation was tried
+        // twice — r12 at sf10 (22.5-26.7 s vs 20.0, `b36c70d`) and
+        // again this round at sf0.1 (5.18 vs 4.40 median) — and loses
+        // both times: collect_list forces a non-codegen
+        // ObjectHashAggregate that costs more than the second
+        // order-keyed exchange it saves.
         val x = items.select(col("l_orderkey"), col("l_partkey").as("a"))
         val y = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
         x.join(y, col("l_orderkey") === col("ok2") && col("a") =!= col("b"))
@@ -1390,36 +1401,37 @@ object Analytics {
     QueryDef(
       "q_rec_itemcf",
       (s, d) => {
-        // r13: the former window-capped self-join planned the heavy
-        // distinct→window chain once PER CONSUMER (4× in the formatted
-        // plan; AQE stage reuse recovered only half — the profile
-        // showed the lineitem scan + distinct partial/final stages
-        // each running twice). Restructured to ONE per-customer capped
-        // sorted ARRAY (≤64 smallest part keys — identical to the old
-        // rn<=64 cut over distinct keys), memoized, from which both
-        // the pair relation (i<j positions of a sorted array ⇔ a<b)
-        // and the per-part supports explode — the chain runs once and
-        // the self-join disappears (guide §2.4; §3.3 "explode instead
-        // of join" in reverse: the explode IS the join here, with no
-        // exchange under it).
-        val arr = graft.FrameCache.memo(s, s"itemcf-parts:$d") {
+        // r13: the window-capped interaction relation feeds THREE
+        // consumers (both pair-join sides + the support counts), and
+        // un-memoized the heavy distinct→window chain planned once PER
+        // CONSUMER (4× in the formatted plan; AQE stage reuse
+        // recovered only half — the profile showed the lineitem scan
+        // and distinct partial/final stages each running twice).
+        // Memoizing the small capped relation (≤64 rows/customer, two
+        // int columns) runs the chain once; the pair enumeration stays
+        // the codegen'd self-join — the collect_list-array variant was
+        // tried and REGRESSED in-sweep (7.5 → 12.2 s median at sf0.1:
+        // ObjectHashAggregate costs more than the exchange it saves,
+        // the same negative the assoc-rules pair-halving experiment
+        // recorded in r12, `b36c70d`).
+        import org.apache.spark.sql.expressions.Window
+        val ui = graft.FrameCache.memo(s, s"itemcf-ui:$d") {
+          val wCap = Window.partitionBy("o_custkey").orderBy("l_partkey")
           Tables.orders(s, d).select("o_orderkey", "o_custkey")
             .join(Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
               col("o_orderkey") === col("l_orderkey"))
             .select("o_custkey", "l_partkey").distinct()
-            .groupBy("o_custkey")
-            .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, 64).as("parts"))
+            .withColumn("rn", row_number().over(wCap))
+            .filter(col("rn") <= 64).drop("rn")
         }
-        // na feeds BOTH support joins; un-memoized its explode+agg
-        // chain executed twice (profiled: two identical 1.7 s stages)
+        // na feeds BOTH support joins; un-memoized its agg chain
+        // executed once per consumer (profiled: two identical stages)
         val na = graft.FrameCache.memo(s, s"itemcf-na:$d") {
-          arr.selectExpr("explode(parts) AS l_partkey")
-            .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+          ui.groupBy("l_partkey").agg(count(lit(1)).as("n"))
         }
-        arr.selectExpr("explode(flatten(transform(parts, (x, i) -> " +
-            "transform(slice(parts, i + 2, size(parts)), " +
-            "y -> named_struct('a', x, 'b', y))))) AS p")
-          .select(col("p.a").as("a"), col("p.b").as("b"))
+        ui.select(col("o_custkey"), col("l_partkey").as("a"))
+          .join(ui.select(col("o_custkey").as("ck2"), col("l_partkey").as("b")),
+            col("o_custkey") === col("ck2") && col("a") < col("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("co"))
           .join(na.select(col("l_partkey").as("a"), col("n").as("na")), "a")
           .join(na.select(col("l_partkey").as("b"), col("n").as("nb")), "b")
