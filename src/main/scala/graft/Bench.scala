@@ -499,6 +499,7 @@ object Bench {
     // would *improve* the total): failures go to a separate `errors`
     // map, are excluded from `queries` and the total, and fail the run
     // with a non-zero exit so a broken query is loud, not fast.
+    val benchT0 = System.nanoTime()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val err =
@@ -506,7 +507,7 @@ object Bench {
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, (t0 - benchT0) / 1e9, (System.nanoTime() - t0) / 1e9, err)
     }
     graft.FrameCache.release(spark)
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -515,13 +516,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val ok = results.filter(_._3.isEmpty)
-    val failed = results.collect { case (k, _, Some(m)) => k -> m }
-    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val ok = results.filter(_._4.isEmpty)
+    val failed = results.collect { case (k, _, _, Some(m)) => k -> m }
+    val qs = ok.map { case (k, _, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.map(_._3).sum
     println(s"""{"metric":"total","kind":"full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // Compact trailing line: the driver keeps only the LAST ~2000 chars
     // of stdout, so the full per-query line above (>>2000 chars at 170+
@@ -533,10 +534,20 @@ object Bench {
     // "kind" field is what distinguishes them — sweep.py selects
     // kind=="full" by key instead of the old longest-line heuristic,
     // which could mis-pick the compact line on small --only subsets.
-    val top = ok.sortBy(-_._2).take(40)
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    // r14 addition (additions-only — names/values unchanged): the
+    // `start_s` array carries each top-40 entry's start offset from
+    // bench t0 (seconds, same order as `queries`), so a host-contention
+    // episode (r13's three contiguous 20-50 s outliers) is diagnosable
+    // from the surviving tail alone: contaminated entries cluster in
+    // start-time, real regressions don't. ~300 chars; the line stays
+    // under the ~2000-char tail capture.
+    val topEntries = ok.sortBy(-_._3).take(40)
+    val top = topEntries
+      .map { case (k, _, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","kind":"compact","value":${f"$total%.3f"},"unit":"sec","n_queries":${ok.size},"queries":$top,"errors":$errs,"sf":"$sfDir"}""")
+    val starts = topEntries.map { case (_, st, _, _) => f"$st%.0f" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","kind":"compact","value":${f"$total%.3f"},"unit":"sec","n_queries":${ok.size},"queries":$top,"start_s":$starts,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       failed.foreach { case (k, m) => System.err.println(s"[bench] $k FAILED: $m") }

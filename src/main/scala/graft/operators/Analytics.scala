@@ -438,42 +438,41 @@ object Analytics {
     // order, but no OTHER supplier shipped late"), adapted to
     // late = l_shipdate > o_orderdate + 90 days. Decorrelated the
     // scalable way: instead of two correlated self-joins of the fact,
-    // ONE orderkey-shuffled frame feeds two stacked keyed aggregates —
-    // per-(order, supplier) late flags, then per-order supplier/late
-    // counts — and the qualifying pairs fall out of a filter over the
-    // re-join. The fact shuffles once; both aggregates reuse that
-    // exchange (the second groups a prefix of the first's key).
+    // ONE orderkey-shuffled frame feeds two STACKED keyed aggregates —
+    // per-(order, supplier) late flags, then per-order rollups — and
+    // both reuse the join's orderkey exchange (each groups a superset
+    // key of the partitioning). r14: the r13 shape memoized the
+    // per-(order, supplier) frame and re-joined it against its own
+    // per-order rollup; the StageProf profile at sf10 showed the cache
+    // materialization costing as much as the fact shuffle itself
+    // (6.8 s vs 6.8 s) plus an InMemoryTableScan re-read per consumer.
+    // The re-join is unnecessary: when a qualifying order has EXACTLY
+    // one late supplier, that supplier is recoverable inside the
+    // per-order aggregate as max(CASE WHEN sup_late=1 THEN suppkey END)
+    // — so the whole query collapses to one pass (join → agg → agg →
+    // filter → broadcast dim join → agg), no cache, no re-join, fact
+    // scanned AND shuffled exactly once (guide §2.4).
     QueryDef(
       "q_tpch_q21",
       (s, d) => {
-        // the per-(order, supplier) frame feeds THREE consumers (the
-        // per-order rollup and both sides of the qualifying re-join),
-        // so it is FrameCache-memoized — the fact join and its two
-        // orderkey exchanges run exactly once, everything downstream
-        // reads the InMemoryRelation (the knn-family discipline; the
-        // PlanSpec pin counts live orderkey exchanges). At 100 TB this
-        // materialization is ≤ one row per (order, supplier) pair —
-        // strictly smaller than the fact table it summarizes.
-        val perSupp = graft.FrameCache.memo(s, s"q21-persupp:$d") {
-          Tables.lineitem(s, d)
-            .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-              .select("o_orderkey", "o_orderdate"),
-              col("l_orderkey") === col("o_orderkey"))
-            .select(col("l_orderkey"), col("l_suppkey"),
-              (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-                .cast("int").as("late"))
-            .groupBy("l_orderkey", "l_suppkey")
-            .agg(max(col("late")).as("sup_late"))
-        }
-        val perOrd = perSupp.groupBy("l_orderkey")
-          .agg(count(lit(1)).as("n_supp"), sum(col("sup_late")).as("n_late"))
+        val perSupp = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+              .cast("int").as("late"))
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("sup_late"))
         val natSupp = broadcast(Tables.supplier(s, d)
           .join(broadcast(Tables.nation(s, d)),
             col("s_nationkey") === col("n_nationkey") && col("n_name") === "NATION_5")
           .select("s_suppkey", "s_name"))
-        perSupp.filter(col("sup_late") === 1)
-          .join(perOrd.filter(col("n_supp") > 1 && col("n_late") === 1), "l_orderkey")
-          .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        perSupp.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"), sum(col("sup_late")).as("n_late"),
+            max(when(col("sup_late") === 1, col("l_suppkey"))).as("late_supp"))
+          .filter(col("n_supp") > 1 && col("n_late") === 1)
+          .join(natSupp, col("late_supp") === col("s_suppkey"))
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
@@ -1053,10 +1052,14 @@ object Analytics {
     QueryDef(
       "q_basket_pairs",
       (s, d) => {
-        // Shared with q_assoc_rules — same memoized distinct relation.
+        // Shared with q_assoc_rules — same memoized distinct relation,
+        // stored partitioned by l_orderkey (r14; see the assoc_rules
+        // build for the rationale) so the self-join below rides the
+        // cached layout instead of re-exchanging both sides.
         val items = graft.FrameCache.memo(s, s"basket-items:$d") {
           Tables.lineitem(s, d)
-            .select(col("l_orderkey"), col("l_partkey")).distinct()
+            .select(col("l_orderkey"), col("l_partkey"))
+            .repartition(col("l_orderkey")).distinct()
         }
         val x = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
         val y = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
@@ -1208,9 +1211,20 @@ object Analytics {
       (s, d) => {
         // Referenced four times (support build + both pair sides) — the
         // distinct is one fact shuffle, paid once via FrameCache.
+        // r14: the distinct's exchange is keyed on l_orderkey ALONE
+        // (hash(ok) clusters (ok, pk) just as well — the dedup still
+        // runs map-side partial + post-shuffle final), so the CACHED
+        // relation is already co-partitioned for the per-order pair
+        // self-join. The r13 shape exchanged by (ok, pk) and the
+        // StageProf profile at sf10 showed both self-join sides
+        // re-exchanging the 60M-row cache by ok (2 × 612 MB, ~8 s of
+        // the query's 29 s) — guide §2.4: two operations keyed the
+        // same way share one exchange, here by making the stored
+        // layout the join's layout.
         val items = graft.FrameCache.memo(s, s"basket-items:$d") {
           Tables.lineitem(s, d)
-            .select(col("l_orderkey"), col("l_partkey")).distinct()
+            .select(col("l_orderkey"), col("l_partkey"))
+            .repartition(col("l_orderkey")).distinct()
         }
         val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
         // memoized: supp_a and supp_b both consume it, and un-memoized
@@ -1225,6 +1239,12 @@ object Analytics {
         // both times: collect_list forces a non-codegen
         // ObjectHashAggregate that costs more than the second
         // order-keyed exchange it saves.
+        // (r14: a SHUFFLE_HASH hint was tried here — with both sides
+        // co-partitioned it would skip SMJ's two in-partition sorts —
+        // and REVERTED: the per-partition hash build of the 60M-row
+        // relation dies with "Can't acquire ... to build hash relation"
+        // at sf10/local[32] — exactly guide §3.1's documented SHJ risk.
+        // SMJ spills gracefully; it stays.)
         val x = items.select(col("l_orderkey"), col("l_partkey").as("a"))
         val y = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
         x.join(y, col("l_orderkey") === col("ok2") && col("a") =!= col("b"))
@@ -1430,7 +1450,8 @@ object Analytics {
           ui.groupBy("l_partkey").agg(count(lit(1)).as("n"))
         }
         ui.select(col("o_custkey"), col("l_partkey").as("a"))
-          .join(ui.select(col("o_custkey").as("ck2"), col("l_partkey").as("b")),
+          .join(ui.select(col("o_custkey").as("ck2"), col("l_partkey").as("b"))
+            .hint("shuffle_hash"),
             col("o_custkey") === col("ck2") && col("a") < col("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("co"))
           .join(na.select(col("l_partkey").as("a"), col("n").as("na")), "a")

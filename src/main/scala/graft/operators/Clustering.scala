@@ -552,10 +552,25 @@ object Clustering {
     * once per query instead of once per session (guide §2.4). */
   private[graft] def edgeFrame(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.memo(s, s"graphedges:$d") {
-      Dedup.minhashPairs(s, d)
+      // r14: data-proportional partition count (guide §2.2 "fewer,
+      // larger partitions" + the r13 finding that ppr/bfs ran 65
+      // stages of 32 near-empty tasks over a ~10³-row edge list).
+      // The pair relation is already cached, so the count() here is
+      // the cache fill the first graph query paid anyway; the edge
+      // list then coalesces (narrow — no shuffle) to ceil(2·pairs /
+      // rowsPerPartition): ONE partition at the test SFs, growing
+      // linearly with the duplication mass at scale (4M edge rows
+      // ≈ 64 MB). Conf-tunable for cluster deployments.
+      val pairs = Dedup.minhashPairs(s, d)
+      val rowsPerPart =
+        s.conf.get("graft.graph.edgeRowsPerPartition", "4000000").toLong
+      val nParts = math.max(1L,
+        (2L * pairs.count() + rowsPerPart - 1) / rowsPerPart).toInt
+      pairs
         .selectExpr("explode(array(named_struct('src', a, 'dst', b), " +
           "named_struct('src', b, 'dst', a))) AS e")
         .select("e.src", "e.dst")
+        .coalesce(nParts)
     }
 
   /** Vertex degrees over [[edgeFrame]] (one keyed count), memoized:
@@ -596,9 +611,14 @@ object Clustering {
           .join(lbl.withColumnRenamed("v", "nb"), col("dst") === col("nb"))
           .select(col("src").as("v"), col("lbl"))
           .unionAll(lbl)
+        // named struct fields (r13 ADVICE): the winner pick compared a
+        // positional `col2` of an auto-named struct — same (count DESC,
+        // lbl ASC) argmax, now robust to field reordering. Labels are
+        // doc_ids (non-negative), so the negation cannot overflow.
         val nxt = votes.groupBy("v", "lbl").agg(count(lit(1)).as("n"))
-          .groupBy("v").agg(max(struct(col("n"), -col("lbl"))).as("top"))
-          .selectExpr("v", "-top.col2 AS lbl")
+          .groupBy("v")
+          .agg(max(struct(col("n").as("n"), (-col("lbl")).as("neg_lbl"))).as("top"))
+          .selectExpr("v", "-top.neg_lbl AS lbl")
         val ck = nxt.localCheckpoint(true)
         lbl = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
       }

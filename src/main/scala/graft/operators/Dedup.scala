@@ -148,6 +148,79 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** The prefix-filter join's verified pairs (a, b, inter, un,
+    * jaccard), UNSORTED — everything q_dedup_prefix_filter computes
+    * before its deterministic output sort. Exposed so PlanSpec can pin
+    * the pruning regime on the pre-checkpoint plan (the query's eager
+    * localCheckpoint truncates lineage — the cappedCorpus pattern). */
+  private[graft] def prefixFilterVerified(s: org.apache.spark.sql.SparkSession,
+                                          d: String): org.apache.spark.sql.DataFrame = {
+    // The prefix relation feeds BOTH sides of the candidate
+    // self-join; left as a plain DataFrame the whole chain below
+    // (shingle explode → df agg → shuffle-hash join → per-doc
+    // sort+slice) executes TWICE — AQE stage reuse dedupes
+    // identical exchanges, not identical generate/agg chains
+    // (measured: six 32-task shingle-scan stages, 2× each, ~7
+    // stage-seconds of straight duplication at sf0.1). Memoizing
+    // the small prefix-token relation (O(Σ prefix lengths) rows,
+    // ~2 MB at sf0.1) runs the chain once; guide §2.4.
+    val pref = graft.FrameCache.memo(s, s"preftoks:$d") {
+      val sh = shingleFrame(s, d).selectExpr("doc_id", "explode(hs) AS h")
+      val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      sh.join(df.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
+        .selectExpr("doc_id", "size(arr) AS sz",
+          "slice(arr, 1, CAST(size(arr) - ((3 * size(arr) + 4) div 5) + 1 AS INT)) AS pre")
+        .selectExpr("doc_id", "sz", "posexplode(pre) AS (p0, pr)")
+        .selectExpr("doc_id", "sz", "p0 + 1 AS p", "pr.h AS h")
+    }
+    // r14: the positional bound now uses the LAST matched prefix pair
+    // and the match count cp, not just the first match. Both docs sort
+    // tokens by the same global (df, h) order, so common tokens form a
+    // monotone sequence in both position columns; the matched set
+    // (tokens inside BOTH prefixes) is a PREFIX of that sequence —
+    // any common token globally before the last match would sit inside
+    // both prefixes and hence be matched itself. Therefore
+    //   overlap ≤ cp + min(sza − max(pa), szb − max(pb)),
+    // which is ≤ the old first-match bound (equal when cp = 1, tighter
+    // by cp−1+Δposition otherwise) — strictly fewer candidates reach
+    // the fat verification join, zero completeness risk
+    // (WaveInvariantSpec pins exact equality with brute force).
+    val cand = pref.select(col("doc_id").as("a"), col("sz").as("sza"),
+        col("p").as("pa"), col("h"))
+      .join(pref.select(col("doc_id").as("b"), col("sz").as("szb"),
+        col("p").as("pb"), col("h")), "h")
+      .filter(col("a") < col("b"))
+      .filter(least(col("sza"), col("szb")) * 5 >=
+        greatest(col("sza"), col("szb")) * 3)
+      .groupBy("a", "b")
+      .agg(max(struct(col("pa"), col("pb"))).as("lst"),
+        count(lit(1)).as("cp"),
+        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+      .filter((col("cp") + least(col("sza") - col("lst.pa"),
+        col("szb") - col("lst.pb"))) * 8 >= (col("sza") + col("szb")) * 3)
+      .select("a", "b", "sza", "szb")
+    val hs = shingleFrame(s, d).select(col("doc_id"), col("hs"))
+    cand
+      .join(hs.select(col("doc_id").as("a"), col("hs").as("hsa"))
+        .hint("shuffle_hash"), "a")
+      .join(hs.select(col("doc_id").as("b"), col("hs").as("hsb"))
+        .hint("shuffle_hash"), "b")
+      // explode-of-singleton is a deliberate optimizer barrier: a
+      // filter cannot push through a Generate's OUTPUT attribute, so
+      // the τ predicate below stays ABOVE this projection and
+      // array_intersect is evaluated exactly once per candidate
+      // (plain select would let PushDownPredicates substitute the
+      // intersect into the filter — the r11 double-eval defect)
+      .selectExpr("a", "b", "sza", "szb",
+        "explode(array(size(array_intersect(hsa, hsb)))) AS inter")
+      .selectExpr("a", "b", "inter", "sza + szb - inter AS un")
+      .filter(col("inter") * 5 >= col("un") * 3)
+      .selectExpr("a", "b", "inter", "un",
+        "CAST(inter AS DOUBLE) / un AS jaccard")
+  }
+
   /** DuckDB CTE chain ending in `pairs(a, b)` — the band-collision
     * candidate relation, twin of [[bandCandidates]]. */
   private def duckCandidateCtes: String = {
@@ -921,58 +994,17 @@ object Dedup {
     QueryDef(
       "q_dedup_prefix_filter",
       (s, d) => {
-        // The prefix relation feeds BOTH sides of the candidate
-        // self-join; left as a plain DataFrame the whole chain below
-        // (shingle explode → df agg → shuffle-hash join → per-doc
-        // sort+slice) executes TWICE — AQE stage reuse dedupes
-        // identical exchanges, not identical generate/agg chains
-        // (measured: six 32-task shingle-scan stages, 2× each, ~7
-        // stage-seconds of straight duplication at sf0.1). Memoizing
-        // the small prefix-token relation (O(Σ prefix lengths) rows,
-        // ~2 MB at sf0.1) runs the chain once; guide §2.4.
-        val pref = graft.FrameCache.memo(s, s"preftoks:$d") {
-          val sh = shingleFrame(s, d).selectExpr("doc_id", "explode(hs) AS h")
-          val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
-          sh.join(df.hint("shuffle_hash"), "h")
-            .groupBy("doc_id")
-            .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
-            .selectExpr("doc_id", "size(arr) AS sz",
-              "slice(arr, 1, CAST(size(arr) - ((3 * size(arr) + 4) div 5) + 1 AS INT)) AS pre")
-            .selectExpr("doc_id", "sz", "posexplode(pre) AS (p0, pr)")
-            .selectExpr("doc_id", "sz", "p0 + 1 AS p", "pr.h AS h")
-        }
-        val cand = pref.select(col("doc_id").as("a"), col("sz").as("sza"),
-            col("p").as("pa"), col("h"))
-          .join(pref.select(col("doc_id").as("b"), col("sz").as("szb"),
-            col("p").as("pb"), col("h")), "h")
-          .filter(col("a") < col("b"))
-          .filter(least(col("sza"), col("szb")) * 5 >=
-            greatest(col("sza"), col("szb")) * 3)
-          .groupBy("a", "b")
-          .agg(min(struct(col("pa"), col("pb"))).as("fst"),
-            first(col("sza")).as("sza"), first(col("szb")).as("szb"))
-          .filter((least(col("sza") - col("fst.pa"), col("szb") - col("fst.pb"))
-            + 1) * 8 >= (col("sza") + col("szb")) * 3)
-          .select("a", "b", "sza", "szb")
-        val hs = shingleFrame(s, d).select(col("doc_id"), col("hs"))
-        cand
-          .join(hs.select(col("doc_id").as("a"), col("hs").as("hsa"))
-            .hint("shuffle_hash"), "a")
-          .join(hs.select(col("doc_id").as("b"), col("hs").as("hsb"))
-            .hint("shuffle_hash"), "b")
-          // explode-of-singleton is a deliberate optimizer barrier: a
-          // filter cannot push through a Generate's OUTPUT attribute,
-          // so the τ predicate below stays ABOVE this projection and
-          // array_intersect is evaluated exactly once per candidate
-          // (plain select would let PushDownPredicates substitute the
-          // intersect into the filter — the r11 double-eval defect)
-          .selectExpr("a", "b", "sza", "szb",
-            "explode(array(size(array_intersect(hsa, hsb)))) AS inter")
-          .selectExpr("a", "b", "inter", "sza + szb - inter AS un")
-          .filter(col("inter") * 5 >= col("un") * 3)
-          .selectExpr("a", "b", "inter", "un",
-            "CAST(inter AS DOUBLE) / un AS jaccard")
-          .orderBy("a", "b")
+        // r14: the verified survivor set is O(near-dup pairs) — tiny —
+        // but the global sort's RANGE-SAMPLING pass was re-executing
+        // the whole verification join just to pick sort bounds
+        // (StageProf at sf10: two full 3.4 GB passes over the fat
+        // candidate exchange, one purely for sampling). Materialize
+        // the survivors once (eager local checkpoint), then sort the
+        // materialized rows — guide §2.4 "an orderBy used only to make
+        // output deterministic". Plan-shape pins live on
+        // [[prefixFilterVerified]], which the checkpoint would
+        // otherwise hide.
+        prefixFilterVerified(s, d).localCheckpoint(true).orderBy("a", "b")
       },
       Some(s"""WITH sh AS (
               |  SELECT doc_id, UNNEST($duckShingleHashes) AS h FROM documents),

@@ -1,7 +1,5 @@
 package graft.tools
 
-import scala.collection.mutable
-
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Empirical per-stage profile of one `SparkEntry` query (guide §1.1):
@@ -29,18 +27,21 @@ object StageProf {
     final case class St(id: Int, nameLine: String, ms: Long, tasks: Int,
         inputMB: Double, shReadMB: Double, shWriteMB: Double,
         recsIn: Long, recsOut: Long)
-    val stages = mutable.ArrayBuffer.empty[St]
+    // ConcurrentLinkedQueue (r13 ADVICE): the listener-bus thread
+    // appends while the main thread drains between reps — the previous
+    // unsynchronized ArrayBuffer could lose or corrupt entries.
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val m = i.taskMetrics
         val ms = (for {a <- i.completionTime; b <- i.submissionTime} yield a - b).getOrElse(-1L)
-        stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(90), ms, i.numTasks,
+        stages.add(St(i.stageId, i.name.takeWhile(_ != '\n').take(90), ms, i.numTasks,
           m.inputMetrics.bytesRead / 1e6, m.shuffleReadMetrics.remoteBytesRead / 1e6 +
             m.shuffleReadMetrics.localBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead,
-          m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten)
+          m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten))
       }
     })
 
@@ -59,13 +60,15 @@ object StageProf {
       val t0 = System.nanoTime()
       force(graft.SparkEntry.queries(name)(spark, d))
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let listener drain
-      println(f"== $name @ $d rep $r: $secs%.2f s, ${stages.size} stages ==")
+      Thread.sleep(300) // let listener drain (best-effort; queue is safe)
+      import scala.jdk.CollectionConverters._
+      val snap = stages.iterator().asScala.toVector
+      println(f"== $name @ $d rep $r: $secs%.2f s, ${snap.size} stages ==")
       println(f"${"stage"}%6s ${"ms"}%7s ${"tasks"}%5s ${"in_MB"}%8s ${"shR_MB"}%8s ${"shW_MB"}%8s ${"recs_in"}%10s ${"recs_out"}%10s  name")
-      stages.sortBy(-_.ms).foreach { s =>
+      snap.sortBy(-_.ms).foreach { s =>
         println(f"${s.id}%6d ${s.ms}%7d ${s.tasks}%5d ${s.inputMB}%8.1f ${s.shReadMB}%8.1f ${s.shWriteMB}%8.1f ${s.recsIn}%10d ${s.recsOut}%10d  ${s.nameLine}")
       }
-      val total = stages.map(_.ms).sum
+      val total = snap.map(_.ms).sum
       println(f"   sum of stage ms: $total (wall ${secs * 1000}%.0f)")
     }
     spark.stop()

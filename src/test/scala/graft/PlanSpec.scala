@@ -173,28 +173,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("TPC-H Q21 pays the fact scan and fact shuffle exactly once") {
-    // The per-(order,supplier) frame feeds three consumers, so it is
-    // FrameCache-memoized: lineitem is scanned ONCE, its orderkey
-    // exchange runs ONCE (both below the InMemoryRelation), and every
-    // downstream exchange moves only the ≤-one-row-per-(order,supplier)
-    // summary frame. (InMemoryTableScan drops the cached partitioning
-    // for re-aliased consumers — a known Spark wrinkle — so the summary
-    // re-shuffles exist, but they are aggregate-sized, never fact-
-    // sized; the pin is fact-side cost, not total exchange count.)
+    // r14 shape: one pass — fact join → per-(order,supplier) agg →
+    // per-order agg (both reuse the orderkey exchange) → filter →
+    // broadcast supplier join. No cache, no re-join: lineitem is
+    // scanned once and exchanged on l_orderkey exactly once; every
+    // later exchange moves per-order summary rows or the 25-group
+    // final aggregate.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan("q_tpch_q21")
-      assert(p.contains("InMemoryTableScan"),
-        s"per-(order,supplier) frame not memoized:\n$p")
-      // toString repeats the cached build subtree under every
-      // InMemoryTableScan consumer; the SAME cached scan prints with
-      // the same exprIds, a genuinely duplicated scan gets fresh ones —
-      // so distinct scan signatures count real executions
       def distinctScans(table: String): Int =
         s"FileScan parquet \\[[^\\]]*\\][^\\n]*$table\\.parquet".r
           .findAllIn(p).toSet.size
       assert(distinctScans("lineitem") === 1, s"lineitem scanned twice:\n$p")
       assert(distinctScans("orders") === 1, s"orders re-scanned:\n$p")
+      // the lineitem rows cross the network once: exactly one exchange
+      // partitioned on the fact's orderkey column
+      val factExchanges = "Exchange hashpartitioning\\(l_orderkey#".r
+        .findAllIn(p).length
+      assert(factExchanges === 1,
+        s"expected ONE l_orderkey exchange, got $factExchanges:\n$p")
+      // the memoized-and-rejoined r13 shape is gone: no cache needed
+      assert(!p.contains("InMemoryTableScan"),
+        s"single-pass Q21 must not need a cached intermediate:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"hinted supplier join lost:\n$p")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
@@ -526,7 +527,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_dedup_prefix_filter: candidates are length+position pruned BEFORE exact verification, one intersect") {
-    val p = plan("q_dedup_prefix_filter")
+    // pins live on the pre-checkpoint verification frame (r14: the
+    // query eagerly checkpoints the tiny survivor set so the output
+    // sort's range sampling doesn't re-execute the verification join;
+    // the checkpoint truncates the visible lineage)
+    val p = operators.Dedup.prefixFilterVerified(spark, sf)
+      .queryExecution.executedPlan.toString
     // (1) the length filter (5·min ≥ 3·max) runs inside the candidate
     // token join — greatest/least appear as join-stage predicates
     assert(p.contains("greatest") && p.contains("least"),
@@ -576,6 +582,40 @@ class PlanSpec extends AnyFunSuite {
       val fp = forced.queryExecution.executedPlan.toString
       assert(fp.contains("ShuffledHashJoin"), s"conf gate ignored:\n$fp")
     } finally spark.conf.unset("graft.tx.dvBroadcastMaxBytes")
+  }
+
+  test("caching discipline: no query path caches a base-table scan; memos hold derived relations") {
+    // the 100 TB memory-budget rule documented in OPTIMIZATION_r14.md:
+    // caching belongs to FrameCache-keyed DERIVED frames (pairs, edge
+    // lists, capped interactions) or transient in-loop intermediates —
+    // never to a base table, whose cache at 100 TB is the table itself.
+    // Textual pin: no line caches/persists a `Tables.x(...)` scan.
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get("src/main/scala/graft")
+    val baseCache = "Tables\\.[a-zA-Z]+\\([^)]*\\)\\s*\\.(cache\\(\\)|persist\\()".r
+    val offenders = java.nio.file.Files.walk(src).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (l, i) if baseCache.findFirstIn(l).isDefined =>
+            s"$p:${i + 1}: ${l.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      s"base-table cache in a query path:\n${offenders.mkString("\n")}")
+    // and the session memos hold DERIVED relations, never a bare scan
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    for (df <- Seq(operators.Dedup.minhashPairs(spark, sf),
+        operators.Clustering.edgeFrame(spark, sf))) {
+      val rels = df.queryExecution.optimizedPlan.collect {
+        case r: InMemoryRelation => r
+      }
+      assert(rels.nonEmpty, "expected a FrameCache-memoized relation")
+      rels.foreach { r =>
+        assert(!r.cachedPlan.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec],
+          s"memo caches a bare table scan:\n${r.cachedPlan}")
+      }
+    }
   }
 
   test("rp_project is a native codegen expression equal to the expanded sign chain") {
